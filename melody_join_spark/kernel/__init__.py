@@ -1,0 +1,57 @@
+"""Pure-numpy EMD kernel library (no Spark imports).
+
+Stage-0 of the build plan (SURVEY.md §7): exact EMD, 1-D fast paths, the
+lower/upper-bound family, and the filter cascade.  The Spark operators in
+``melody_join_spark.operators`` call into these from Arrow-batched pandas
+UDFs.
+"""
+
+from .ground import bins_matrix, ground_distance_matrix
+from .emd import (
+    EPSILON,
+    emd_1d,
+    emd_1d_pairs,
+    emd_exact,
+    emd_exact_with_duals,
+    normalize,
+    prefix_cdf,
+)
+from .bounds import (
+    DualPotentials,
+    ReductionMap,
+    centroids,
+    dual_bound_pairs,
+    greedy_flow_upper,
+    indmin_bound,
+    projection_bound_pairs,
+    projection_positions,
+    reduction_bound,
+    rubner_bound,
+    rubner_bound_to_bbox,
+)
+from .cascade import CascadeStats, EmdCascade
+
+__all__ = [
+    "EPSILON",
+    "bins_matrix",
+    "ground_distance_matrix",
+    "emd_1d",
+    "emd_1d_pairs",
+    "emd_exact",
+    "emd_exact_with_duals",
+    "normalize",
+    "prefix_cdf",
+    "DualPotentials",
+    "ReductionMap",
+    "centroids",
+    "dual_bound_pairs",
+    "greedy_flow_upper",
+    "indmin_bound",
+    "projection_bound_pairs",
+    "projection_positions",
+    "reduction_bound",
+    "rubner_bound",
+    "rubner_bound_to_bbox",
+    "CascadeStats",
+    "EmdCascade",
+]

@@ -1,0 +1,141 @@
+"""The EMD filter cascade — ordered cheap-to-expensive pruning.
+
+Parity: EmdFilter.filter (utils/EmdFilter.java:49-82) and the MR reducer's
+inline cascade (mr/normal/NEProcessReducer.java:195-266): projection bounds
+first, then Rubner, then dual bounds, then reduction bounds, then the
+independent-minimization bound, and only then the exact EMD.  Ordering cheap
+bounds first is the single biggest performance lever of the engine
+(SURVEY.md §4).
+
+The cascade is evaluated on *blocks of candidate pairs* (numpy index arrays)
+so each stage prunes vectorized before the next, strictly more expensive,
+stage runs on the survivors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .bounds import (
+    DualPotentials,
+    ReductionMap,
+    dual_bound_pairs,
+    projection_bound_pairs,
+    reduction_bound,
+    rubner_bound,
+)
+from .emd import emd_exact
+
+__all__ = ["EmdCascade", "CascadeStats"]
+
+
+@dataclass
+class CascadeStats:
+    """Pruning-effectiveness counters; parity with TimerUtil's eliminated /
+    dualElimination / qnePairCounter counters (utils/TimerUtil.java:12-26)."""
+
+    candidates: int = 0
+    pruned_projection: int = 0
+    pruned_rubner: int = 0
+    pruned_dual: int = 0
+    pruned_reduction: int = 0
+    pruned_indmin: int = 0
+    exact_evaluated: int = 0
+
+    def merge(self, other: "CascadeStats") -> None:
+        for f in self.__dataclass_fields__:
+            setattr(self, f, getattr(self, f) + getattr(other, f))
+
+
+@dataclass
+class EmdCascade:
+    """Precomputed per-dataset state for the filter cascade.
+
+    ``weights`` (R, B) normalized rows; ``bin_points`` (B, d); ``cost``
+    (B, B) ground matrix; ``proj_positions`` list of (B,) projected positions
+    (one per projection vector); ``duals`` list of DualPotentials;
+    ``reductions`` list of ReductionMap.
+    """
+
+    weights: np.ndarray
+    cost: np.ndarray
+    bin_points: np.ndarray
+    proj_positions: list = field(default_factory=list)
+    duals: list = field(default_factory=list)
+    reductions: list = field(default_factory=list)
+    cents: np.ndarray | None = None
+    dual_keys: list = field(default_factory=list)
+    reduced_weights: list = field(default_factory=list)
+
+    def __post_init__(self):
+        self.weights = np.asarray(self.weights, dtype=np.float64)
+        if self.cents is None:
+            self.cents = self.weights @ self.bin_points
+        self.dual_keys = [d.keys(self.weights) for d in self.duals]
+        self.reduced_weights = [r.reduce_weights(self.weights) for r in self.reductions]
+
+    def exact(self, li: int, ri: int) -> float:
+        return emd_exact(self.weights[li], self.weights[ri], self.cost)
+
+    def run(
+        self,
+        left_idx: np.ndarray,
+        right_idx: np.ndarray,
+        threshold: float,
+        stats: CascadeStats | None = None,
+        slack: float = 1e-4,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Filter candidate pairs: returns (left_idx, right_idx, emd) of pairs
+        with exact EMD <= threshold + slack (slack parity:
+        NEProcessReducer.java:261, DistanceUtil.EPSILON=1e-4)."""
+        st = stats if stats is not None else CascadeStats()
+        li = np.asarray(left_idx)
+        ri = np.asarray(right_idx)
+        st.candidates += li.size
+        thr = threshold + slack
+
+        # 1. projection bounds (cheapest: cumsum dot)
+        for pos in self.proj_positions:
+            if li.size == 0:
+                break
+            lb = projection_bound_pairs(self.weights, pos, li, ri)
+            keep = lb <= thr
+            st.pruned_projection += int((~keep).sum())
+            li, ri = li[keep], ri[keep]
+
+        # 2. Rubner centroid bound
+        if li.size:
+            lb = rubner_bound(self.cents[li], self.cents[ri])
+            keep = lb <= thr
+            st.pruned_rubner += int((~keep).sum())
+            li, ri = li[keep], ri[keep]
+
+        # 3. dual-feasibility bounds (dot products on precomputed keys)
+        for key, ckey in self.dual_keys:
+            if li.size == 0:
+                break
+            lb = dual_bound_pairs(key, ckey, li, ri)
+            keep = lb <= thr
+            st.pruned_dual += int((~keep).sum())
+            li, ri = li[keep], ri[keep]
+
+        # 4. reduction bounds (small exact LP per surviving pair)
+        for rmap, rw in zip(self.reductions, self.reduced_weights):
+            if li.size == 0:
+                break
+            keep = np.ones(li.size, dtype=bool)
+            for k in range(li.size):
+                if reduction_bound(rmap, rw[li[k]], rw[ri[k]]) > thr:
+                    keep[k] = False
+            st.pruned_reduction += int((~keep).sum())
+            li, ri = li[keep], ri[keep]
+
+        # 5. exact EMD on survivors
+        emds = np.empty(li.size)
+        for k in range(li.size):
+            emds[k] = self.exact(int(li[k]), int(ri[k]))
+        st.exact_evaluated += li.size
+        keep = emds <= thr
+        return li[keep], ri[keep], emds[keep]

@@ -1,0 +1,104 @@
+"""Bound-invariant property tests (FIXTURES.md §6).
+
+For random histogram pairs: every lower bound <= exact EMD + 1e-9; greedy
+flow upper bound >= exact EMD - 1e-9.  This is the invariant the reference's
+manual harness spot-checks (utils/Tester.java:76-408, 445-478).
+"""
+
+import numpy as np
+import pytest
+
+from melody_join_spark.kernel import (
+    DualPotentials,
+    ReductionMap,
+    centroids,
+    dual_bound_pairs,
+    emd_exact,
+    greedy_flow_upper,
+    ground_distance_matrix,
+    indmin_bound,
+    normalize,
+    projection_bound_pairs,
+    projection_positions,
+    reduction_bound,
+    rubner_bound,
+    rubner_bound_to_bbox,
+    bins_matrix,
+)
+
+B, D = 20, 3
+RNG = np.random.default_rng(42)
+BIN_PTS = RNG.random((B, D)) * 4
+COST = ground_distance_matrix(BIN_PTS.ravel(), D, "l2")
+N = 40
+W = RNG.random((N, B))
+W = W / W.sum(axis=1, keepdims=True)
+EXACT = np.array(
+    [[emd_exact(W[i], W[j], COST) for j in range(N)] for i in range(8)]
+)
+LI, RI = np.meshgrid(np.arange(8), np.arange(N), indexing="ij")
+LI, RI = LI.ravel(), RI.ravel()
+FLAT_EXACT = EXACT.ravel()
+TOL = 1e-9
+
+
+def test_projection_bound_is_lower_bound():
+    for seed in range(3):
+        vec = np.random.default_rng(seed).standard_normal(D)
+        pos = projection_positions(BIN_PTS, vec)
+        lb = projection_bound_pairs(W, pos, LI, RI)
+        assert (lb <= FLAT_EXACT + TOL).all(), (lb - FLAT_EXACT).max()
+
+
+def test_rubner_bound_is_lower_bound():
+    c = centroids(W, BIN_PTS)
+    lb = rubner_bound(c[LI], c[RI])
+    assert (lb <= FLAT_EXACT + TOL).all()
+
+
+def test_rubner_bbox_bound():
+    c = centroids(W, BIN_PTS)
+    group = c[10:30]
+    lo, hi = group.min(axis=0), group.max(axis=0)
+    for i in range(8):
+        cell_lb = rubner_bound_to_bbox(c[i : i + 1], lo, hi)[0]
+        # point-to-bbox <= point-to-any-member <= EMD to any member in cell
+        for j in range(10, 30):
+            assert cell_lb <= EXACT[i, j] + TOL
+
+
+def test_dual_bound_is_lower_bound():
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        i, j = rng.integers(0, N, 2)
+        dp = DualPotentials.from_seed_pair(W[i], W[j], COST)
+        key, ckey = dp.keys(W)
+        lb = dual_bound_pairs(key, ckey, LI, RI)
+        assert (lb <= FLAT_EXACT + 1e-7).all(), (lb - FLAT_EXACT).max()
+
+
+def test_reduction_bound_is_lower_bound():
+    for seed in (1, 2):
+        rmap = ReductionMap(COST, reduced=8, seed=seed)
+        rw = rmap.reduce_weights(W)
+        for k in range(0, LI.size, 17):
+            lb = reduction_bound(rmap, rw[LI[k]], rw[RI[k]])
+            assert lb <= FLAT_EXACT[k] + 1e-7
+
+
+def test_indmin_bound_is_lower_bound():
+    for k in range(0, LI.size, 13):
+        lb = indmin_bound(W[LI[k]], W[RI[k]], COST)
+        assert lb <= FLAT_EXACT[k] + TOL
+
+
+def test_greedy_flow_is_upper_bound():
+    for k in range(0, LI.size, 13):
+        ub = greedy_flow_upper(W[LI[k]], W[RI[k]], COST)
+        assert ub >= FLAT_EXACT[k] - TOL
+
+
+def test_bins_matrix_shape():
+    assert bins_matrix(np.arange(12.0), 3).shape == (4, 3)
+    with pytest.raises(ValueError):
+        bins_matrix(np.arange(10.0), 3)
