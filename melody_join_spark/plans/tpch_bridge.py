@@ -1,0 +1,116 @@
+"""Bridge from the driver's TPC-H-ish tables to histogram inputs.
+
+FIXTURES.md §7: build per-orderkey histograms from lineitem (bucketed
+extendedprice as the 1-D bin axis, quantity as mass) so the engine and the
+DuckDB oracle read identical inputs via pure SQL-expressible construction.
+
+Constants are fixed so bucket assignment is bit-identical across engines:
+extendedprice range [900, 105000) split into B equal buckets; quantity is
+integral in the testdata, making the EMD formulation exact (see
+operators/histograms.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.histograms import bucketize, build_histograms
+
+PRICE_LO = 900.0
+PRICE_HI = 105000.0
+NUM_BINS = 16
+
+__all__ = ["load_tables", "lineitem_histograms", "PRICE_LO", "PRICE_HI", "NUM_BINS"]
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    names = names or (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    )
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def lineitem_histograms(
+    spark: SparkSession,
+    sf_dir: str,
+    nationkey: int | None = 1,
+    num_bins: int = NUM_BINS,
+) -> DataFrame:
+    """Per-orderkey quantity-mass histograms over bucketed extendedprice.
+
+    ``nationkey`` restricts to one customer nation (the driver-correctness
+    sized subset); None takes every order.  Broadcast joins: orders/customer
+    are small dims relative to lineitem.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer")
+    if nationkey is not None:
+        # reduce FIRST, broadcast the small key set: customer filter ->
+        # qualifying orderkeys (~n_orders/25 rows) -> broadcast semi-join
+        # into the big fact table.  At 100 TB this is the only shape that
+        # works: the fact scan sees a broadcast hash join on a tiny dim.
+        cust = t["customer"].where(F.col("c_nationkey") == nationkey).select("c_custkey")
+        okeys = (
+            t["orders"]
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey")
+        )
+        src = t["lineitem"].join(
+            F.broadcast(okeys), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+    else:
+        src = t["lineitem"]
+    return build_histograms(
+        src,
+        "l_orderkey",
+        bucketize(F.col("l_extendedprice"), PRICE_LO, PRICE_HI, num_bins),
+        "l_quantity",
+        num_bins,
+    )
+
+
+def oracle_hist_cte(nationkey: int | None = 1, num_bins: int = NUM_BINS) -> str:
+    """DuckDB CTE producing (id, bucket, c=prefix-sum, total) rows matching
+    :func:`lineitem_histograms` bit-for-bit (integral quantities)."""
+    width = (PRICE_HI - PRICE_LO) / num_bins
+    nation_filter = f"WHERE c_nationkey = {nationkey}" if nationkey is not None else ""
+    join_cust = (
+        "JOIN customer ON o_custkey = c_custkey" if nationkey is not None else ""
+    )
+    return f"""
+h AS (
+  SELECT l_orderkey AS id,
+         least({num_bins - 1}, greatest(0,
+             cast(floor((l_extendedprice - {PRICE_LO}) / {width}) AS int))) AS bucket,
+         sum(l_quantity) AS wsum
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  {join_cust}
+  {nation_filter}
+  GROUP BY 1, 2
+),
+tot AS (SELECT id, sum(wsum) AS total FROM h GROUP BY 1),
+dense AS (
+  SELECT t.id, gs.bucket, coalesce(h.wsum, 0.0) AS wsum, t.total
+  FROM tot t
+  CROSS JOIN (SELECT unnest(generate_series(0, {num_bins - 1})) AS bucket) gs
+  LEFT JOIN h ON h.id = t.id AND h.bucket = gs.bucket
+),
+cum AS (
+  SELECT id, bucket, sum(wsum) OVER (PARTITION BY id ORDER BY bucket) AS c, total
+  FROM dense
+)"""
+
+
+def oracle_pair_emd_sql(nationkey: int | None = 1, num_bins: int = NUM_BINS) -> str:
+    """DuckDB CTE chain ending in ``emd(rid, sid, emd)`` for all rid < sid
+    pairs — the brute-force J7 oracle (BaselineBSP.join semantics)."""
+    return f"""WITH {oracle_hist_cte(nationkey, num_bins)},
+pairs AS (
+  SELECT a.id AS rid, b.id AS sid,
+         abs(a.c * b.total - b.c * a.total) AS d,
+         a.total * b.total AS tt
+  FROM cum a JOIN cum b ON a.bucket = b.bucket AND a.id < b.id
+),
+emd AS (SELECT rid, sid, sum(d) / any_value(tt) AS emd FROM pairs GROUP BY 1, 2)"""

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Local mirror of the driver's correctness gate: run every queries() entry
+at sf0.01 on Spark AND its oracle_sql() on DuckDB; compare row count, column
+names, and order-insensitive value multiset.  Exit nonzero on mismatch."""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    return str(v)
+
+
+def main() -> int:
+    import duckdb
+
+    from melody_join_spark.session import get_spark
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    spark = get_spark("correctness")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as em
+
+    qs, oracles = em.queries(), em.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        sdf = fn(spark, SF_DIR)
+        srows = sdf.collect()
+        scols = sorted(sdf.columns)
+        sset = sorted(
+            tuple(canon(r[c]) for c in scols) for r in (row.asDict() for row in srows)
+        )
+        if name not in oracles:
+            print(f"  {name}: rows-only check, {len(srows)} rows")
+            continue
+        ores = con.sql(oracles[name])
+        ocols = sorted(ores.columns)
+        orows = ores.fetchall()
+        names_map = {c: i for i, c in enumerate(ores.columns)}
+        oset = sorted(tuple(canon(r[names_map[c]]) for c in ocols) for r in orows)
+        ok = scols == ocols and len(srows) == len(orows) and sset == oset
+        status = "OK" if ok else "MISMATCH"
+        print(f"  {name}: {status} (spark {len(srows)} rows, oracle {len(orows)} rows)")
+        if not ok:
+            failures.append(name)
+            if scols != ocols:
+                print(f"    cols: spark={scols} oracle={ocols}")
+            for a, b in list(zip(sset, oset))[:2000]:
+                if a != b:
+                    print(f"    first diff: spark={a} oracle={b}")
+                    break
+    spark.stop()
+    if failures:
+        print(f"FAILED: {failures}")
+        return 1
+    print("ALL OK")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
