@@ -12,7 +12,22 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from melody_join_spark.operators.dedup import (
+    exact_dedup_groups,
+    exact_dedup_groups_oracle_sql,
+    jaccard_pairs,
+    jaccard_pairs_oracle_sql,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
 from melody_join_spark.operators.emd_join import emd_threshold_join, emd_topk_join
+from melody_join_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_pairs_oracle_sql,
+    cosine_topk,
+    lsh_cosine_pairs,
+)
+from melody_join_spark.operators.text import text_features, text_features_oracle_sql
 from melody_join_spark.plans.tpch_bridge import (
     lineitem_histograms,
     oracle_pair_emd_sql,
@@ -48,11 +63,73 @@ def _q_emd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(F.col("rank").cast("long").alias("rank"), "rid", "sid", "emd")
 
 
+JACCARD_THETA = 0.8
+JACCARD_NGRAM = 5
+COSINE_THETA = 0.25
+COSINE_DIM = 128
+TOPK_QUERIES = 32
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_text_features(spark, sf_dir):
+    return text_features(_docs(spark, sf_dir))
+
+
+def _q_exact_dedup(spark, sf_dir):
+    return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def _q_jaccard(spark, sf_dir):
+    return jaccard_pairs(
+        _docs(spark, sf_dir), threshold=JACCARD_THETA, ngram=JACCARD_NGRAM
+    )
+
+
+def _q_minhash(spark, sf_dir):
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=JACCARD_THETA, shingle=JACCARD_NGRAM
+    )
+
+
+def _q_simhash(spark, sf_dir):
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_cosine_pairs(spark, sf_dir):
+    return cosine_pairs(_emb(spark, sf_dir), COSINE_THETA)
+
+
+def _q_lsh_cosine(spark, sf_dir):
+    return lsh_cosine_pairs(_emb(spark, sf_dir), COSINE_THETA)
+
+
+def _q_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qs = emb.orderBy("vec_id").limit(TOPK_QUERIES)
+    res = cosine_topk(emb, qs, k=10, round_to=6)
+    return res.select("qid", "nid", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "emd_threshold_bruteforce": _q_emd_threshold_bf,
         "emd_threshold_cells": _q_emd_threshold_cells,
         "emd_topk": _q_emd_topk,
+        "text_features": _q_text_features,
+        "dedup_exact": _q_exact_dedup,
+        "dedup_jaccard_ngram": _q_jaccard,
+        "dedup_minhash_lsh": _q_minhash,
+        "dedup_simhash": _q_simhash,
+        "cosine_pairs": _q_cosine_pairs,
+        "cosine_pairs_lsh": _q_lsh_cosine,
+        "cosine_topk": _q_cosine_topk,
     }
 
 
@@ -71,8 +148,42 @@ ranked AS (
 )
 SELECT rank, rid, sid, emd FROM ranked WHERE rank <= {TOPK} ORDER BY rank"""
     )
+    cosine_topk_sql = f"""
+WITH q AS (
+  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings ORDER BY vec_id LIMIT {TOPK_QUERIES}
+),
+db AS (
+  SELECT vec_id AS nid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+qn AS (SELECT qid, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM q),
+dn AS (SELECT nid, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM db),
+scored AS (
+  SELECT qid, nid,
+         round(list_sum(list_transform(range(1, {COSINE_DIM + 1}),
+               i -> q.v[i] * d.v[i])) / (q.nrm * d.nrm), 6) AS cosine
+  FROM qn q CROSS JOIN dn d
+  WHERE qid <> nid
+),
+ranked AS (
+  SELECT qid, nid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 10"""
     return {
         "emd_threshold_bruteforce": threshold_sql,
         "emd_threshold_cells": threshold_sql,
         "emd_topk": topk_sql,
+        "text_features": text_features_oracle_sql(),
+        "dedup_exact": exact_dedup_groups_oracle_sql(),
+        "dedup_jaccard_ngram": jaccard_pairs_oracle_sql(
+            JACCARD_THETA, ngram=JACCARD_NGRAM
+        ),
+        # dedup_minhash_lsh / dedup_simhash / cosine_pairs_lsh: hash-sketch
+        # operators, not SQL-expressible -> rows-only driver check; their
+        # exact twins (dedup_jaccard_ngram / cosine_pairs) are hash-checked
+        "cosine_pairs": cosine_pairs_oracle_sql(COSINE_THETA, COSINE_DIM),
+        "cosine_topk": cosine_topk_sql,
     }

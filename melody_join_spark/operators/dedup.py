@@ -1,0 +1,413 @@
+"""Deduplication operators for LLM-data pipelines.
+
+Generalizations of the reference's similarity-self-join core (SURVEY.md §0:
+"BASELINE.json additionally mandates LLM-data-pipeline operators ... these
+generalize the reference's similarity-join core"):
+
+- exact dedup        : hash-groupBy on a canonical fingerprint (1 shuffle)
+- n-gram/word Jaccard: inverted-index self-join — candidates come from a
+  shuffle *equi-join* on token, never a cross join; the same
+  partition-then-prune shape as the EMD cells strategy (J1)
+- MinHash + LSH      : shingle -> minhash signature (pandas UDF) -> banded
+  bucket join -> verified candidates
+- SimHash            : 64-bit sign-hash + chunk banding (pigeonhole on
+  hamming radius) -> verified candidates
+
+Scale notes: the token join's skew (ultra-common tokens produce quadratic
+candidate blowup) is handled by ``max_df`` document-frequency capping —
+standard prefix-filter practice; AQE skew-join covers the rest.  MinHash/
+SimHash signatures are fixed-width columns, so every downstream step is an
+equi-join on small keys.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from .text import fingerprint_bow, fingerprint_text
+
+__all__ = [
+    "exact_dedup_groups",
+    "exact_dedup_groups_oracle_sql",
+    "tokenize_words",
+    "tokenize_char_ngrams",
+    "jaccard_pairs",
+    "jaccard_pairs_oracle_sql",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash64",
+    "simhash_pairs",
+]
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", mode: str = "bow"
+) -> DataFrame:
+    """Duplicate groups by canonical fingerprint: (fp, group_size, keep_id)
+    for groups with >1 member; ``keep_id`` = smallest id (deterministic
+    survivor).  One shuffle (groupBy fp)."""
+    fp = fingerprint_bow(F.col(text_col)) if mode == "bow" else fingerprint_text(F.col(text_col))
+    return (
+        df.select(F.col(id_col).alias("id"), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("group_size"), F.min("id").alias("keep_id"))
+        .where(F.col("group_size") > 1)
+    )
+
+
+def exact_dedup_groups_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    fp = (
+        f"md5(array_to_string(list_sort(list_distinct("
+        f"string_split_regex(trim(lower({text_col})), '\\s+'))), ' '))"
+    )
+    return f"""
+SELECT {fp} AS fp, count(*) AS group_size, min({id_col}) AS keep_id
+FROM {table}
+GROUP BY 1 HAVING count(*) > 1"""
+
+
+# ---------------------------------------------------------------------------
+# token sets
+# ---------------------------------------------------------------------------
+
+def tokenize_words(text: Column) -> Column:
+    """Distinct lowercase word set."""
+    return F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
+
+
+def tokenize_char_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct character n-gram set of the lowercased text."""
+    t = F.lower(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))),
+        lambda i: F.substring(t, i, n),
+    )
+    return F.array_distinct(grams)
+
+
+def _token_rel(df: DataFrame, id_col: str, tokens: Column, max_df: int | None) -> DataFrame:
+    rel = df.select(F.col(id_col).alias("id"), F.explode(tokens).alias("tok"))
+    if max_df is not None:
+        # drop tokens appearing in more than max_df documents: kills the
+        # quadratic candidate blowup of ultra-common tokens.  NOTE: changes
+        # semantics (a sound approximation only when near-dup pairs share at
+        # least one rare token) — mirrored in the oracle SQL.
+        freq = rel.groupBy("tok").agg(F.count("*").alias("df_"))
+        rel = rel.join(F.broadcast(freq.where(F.col("df_") <= max_df)), "tok").drop("df_")
+    return rel
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    ngram: int | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs with Jaccard(token sets) >= threshold -> (rid, sid, jaccard).
+    EXACT (no approximation) via prefix filtering.
+
+    Plan (PPJoin-style prefix principle): under a global token order by
+    ascending document frequency, two sets with jaccard >= t must share a
+    token among each one's first  |x| - ceil(t*|x|) + 1  tokens.  Candidates
+    therefore come from an equi-join on *prefix* tokens only — the rarest
+    per document — which removes the quadratic blowup on ultra-common
+    tokens that a naive inverted-index join suffers (a df=10^6 token alone
+    would emit 10^12 candidate rows).  Verification counts full-set overlap
+    candidate-first.  Integer counts keep the jaccard value bit-stable
+    across engines."""
+    tokens = (
+        tokenize_char_ngrams(F.col(text_col), ngram)
+        if ngram
+        else tokenize_words(F.col(text_col))
+    )
+    rel = _token_rel(df, id_col, tokens, max_df)
+    sizes = rel.groupBy("id").agg(F.count("*").alias("nt"))
+
+    freq = rel.groupBy("tok").agg(F.count("*").alias("df_"))
+    from pyspark.sql.window import Window
+
+    ordered = rel.join(freq, "tok").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.col("df_").asc(), F.col("tok").asc())
+        ),
+    )
+    # -1e-9 guards float fuzz in t*nt: undershooting ceil only lengthens the
+    # prefix (more candidates, still exact); overshooting would drop pairs
+    prefix_len = (
+        F.col("nt") - F.ceil(F.lit(float(threshold)) * F.col("nt") - F.lit(1e-9)) + 1
+    )
+    prefix = (
+        ordered.join(sizes, "id")
+        .where(F.col("rn") <= prefix_len)
+        .select("id", "tok", "nt")
+    )
+    a = prefix.select(F.col("id").alias("rid"), "tok", F.col("nt").alias("na"))
+    b = prefix.select(F.col("id").alias("sid"), "tok", F.col("nt").alias("nb"))
+    cand = (
+        a.join(b, "tok")
+        .where(F.col("rid") < F.col("sid"))
+        # length filter: jaccard >= t forces |smaller| >= t*|larger|
+        .where(
+            F.least("na", "nb")
+            >= F.lit(float(threshold)) * F.greatest("na", "nb") - F.lit(1e-9)
+        )
+        .select("rid", "sid")
+        .distinct()
+    )
+    ra = rel.select(F.col("id").alias("rid"), "tok")
+    rb = rel.select(F.col("id").alias("sid"), "tok")
+    inter = (
+        cand.join(ra, "rid")
+        .join(rb, ["sid", "tok"])
+        .groupBy("rid", "sid")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("rid"), F.col("nt").alias("na"))
+    nb = sizes.select(F.col("id").alias("sid"), F.col("nt").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(na, "rid")
+        .join(nb, "sid")
+        .select("rid", "sid", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_pairs_oracle_sql(
+    threshold: float,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int | None = None,
+    max_df: int | None = None,
+) -> str:
+    if ngram:
+        tok_expr = (
+            f"list_distinct(list_transform("
+            f"range(1, greatest(length(lower({text_col})) - {ngram - 1}, 1) + 1), "
+            f"i -> substr(lower({text_col}), i, {ngram})))"
+        )
+    else:
+        tok_expr = f"list_distinct(string_split_regex(trim(lower({text_col})), '\\s+'))"
+    max_df_cte = (
+        f""",
+freq AS (SELECT tok, count(*) AS df_ FROM rel GROUP BY 1),
+rel2 AS (SELECT rel.* FROM rel JOIN freq USING (tok) WHERE df_ <= {max_df})"""
+        if max_df is not None
+        else ",\nrel2 AS (SELECT * FROM rel)"
+    )
+    return f"""
+WITH rel AS (
+  SELECT {id_col} AS id, unnest({tok_expr}) AS tok FROM {table}
+){max_df_cte},
+sizes AS (SELECT id, count(*) AS nt FROM rel2 GROUP BY 1),
+inter AS (
+  SELECT a.id AS rid, b.id AS sid, count(*) AS inter
+  FROM rel2 a JOIN rel2 b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT rid, sid,
+       inter / (na.nt + nb.nt - inter) AS jaccard
+FROM inter
+JOIN sizes na ON na.id = rid
+JOIN sizes nb ON nb.id = sid
+WHERE inter / (na.nt + nb.nt - inter) >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+# Mersenne prime 2^31-1: shingle hashes are first reduced mod p, so
+# a*h + b < 2^62 never overflows int64 AND the mod genuinely wraps —
+# without the wrap, min(a*h+b) is always attained by the smallest h and the
+# "permutations" collapse to one (a real bug caught by the recall test)
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def _shingle_hashes(text: str, shingle: int) -> np.ndarray:
+    t = " ".join(text.lower().split())
+    if len(t) < shingle:
+        grams = {t}
+    else:
+        grams = {t[i : i + shingle] for i in range(len(t) - shingle + 1)}
+    # crc32: deterministic across processes (unlike Python's str hash)
+    h = np.fromiter((zlib.crc32(g.encode()) for g in grams), dtype=np.int64)
+    return h % _MERSENNE
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    shingle: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<long>) — minhash signature per document (pandas UDF,
+    Arrow-batched; numpy broadcast over (shingles x hashes))."""
+    a_params, b_params = _perm_params(num_hashes, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            h = _shingle_hashes(t or "", shingle)
+            # (S, K) permuted hashes mod mersenne prime, min over shingles
+            vals = (h[:, None] * a_params[None, :] + b_params[None, :]) % _MERSENNE
+            out.append(vals.min(axis=0))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash LSH, verified with exact shingle
+    Jaccard: (rid, sid, jaccard).
+
+    Plan: signatures (narrow) -> band keys (posexplode) -> equi-join on
+    (band, key) buckets -> distinct candidates -> verify via character-
+    shingle jaccard computed in Spark SQL.  Probabilistic recall
+    1-(1-j^r)^bands; defaults give >0.999 at j=0.7."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle, seed)
+    band_keys = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.md5(
+                    F.concat_ws(",", F.slice("sig", bnd * rows + 1, rows))
+                ),
+            )
+        ).alias("band", "key"),
+    )
+    a = band_keys.select(F.col("id").alias("rid"), "band", "key")
+    b = band_keys.select(F.col("id").alias("sid"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("rid") < F.col("sid"))
+        .select("rid", "sid")
+        .distinct()
+    )
+    # verify candidates with exact character-shingle jaccard
+    grams = tokenize_char_ngrams(F.col(text_col), shingle)
+    rel = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("tok"))
+    sizes = rel.groupBy("id").agg(F.count("*").alias("nt"))
+    ra = rel.select(F.col("id").alias("rid"), "tok")
+    rb = rel.select(F.col("id").alias("sid"), "tok")
+    # candidate-first join order: expand tokens only for candidate pairs,
+    # never materialize the full token self-join
+    inter = (
+        cand.join(ra, "rid")
+        .join(rb, ["sid", "tok"])
+        .groupBy("rid", "sid")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("rid"), F.col("nt").alias("na"))
+    nb = sizes.select(F.col("id").alias("sid"), F.col("nt").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(na, "rid").join(nb, "sid")
+        .select("rid", "sid", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash long) — 64-bit sign-hash over word features."""
+
+    @F.pandas_udf(LongType())
+    def sim_udf(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for k, t in enumerate(texts):
+            words = (t or "").lower().split()
+            if not words:
+                out[k] = 0
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for w in set(words):
+                e = w.encode()
+                h = np.uint64((zlib.crc32(e) << 32) | zlib.crc32(e + b"#salt"))
+                bits = (h >> shifts) & np.uint64(1)
+                acc += np.where(bits == 1, 1, -1)
+            packed = ((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+            out[k] = np.array([packed], dtype=np.uint64).view(np.int64)[0]
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), sim_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with hamming(simhash) <= max_hamming -> (rid, sid, hamming).
+
+    Chunk banding (pigeonhole): split 64 bits into max_hamming+1 chunks; any
+    qualifying pair agrees exactly on >= 1 chunk -> equi-join per chunk, then
+    verify with bit_count(xor) in Spark SQL."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sh = simhash64(df, id_col, text_col)
+    chunk_exprs = [
+        F.shiftrightunsigned("simhash", c * width).bitwiseAND(F.lit((1 << width) - 1))
+        for c in range(chunks)
+    ]
+    keys = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk", "key"),
+    )
+    a = keys.select(F.col("id").alias("rid"), F.col("simhash").alias("ha"), "chunk", "key")
+    b = keys.select(F.col("id").alias("sid"), F.col("simhash").alias("hb"), "chunk", "key")
+    cand = (
+        a.join(b, ["chunk", "key"])
+        .where(F.col("rid") < F.col("sid"))
+        .select("rid", "sid", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select("rid", "sid", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

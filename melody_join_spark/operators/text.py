@@ -1,0 +1,165 @@
+"""Text-analysis operators for LLM-data pipelines (BASELINE.json north star).
+
+All functions are pure Spark SQL expressions (JVM-side, codegen — no Python
+UDFs), and every operator has a DuckDB-SQL twin generated next to it so the
+driver's oracle can hash-match results exactly.  The arithmetic is written as
+identical expression trees in both dialects, so double-precision results are
+bit-identical.
+
+Operators:
+- token counting (whitespace + BPE-ish regex word/number/symbol classes)
+- quality scoring (length / punctuation / stopword ratios)
+- language ID (marker-word scoring heuristic)
+- document fingerprinting (md5 canonical-text + bag-of-words forms)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "STOPWORDS",
+    "token_count_ws",
+    "token_count_bpe",
+    "punct_ratio",
+    "stopword_ratio",
+    "quality_score",
+    "lang_id",
+    "fingerprint_text",
+    "fingerprint_bow",
+    "text_features",
+    "text_features_oracle_sql",
+]
+
+# small fixed stopword inventory (deterministic, mirrored into the oracle SQL)
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+# marker words per "language" for the scoring heuristic; with real corpora
+# these are per-language function words — the operator is the scoring
+# machinery, the tables are pluggable
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "das"),
+    "es": ("el", "los", "que"),
+    "fr": ("le", "les", "des"),
+    "zh": ("zh0", "zh1", "zh2"),
+}
+
+_WS = r"\s+"
+_BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_PUNCT = r"[^A-Za-z0-9\s]"
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), _WS)
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count (0 for blank text)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(_tokens(text))
+    )
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish subword-class count: letter runs + digit runs + single
+    symbols — a cheap, deterministic proxy for tokenizer load."""
+    return F.regexp_count(text, F.lit(_BPE))
+
+
+def punct_ratio(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(_PUNCT)) / F.greatest(F.lit(1), F.length(text))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = _tokens(F.lower(text))
+    stop = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    return F.size(stop) / F.greatest(F.lit(1), F.size(toks))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1]-ish quality heuristic: rewards moderate length and
+    stopword presence, penalizes punctuation density.  The exact constants
+    are part of the operator contract (mirrored in the oracle SQL)."""
+    length_term = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * F.lit(4.0), F.lit(1.0))
+    punct_term = F.greatest(F.lit(1.0) - punct_ratio(text) * F.lit(10.0), F.lit(0.0))
+    return (length_term + stop_term + punct_term) / F.lit(3.0)
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word scoring: language with the highest marker hit count wins;
+    ties resolve in lexicographic language order; zero hits -> 'und'."""
+    toks = _tokens(F.lower(text))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lang in sorted(scores, reverse=True):
+        result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
+    return F.when(best == 0, F.lit("und")).otherwise(result)
+
+
+def fingerprint_text(text: Column) -> Column:
+    """md5 of the whitespace-canonicalized lowercase text (exact dedup key)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), _WS, " ")))
+
+
+def fingerprint_bow(text: Column) -> Column:
+    """md5 of the sorted distinct lowercase word set (bag-of-words dedup key:
+    catches word-order shuffles and repetition changes)."""
+    words = F.array_sort(F.array_distinct(F.split(F.lower(F.trim(text)), _WS)))
+    return F.md5(F.array_join(words, " "))
+
+
+def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count_ws(t).cast("long").alias("n_tokens_ws"),
+        token_count_bpe(t).cast("long").alias("n_tokens_bpe"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint_text(t).alias("fp_text"),
+        fingerprint_bow(t).alias("fp_bow"),
+    )
+
+
+def text_features_oracle_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB SQL computing exactly the columns of :func:`text_features`."""
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    tok = f"string_split_regex(trim(lower({text_col})), '{_WS}')"
+    tok_raw = f"string_split_regex(trim({text_col}), '{_WS}')"
+    n_toks = f"greatest(1, len({tok}))"
+    score_exprs = {
+        lang: (
+            f"len(list_filter({tok}, t -> t IN ({', '.join(repr(m) for m in markers)})))"
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    best = "greatest(" + ", ".join(score_exprs.values()) + ")"
+    lang_case = "'und'"
+    for lang in sorted(score_exprs, reverse=True):
+        lang_case = f"CASE WHEN {score_exprs[lang]} = {best} THEN '{lang}' ELSE {lang_case} END"
+    lang_expr = f"CASE WHEN {best} = 0 THEN 'und' ELSE {lang_case} END"
+    return f"""
+SELECT *,
+  CAST(CASE WHEN length(trim({text_col})) = 0 THEN 0
+       ELSE len({tok_raw}) END AS bigint) AS n_tokens_ws,
+  CAST(len(regexp_extract_all({text_col}, '{_BPE}')) AS bigint) AS n_tokens_bpe,
+  len(regexp_extract_all({text_col}, '{_PUNCT}')) / greatest(1, length({text_col})) AS punct_ratio,
+  len(list_filter({tok}, t -> t IN ({stop_list}))) / {n_toks} AS stopword_ratio,
+  (least(length({text_col}) / 500.0, 1.0)
+   + least((len(list_filter({tok}, t -> t IN ({stop_list}))) / {n_toks}) * 4.0, 1.0)
+   + greatest(1.0 - (len(regexp_extract_all({text_col}, '{_PUNCT}')) / greatest(1, length({text_col}))) * 10.0, 0.0)
+  ) / 3.0 AS quality,
+  {lang_expr} AS lang_pred,
+  md5(lower(regexp_replace(trim({text_col}), '{_WS}', ' ', 'g'))) AS fp_text,
+  md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower({text_col})), '{_WS}'))), ' ')) AS fp_bow
+FROM {table}"""

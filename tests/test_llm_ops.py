@@ -1,0 +1,175 @@
+"""LLM-pipeline operator tests: dedup family, similarity search, text
+features — exact variants vs their own brute-force semantics, sketch
+variants (minhash/simhash/LSH) vs their exact twins on sf0.001."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from melody_join_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    simhash64,
+)
+from melody_join_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    lsh_cosine_pairs,
+)
+from melody_join_spark.operators.text import text_features
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_text_features_columns_and_ranges(docs):
+    rows = text_features(docs).collect()
+    assert len(rows) == docs.count()
+    for r in rows[:50]:
+        assert r.n_tokens_ws > 0
+        assert 0.0 <= r.quality <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert len(r.fp_text) == 32 and len(r.fp_bow) == 32
+
+
+def test_exact_dedup_groups(docs):
+    groups = exact_dedup_groups(docs).collect()
+    # every reported group is a genuine bow-duplicate set
+    from melody_join_spark.operators.text import fingerprint_bow
+
+    fps = docs.select(
+        F.col("doc_id"), fingerprint_bow(F.col("text")).alias("fp")
+    ).collect()
+    by_fp = {}
+    for r in fps:
+        by_fp.setdefault(r.fp, []).append(r.doc_id)
+    want = {fp: ids for fp, ids in by_fp.items() if len(ids) > 1}
+    assert {g.fp for g in groups} == set(want)
+    for g in groups:
+        assert g.group_size == len(want[g.fp])
+        assert g.keep_id == min(want[g.fp])
+
+
+def _python_jaccard_ngram(rows, n, threshold):
+    def grams(t):
+        t = t.lower()
+        return {t[i : i + n] for i in range(max(len(t) - n + 1, 1))}
+
+    gs = {r.doc_id: grams(r.text) for r in rows}
+    ids = sorted(gs)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(gs[a] & gs[b])
+            if inter == 0:
+                continue
+            j = inter / (len(gs[a]) + len(gs[b]) - inter)
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+def test_jaccard_pairs_vs_python(docs):
+    want = _python_jaccard_ngram(docs.collect(), 5, 0.8)
+    got = {
+        (r.rid, r.sid): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.8, ngram=5).collect()
+    }
+    assert set(got) == set(want)
+    for p, j in got.items():
+        assert j == pytest.approx(want[p], abs=1e-12)
+
+
+def test_minhash_lsh_matches_exact(docs):
+    exact = set(
+        (r.rid, r.sid) for r in jaccard_pairs(docs, threshold=0.8, ngram=5).collect()
+    )
+    lsh = set(
+        (r.rid, r.sid)
+        for r in minhash_lsh_pairs(docs, threshold=0.8, shingle=5).collect()
+    )
+    # verification makes output a subset of exact; recall should be total at
+    # j >= 0.8 with 32x4 bands
+    assert lsh == exact
+
+
+def test_simhash_determinism_and_symmetry(docs):
+    a = {r.id: r.simhash for r in simhash64(docs).collect()}
+    b = {r.id: r.simhash for r in simhash64(docs).collect()}
+    assert a == b
+    pairs = simhash_pairs(docs, max_hamming=3).collect()
+    for r in pairs[:100]:
+        assert bin((a[r.rid] ^ a[r.sid]) & (2**64 - 1)).count("1") == r.hamming
+
+
+def test_cosine_pairs_vs_numpy(emb):
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    iu = np.triu_indices(len(ids), k=1)
+    want = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))): S[i, j]
+        for i, j in zip(*iu)
+        if S[i, j] >= 0.25
+    }
+    got = {(r.rid, r.sid): r.cosine for r in cosine_pairs(emb, 0.25).collect()}
+    assert set(got) == set(want)
+    for p in got:
+        assert got[p] == pytest.approx(want[p], abs=1e-9)
+
+
+def test_lsh_cosine_subset(emb):
+    exact = set((r.rid, r.sid) for r in cosine_pairs(emb, 0.25).collect())
+    lsh = set((r.rid, r.sid) for r in lsh_cosine_pairs(emb, 0.25).collect())
+    # verification guarantees soundness even where recall is weak
+    assert lsh <= exact
+
+
+def test_lsh_cosine_recall_near_dup_regime(spark):
+    """Recall must be ~total in the near-duplicate regime (cos >= 0.9) the
+    operator targets: base vectors + small perturbations."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((60, 32))
+    pert = base + 0.12 * rng.standard_normal((60, 32))  # cos ~0.96
+    V = np.vstack([base, pert])
+    rows = [(i, [float(x) for x in V[i]]) for i in range(len(V))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = set((r.rid, r.sid) for r in cosine_pairs(emb, 0.9).collect())
+    lsh = set((r.rid, r.sid) for r in lsh_cosine_pairs(emb, 0.9).collect())
+    assert exact, "fixture should produce near-dup pairs"
+    assert lsh <= exact
+    assert len(lsh) >= 0.95 * len(exact)
+
+
+def test_cosine_topk_vs_numpy(emb):
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    qs = emb.orderBy("vec_id").limit(5)
+    got = cosine_topk(emb, qs, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r)
+    order = np.argsort(ids)
+    for qid, lst in by_q.items():
+        qi = order[np.searchsorted(ids[order], qid)]
+        scores = S[qi].copy()
+        scores[qi] = -np.inf  # exclude self
+        top = np.argsort(-scores)[:3]
+        want_ids = [int(ids[t]) for t in top]
+        assert [r.nid for r in sorted(lst, key=lambda r: r.rank)] == want_ids

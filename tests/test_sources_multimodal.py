@@ -1,0 +1,103 @@
+"""Histogram text source round-trip + multimodal plumbing tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from melody_join_spark.operators.multimodal import (
+    decode_features,
+    fake_decode_image,
+    frame_sample,
+    read_binary_dir,
+)
+from melody_join_spark.sources.histogram_text import (
+    histograms_to_engine_format,
+    read_flat_doubles,
+    read_histogram_text,
+    write_histogram_text,
+)
+
+
+def test_histogram_text_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "hist")
+    rows = [(1, [0.5, 0.25, 0.25]), (2, [1.0, 0.0, 3.0]), (7, [0.1, 0.2, 0.3])]
+    df = spark.createDataFrame(rows, "id long, w array<double>")
+    write_histogram_text(df, path)
+    back = read_histogram_text(spark, path)
+    got = {r.id: r.w for r in back.collect()}
+    assert got == {i: w for i, w in rows}
+
+
+def test_read_reference_format_line(spark, tmp_path):
+    # exact reference line format: "<id> <w0> ... <w_{B-1}>" (README.md:19-20)
+    p = tmp_path / "ref.txt"
+    p.write_text("116 1.0 2.0 3.0\n548 4 5 6\n")
+    df = read_histogram_text(spark, str(p))
+    got = {r.id: r.w for r in df.collect()}
+    assert got == {116: [1.0, 2.0, 3.0], 548: [4.0, 5.0, 6.0]}
+    eng = histograms_to_engine_format(df)
+    r = {x.id: x for x in eng.collect()}
+    assert r[116].total == 6.0
+    assert r[116].cum == [1.0, 3.0, 6.0]
+
+
+def test_read_flat_doubles(spark, tmp_path):
+    p = tmp_path / "bins.txt"
+    p.write_text("0 0 1.5 2.5 3 4\n")
+    arr = read_flat_doubles(spark, str(p))
+    assert arr.tolist() == [0, 0, 1.5, 2.5, 3, 4]
+
+
+@pytest.fixture()
+def media_dir(tmp_path):
+    d = tmp_path / "media"
+    d.mkdir()
+    for i in range(3):
+        (d / f"img_{i}.bin").write_bytes(bytes([i]) * (100 + i * 50))
+    return str(d)
+
+
+def test_read_binary_dir_and_decode(spark, media_dir):
+    df = read_binary_dir(spark, media_dir)
+    rows = df.collect()
+    assert len(rows) == 3
+    assert {r.content_length for r in rows} == {100, 150, 200}
+    feats = decode_features(df, bins=8, fake=True).collect()
+    assert len(feats) == 3
+    for r in feats:
+        v = np.array(r.features)
+        assert v.shape == (8,)
+        assert v.sum() == pytest.approx(1.0)
+    # deterministic: same content -> same features
+    again = decode_features(df, bins=8, fake=True).collect()
+    assert {r.media_id: tuple(r.features) for r in again} == {
+        r.media_id: tuple(r.features) for r in feats
+    }
+
+
+def test_decode_without_decoder_raises(spark, media_dir):
+    df = read_binary_dir(spark, media_dir)
+    with pytest.raises(NotImplementedError):
+        decode_features(df, bins=8)
+
+
+def test_frame_sample(spark, media_dir):
+    df = read_binary_dir(spark, media_dir, modality="video")
+    frames = frame_sample(df, every_n=2, max_frames=4, frame_bytes=16).collect()
+    assert frames
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    for mid, lst in by_id.items():
+        idxs = sorted(r.frame_idx for r in lst)
+        assert idxs == list(range(len(idxs)))  # contiguous from 0
+        for r in lst:
+            assert 1 <= len(r.frame) <= 16
+
+
+def test_fake_decoder_stability():
+    a = fake_decode_image(b"hello", 16)
+    b = fake_decode_image(b"hello", 16)
+    c = fake_decode_image(b"world", 16)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
