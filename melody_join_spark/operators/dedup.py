@@ -97,16 +97,29 @@ def tokenize_char_ngrams(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def _token_rel(df: DataFrame, id_col: str, tokens: Column, max_df: int | None) -> DataFrame:
-    rel = df.select(F.col(id_col).alias("id"), F.explode(tokens).alias("tok"))
-    if max_df is not None:
-        # drop tokens appearing in more than max_df documents: kills the
-        # quadratic candidate blowup of ultra-common tokens.  NOTE: changes
-        # semantics (a sound approximation only when near-dup pairs share at
-        # least one rare token) — mirrored in the oracle SQL.
-        freq = rel.groupBy("tok").agg(F.count("*").alias("df_"))
-        rel = rel.join(F.broadcast(freq.where(F.col("df_") <= max_df)), "tok").drop("df_")
-    return rel
+def _verify_jaccard(cand: DataFrame, docs: DataFrame, threshold: float) -> DataFrame:
+    """Verify candidate (rid, sid) pairs against exact set Jaccard.
+
+    ``docs`` = (id, toks array, nt).  Two equi-joins on id pull the token
+    arrays onto each candidate row, then one JVM ``array_intersect`` per
+    pair — no token re-explosion, no per-token shuffle (the naive
+    explode-join verification shuffles |cand| * |tokens/doc| rows; this
+    shuffles |cand| rows of two arrays).  Integer counts keep the jaccard
+    value bit-stable across engines."""
+    a = docs.select(
+        F.col("id").alias("rid"), F.col("toks").alias("ta"), F.col("nt").alias("na")
+    )
+    b = docs.select(
+        F.col("id").alias("sid"), F.col("toks").alias("tb"), F.col("nt").alias("nb")
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        cand.join(a, "rid")
+        .join(b, "sid")
+        .select("rid", "sid", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def jaccard_pairs(
@@ -126,38 +139,63 @@ def jaccard_pairs(
     therefore come from an equi-join on *prefix* tokens only — the rarest
     per document — which removes the quadratic blowup on ultra-common
     tokens that a naive inverted-index join suffers (a df=10^6 token alone
-    would emit 10^12 candidate rows).  Verification counts full-set overlap
-    candidate-first.  Integer counts keep the jaccard value bit-stable
-    across engines."""
+    would emit 10^12 candidate rows).  Verification joins the full token
+    arrays back onto the surviving candidates (``_verify_jaccard``).
+
+    ``max_df`` drops tokens appearing in more than max_df documents from the
+    token sets entirely: kills residual blowup from mid-frequency tokens.
+    NOTE: changes semantics (sound only when near-dup pairs share a rare
+    token) — mirrored in the oracle SQL."""
+    from pyspark.sql.window import Window
+
     tokens = (
         tokenize_char_ngrams(F.col(text_col), ngram)
         if ngram
         else tokenize_words(F.col(text_col))
     )
-    rel = _token_rel(df, id_col, tokens, max_df)
-    sizes = rel.groupBy("id").agg(F.count("*").alias("nt"))
-
+    rel = df.select(F.col(id_col).alias("id"), F.explode(tokens).alias("tok"))
     freq = rel.groupBy("tok").agg(F.count("*").alias("df_"))
-    from pyspark.sql.window import Window
-
-    ordered = rel.join(freq, "tok").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("id").orderBy(F.col("df_").asc(), F.col("tok").asc())
-        ),
+    if max_df is not None:
+        freq = freq.where(F.col("df_") <= max_df)
+    # dense integer token ids in global (df asc, tok asc) order: the groupBy
+    # below then sorts ints (not strings), the prefix join keys on an int,
+    # and verification intersects int arrays — each several-fold cheaper
+    # than their string equivalents.  The vocab window is a single-partition
+    # sort of |vocab| rows; at extreme vocab sizes swap tid for
+    # (df_, xxhash64(tok)) encoded into one long.
+    vocab = freq.withColumn(
+        "tid",
+        F.row_number().over(Window.orderBy(F.col("df_").asc(), F.col("tok").asc())),
+    ).select("tok", "tid")
+    docs = (
+        rel.join(vocab, "tok")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("tid")).alias("toks"))
+        .withColumn("nt", F.size("toks"))
     )
     # -1e-9 guards float fuzz in t*nt: undershooting ceil only lengthens the
     # prefix (more candidates, still exact); overshooting would drop pairs
     prefix_len = (
         F.col("nt") - F.ceil(F.lit(float(threshold)) * F.col("nt") - F.lit(1e-9)) + 1
     )
-    prefix = (
-        ordered.join(sizes, "id")
-        .where(F.col("rn") <= prefix_len)
-        .select("id", "tok", "nt")
+    # docs feeds the prefix explode AND both verify sides: persist, or the
+    # tokenize+freq+vocab+groupBy chain runs three times
+    docs = docs.withColumn("prefix", F.slice("toks", F.lit(1), prefix_len)).persist()
+    pr = docs.select("id", "nt", F.posexplode("prefix").alias("p", "tok"))
+    a = pr.select(
+        F.col("id").alias("rid"), "tok", F.col("nt").alias("na"), F.col("p").alias("pa")
     )
-    a = prefix.select(F.col("id").alias("rid"), "tok", F.col("nt").alias("na"))
-    b = prefix.select(F.col("id").alias("sid"), "tok", F.col("nt").alias("nb"))
+    b = pr.select(
+        F.col("id").alias("sid"), "tok", F.col("nt").alias("nb"), F.col("p").alias("pb")
+    )
+    # PPJoin positional filter: overlap needed alpha = ceil(t/(1+t)*(na+nb));
+    # a match at 0-based prefix positions (pa, pb) caps the achievable
+    # overlap at 1 + min(remaining suffix lengths)
+    alpha = F.ceil(
+        F.lit(float(threshold) / (1.0 + float(threshold)))
+        * (F.col("na") + F.col("nb"))
+        - F.lit(1e-9)
+    )
     cand = (
         a.join(b, "tok")
         .where(F.col("rid") < F.col("sid"))
@@ -166,26 +204,15 @@ def jaccard_pairs(
             F.least("na", "nb")
             >= F.lit(float(threshold)) * F.greatest("na", "nb") - F.lit(1e-9)
         )
+        .where(
+            F.lit(1)
+            + F.least(F.col("na") - F.col("pa") - 1, F.col("nb") - F.col("pb") - 1)
+            >= alpha
+        )
         .select("rid", "sid")
         .distinct()
     )
-    ra = rel.select(F.col("id").alias("rid"), "tok")
-    rb = rel.select(F.col("id").alias("sid"), "tok")
-    inter = (
-        cand.join(ra, "rid")
-        .join(rb, ["sid", "tok"])
-        .groupBy("rid", "sid")
-        .agg(F.count("*").alias("inter"))
-    )
-    na = sizes.select(F.col("id").alias("rid"), F.col("nt").alias("na"))
-    nb = sizes.select(F.col("id").alias("sid"), F.col("nt").alias("nb"))
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
-        inter.join(na, "rid")
-        .join(nb, "sid")
-        .select("rid", "sid", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _verify_jaccard(cand, docs, threshold)
 
 
 def jaccard_pairs_oracle_sql(
@@ -313,6 +340,9 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "key"),
     )
+    # both join sides derive from the signature pandas-UDF chain: persist,
+    # or every signature is computed twice
+    band_keys = band_keys.persist()
     a = band_keys.select(F.col("id").alias("rid"), "band", "key")
     b = band_keys.select(F.col("id").alias("sid"), "band", "key")
     cand = (
@@ -323,26 +353,10 @@ def minhash_lsh_pairs(
     )
     # verify candidates with exact character-shingle jaccard
     grams = tokenize_char_ngrams(F.col(text_col), shingle)
-    rel = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("tok"))
-    sizes = rel.groupBy("id").agg(F.count("*").alias("nt"))
-    ra = rel.select(F.col("id").alias("rid"), "tok")
-    rb = rel.select(F.col("id").alias("sid"), "tok")
-    # candidate-first join order: expand tokens only for candidate pairs,
-    # never materialize the full token self-join
-    inter = (
-        cand.join(ra, "rid")
-        .join(rb, ["sid", "tok"])
-        .groupBy("rid", "sid")
-        .agg(F.count("*").alias("inter"))
-    )
-    na = sizes.select(F.col("id").alias("rid"), F.col("nt").alias("na"))
-    nb = sizes.select(F.col("id").alias("sid"), F.col("nt").alias("nb"))
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
-        inter.join(na, "rid").join(nb, "sid")
-        .select("rid", "sid", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    docs = df.select(F.col(id_col).alias("id"), grams.alias("toks")).withColumn(
+        "nt", F.size("toks")
+    ).persist()
+    return _verify_jaccard(cand, docs, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -398,7 +412,7 @@ def simhash_pairs(
         "id",
         "simhash",
         F.posexplode(F.array(*chunk_exprs)).alias("chunk", "key"),
-    )
+    ).persist()  # both join sides derive from the simhash pandas-UDF chain
     a = keys.select(F.col("id").alias("rid"), F.col("simhash").alias("ha"), "chunk", "key")
     b = keys.select(F.col("id").alias("sid"), F.col("simhash").alias("hb"), "chunk", "key")
     cand = (

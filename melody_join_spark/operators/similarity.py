@@ -190,9 +190,12 @@ def lsh_cosine_pairs(
             F.zip_with("v", coeffs, lambda x, c: x * c), F.lit(0.0), lambda a, x: a + x
         )
         bit_exprs.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+    e = e.persist()  # feeds the sketch plus both verify sides
     sk = e.withColumn("bits", F.array(*bit_exprs))
+    # band join and dedup move only (id, key) — the 128-double vectors join
+    # back AFTER dedup, so the widest shuffle carries ids, not arrays
     band_keys = sk.select(
-        "id", "v", "nrm",
+        "id",
         F.posexplode(
             F.array(*[
                 F.md5(F.concat_ws(",", F.slice("bits", b * rows + 1, rows)))
@@ -200,20 +203,20 @@ def lsh_cosine_pairs(
             ])
         ).alias("band", "key"),
     )
-    a = band_keys.select(
-        F.col("id").alias("rid"), F.col("v").alias("va"), F.col("nrm").alias("na"),
-        "band", "key",
-    )
-    b = band_keys.select(
-        F.col("id").alias("sid"), F.col("v").alias("vb"), F.col("nrm").alias("nb"),
-        "band", "key",
-    )
+    band_keys = band_keys.persist()  # sketch expressions run once, not twice
+    a = band_keys.select(F.col("id").alias("rid"), "band", "key")
+    b = band_keys.select(F.col("id").alias("sid"), "band", "key")
     cand = (
         a.join(b, ["band", "key"])
         .where(F.col("rid") < F.col("sid"))
-        .select("rid", "sid", "va", "vb", "na", "nb")
-        .dropDuplicates(["rid", "sid"])
+        .select("rid", "sid")
+        .distinct()
     )
-    return cand.select("rid", "sid", cosine_expr().alias("cosine")).where(
-        F.col("cosine") >= threshold
+    va = e.select(F.col("id").alias("rid"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = e.select(F.col("id").alias("sid"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        cand.join(va, "rid")
+        .join(vb, "sid")
+        .select("rid", "sid", cosine_expr().alias("cosine"))
+        .where(F.col("cosine") >= threshold)
     )
