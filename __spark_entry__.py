@@ -21,6 +21,7 @@ from melody_join_spark.operators.dedup import (
     simhash_pairs,
 )
 from melody_join_spark.operators.emd_join import emd_threshold_join, emd_topk_join
+from melody_join_spark.operators.emd_join_nd import emd_join_nd, emd_topk_nd
 from melody_join_spark.operators.similarity import (
     cosine_pairs,
     cosine_pairs_oracle_sql,
@@ -29,7 +30,10 @@ from melody_join_spark.operators.similarity import (
 )
 from melody_join_spark.operators.text import text_features, text_features_oracle_sql
 from melody_join_spark.plans.tpch_bridge import (
+    bin_points_2d,
+    bin_points_line,
     lineitem_histograms,
+    lineitem_histograms_2d,
     oracle_pair_emd_sql,
 )
 
@@ -60,6 +64,38 @@ def _q_emd_threshold_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_emd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = lineitem_histograms(spark, sf_dir)
     res = emd_topk_join(hist, TOPK, strategy="prune")
+    return res.select(F.col("rank").cast("long").alias("rank"), "rid", "sid", "emd")
+
+
+ND_THETA_2D = 0.25   # bucket-lattice units for the d=2 histograms
+ND_THETA_LINE = 0.5  # realistic similarity-join selectivity for the ND gate
+ND_TOPK = 20
+
+
+def _q_emd_nd_line(spark, sf_dir):
+    """The full ND machinery (quantile grid + cascade + transportation-simplex
+    LP) on collinear bins, where exact EMD has a SQL-expressible closed form:
+    the one hash-checked correctness gate for the LP path.  Values rounded to
+    6 dp on both sides to absorb solver ulp noise."""
+    hist = lineitem_histograms(spark, sf_dir)
+    res = emd_join_nd(hist, bin_points_line(), ND_THETA_LINE, strategy="grid", grid=32)
+    return (
+        res.withColumn("emd", F.round("emd", 6))
+        .where(F.col("emd") <= ND_THETA_LINE)
+        .orderBy("rid", "sid")
+    )
+
+
+def _q_emd_nd_2d(spark, sf_dir):
+    hist = lineitem_histograms_2d(spark, sf_dir)
+    return emd_join_nd(
+        hist, bin_points_2d(), ND_THETA_2D, strategy="grid", grid=12
+    ).orderBy("rid", "sid")
+
+
+def _q_emd_nd_topk_2d(spark, sf_dir):
+    hist = lineitem_histograms_2d(spark, sf_dir)
+    res = emd_topk_nd(hist, bin_points_2d(), ND_TOPK, strategy="grid", grid=12)
     return res.select(F.col("rank").cast("long").alias("rank"), "rid", "sid", "emd")
 
 
@@ -122,6 +158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_threshold_bruteforce": _q_emd_threshold_bf,
         "emd_threshold_cells": _q_emd_threshold_cells,
         "emd_topk": _q_emd_topk,
+        "emd_nd_threshold_line": _q_emd_nd_line,
+        "emd_nd_threshold_2d": _q_emd_nd_2d,
+        "emd_nd_topk_2d": _q_emd_nd_topk_2d,
         "text_features": _q_text_features,
         "dedup_exact": _q_exact_dedup,
         "dedup_jaccard_ngram": _q_jaccard,
@@ -138,6 +177,11 @@ def oracle_sql() -> dict[str, str]:
     threshold_sql = (
         pair_cte
         + f" SELECT rid, sid, emd FROM emd WHERE emd <= {THETA} ORDER BY rid, sid"
+    )
+    nd_line_sql = (
+        pair_cte
+        + f""" SELECT rid, sid, round(emd, 6) AS emd FROM emd
+WHERE round(emd, 6) <= {ND_THETA_LINE} ORDER BY rid, sid"""
     )
     topk_sql = (
         pair_cte
@@ -176,6 +220,11 @@ SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 10"""
         "emd_threshold_bruteforce": threshold_sql,
         "emd_threshold_cells": threshold_sql,
         "emd_topk": topk_sql,
+        "emd_nd_threshold_line": nd_line_sql,
+        # emd_nd_threshold_2d / emd_nd_topk_2d: exact d=2 EMD is a min-cost
+        # LP per pair — not SQL-expressible; rows-only driver check.  Their
+        # correctness net is tests/test_emd_join_nd.py (grid == bruteforce ==
+        # kernel oracle) and the hash-checked collinear twin above.
         "text_features": text_features_oracle_sql(),
         "dedup_exact": exact_dedup_groups_oracle_sql(),
         "dedup_jaccard_ngram": jaccard_pairs_oracle_sql(

@@ -26,7 +26,7 @@ from .bounds import (
     reduction_bound,
     rubner_bound,
 )
-from .emd import emd_exact
+from .emd import emd_1d_pairs, emd_exact
 
 __all__ = ["EmdCascade", "CascadeStats"]
 
@@ -75,6 +75,16 @@ class EmdCascade:
             self.cents = self.weights @ self.bin_points
         self.dual_keys = [d.keys(self.weights) for d in self.duals]
         self.reduced_weights = [r.reduce_weights(self.weights) for r in self.reductions]
+        # d=1 closed-form fast path (DistanceUtil.get1dEmd with real bins,
+        # utils/DistanceUtil.java:57-79): exact EMD on a line is the area
+        # between step CDFs — vectorized, no LP
+        self._line = None
+        bp = np.atleast_2d(self.bin_points)
+        if bp.shape[1] == 1:
+            pos = bp[:, 0]
+            order = np.argsort(pos, kind="stable")
+            cdf = np.cumsum(self.weights[:, order], axis=1)
+            self._line = (pos[order], cdf)
 
     def exact(self, li: int, ri: int) -> float:
         return emd_exact(self.weights[li], self.weights[ri], self.cost)
@@ -96,20 +106,24 @@ class EmdCascade:
         st.candidates += li.size
         thr = threshold + slack
 
-        # 1. projection bounds (cheapest: cumsum dot)
+        # 1. Rubner centroid bound first: with precomputed centroids it is
+        # O(d) per pair vs the projection bound's O(B) — cheapest screen.
+        # (The reference's EmdFilter runs projections first because it has no
+        # precomputed centroid column; the cascade ORDER cheap->expensive is
+        # the invariant being preserved, EmdFilter.java:49-82.)
+        if li.size:
+            lb = rubner_bound(self.cents[li], self.cents[ri])
+            keep = lb <= thr
+            st.pruned_rubner += int((~keep).sum())
+            li, ri = li[keep], ri[keep]
+
+        # 2. projection bounds (cumsum dot, O(B) per pair)
         for pos in self.proj_positions:
             if li.size == 0:
                 break
             lb = projection_bound_pairs(self.weights, pos, li, ri)
             keep = lb <= thr
             st.pruned_projection += int((~keep).sum())
-            li, ri = li[keep], ri[keep]
-
-        # 2. Rubner centroid bound
-        if li.size:
-            lb = rubner_bound(self.cents[li], self.cents[ri])
-            keep = lb <= thr
-            st.pruned_rubner += int((~keep).sum())
             li, ri = li[keep], ri[keep]
 
         # 3. dual-feasibility bounds (dot products on precomputed keys)
@@ -132,10 +146,20 @@ class EmdCascade:
             st.pruned_reduction += int((~keep).sum())
             li, ri = li[keep], ri[keep]
 
-        # 5. exact EMD on survivors
-        emds = np.empty(li.size)
-        for k in range(li.size):
-            emds[k] = self.exact(int(li[k]), int(ri[k]))
+        # 5. exact EMD on survivors (vectorized closed form on a line, LP
+        # otherwise)
+        if self._line is not None:
+            pos, cdf = self._line
+            emds = emd_1d_pairs(cdf, li, ri, positions=pos)
+        else:
+            # identical rows (dup-heavy data: LLM-dedup regime) short-circuit
+            # to 0 — an LP per equal pair is pure waste
+            emds = np.zeros(li.size)
+            neq = np.flatnonzero(
+                ~np.all(self.weights[li] == self.weights[ri], axis=1)
+            )
+            for k in neq:
+                emds[k] = self.exact(int(li[k]), int(ri[k]))
         st.exact_evaluated += li.size
         keep = emds <= thr
         return li[keep], ri[keep], emds[keep]

@@ -33,12 +33,17 @@ MAX_ITER = 5000  # parity with DistanceUtil maxIter (line 29)
 
 
 def normalize(w: np.ndarray) -> np.ndarray:
-    """L1-normalize non-negative weights to sum 1.
+    """L1-normalize non-negative weights to sum 1; 2-D inputs normalize
+    row-wise (each record independently).
 
     Parity: HistUtil.normalizeArray (utils/HistUtil.java:519-530) including the
-    zero-sum guard (returns the input unchanged when the sum is 0).
+    zero-sum guard (a zero-sum record is returned unchanged).
     """
     w = np.asarray(w, dtype=np.float64)
+    if w.ndim == 2:
+        s = w.sum(axis=1, keepdims=True)
+        safe = np.where(s == 0.0, 1.0, s)
+        return w / safe
     s = w.sum()
     if s == 0.0:
         return w

@@ -21,7 +21,22 @@ PRICE_LO = 900.0
 PRICE_HI = 105000.0
 NUM_BINS = 16
 
-__all__ = ["load_tables", "lineitem_histograms", "PRICE_LO", "PRICE_HI", "NUM_BINS"]
+# 2-D histogram grid: extendedprice x quantity buckets; bin locations are the
+# bucket-index lattice points (d=2 EMD inputs for the ND join)
+QTY_LO = 1.0
+QTY_HI = 51.0
+GRID_2D = 4
+
+__all__ = [
+    "load_tables",
+    "lineitem_histograms",
+    "lineitem_histograms_2d",
+    "bin_points_2d",
+    "bin_points_line",
+    "PRICE_LO",
+    "PRICE_HI",
+    "NUM_BINS",
+]
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
@@ -67,6 +82,52 @@ def lineitem_histograms(
         bucketize(F.col("l_extendedprice"), PRICE_LO, PRICE_HI, num_bins),
         "l_quantity",
         num_bins,
+    )
+
+
+def bin_points_line(num_bins: int = NUM_BINS):
+    """(B, 1) collinear bin locations 0..B-1 — the 1-D embedding on which the
+    exact LP must agree with the closed-form cumsum EMD (the SQL oracle)."""
+    import numpy as np
+
+    return np.arange(num_bins, dtype=np.float64).reshape(-1, 1)
+
+
+def bin_points_2d(grid: int = GRID_2D):
+    """(grid*grid, 2) lattice bin locations for the 2-D histograms; row-major
+    (price_bucket, qty_bucket) matching :func:`lineitem_histograms_2d`."""
+    import numpy as np
+
+    return np.array(
+        [[p, q] for p in range(grid) for q in range(grid)], dtype=np.float64
+    )
+
+
+def lineitem_histograms_2d(
+    spark: SparkSession,
+    sf_dir: str,
+    nationkey: int | None = 1,
+    grid: int = GRID_2D,
+) -> DataFrame:
+    """Per-orderkey COUNT histograms over the (extendedprice, quantity) 2-D
+    bucket lattice — d=2 inputs for ``emd_join_nd``.  Bin k = p*grid + q."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer")
+    if nationkey is not None:
+        cust = t["customer"].where(F.col("c_nationkey") == nationkey).select("c_custkey")
+        okeys = (
+            t["orders"]
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey")
+        )
+        src = t["lineitem"].join(
+            F.broadcast(okeys), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+    else:
+        src = t["lineitem"]
+    pb = bucketize(F.col("l_extendedprice"), PRICE_LO, PRICE_HI, grid)
+    qb = bucketize(F.col("l_quantity"), QTY_LO, QTY_HI, grid)
+    return build_histograms(
+        src, "l_orderkey", pb * grid + qb, F.lit(1.0), grid * grid
     )
 
 

@@ -1,0 +1,135 @@
+"""ND EMD join: grid strategy == triangle bruteforce == kernel oracle.
+
+The invariant chain: the triangle block join is J7/BSP-baseline semantics
+(every pair, cascade + exact EMD); the grid strategy must produce the
+identical result set; and on collinear bins the exact LP must equal the 1-D
+closed form (DistanceUtil.get1dEmd, utils/DistanceUtil.java:40-79).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from melody_join_spark.kernel import emd_1d, emd_exact, normalize
+from melody_join_spark.operators.emd_join_nd import (
+    build_config,
+    emd_join_nd,
+    emd_topk_nd,
+)
+
+B = 9
+D = 2
+N = 60
+THETA = 0.35
+
+
+@pytest.fixture(scope="module")
+def bins_2d():
+    # 3x3 grid of bin locations in 2-D
+    g = np.array([[i, j] for i in range(3) for j in range(3)], dtype=np.float64)
+    return g
+
+
+@pytest.fixture(scope="module")
+def hist_df(spark, bins_2d):
+    rng = np.random.default_rng(7)
+    # clustered weights so some pairs are near and most are far
+    base = rng.random((6, B))
+    rows = []
+    for i in range(N):
+        w = base[i % 6] + 0.15 * rng.random(B)
+        rows.append((i + 1, [float(x) for x in w]))
+    return spark.createDataFrame(rows, "id long, w array<double>")
+
+
+def _collect_pairs(df):
+    return {
+        (r.rid, r.sid): r.emd for r in df.collect()
+    }
+
+
+def _kernel_oracle(hist_rows, bins_2d, theta):
+    ids = np.array([r[0] for r in hist_rows])
+    W = normalize(np.array([r[1] for r in hist_rows], dtype=np.float64))
+    from melody_join_spark.kernel import ground_distance_matrix
+
+    cost = ground_distance_matrix(bins_2d, dimension=bins_2d.shape[1])
+    out = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            e = emd_exact(W[i], W[j], cost)
+            if e <= theta + 1e-4:
+                a, b = int(ids[i]), int(ids[j])
+                out[(min(a, b), max(a, b))] = e
+    return out
+
+
+def test_bruteforce_matches_kernel_oracle(spark, hist_df, bins_2d):
+    rows = [(r.id, r.w) for r in hist_df.collect()]
+    expect = _kernel_oracle(rows, bins_2d, THETA)
+    got = _collect_pairs(
+        emd_join_nd(hist_df, bins_2d, THETA, strategy="bruteforce", num_blocks=4)
+    )
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k], abs=1e-9)
+
+
+def test_grid_matches_bruteforce(spark, hist_df, bins_2d):
+    bf = _collect_pairs(
+        emd_join_nd(hist_df, bins_2d, THETA, strategy="bruteforce", num_blocks=4)
+    )
+    for grid in (2, 4):
+        gr = _collect_pairs(
+            emd_join_nd(hist_df, bins_2d, THETA, strategy="grid", grid=grid)
+        )
+        assert set(gr) == set(bf), f"grid={grid}"
+        for k in bf:
+            assert gr[k] == pytest.approx(bf[k], abs=1e-9)
+
+
+def test_topk_matches_bruteforce_ranking(spark, hist_df, bins_2d):
+    k = 12
+    top = emd_topk_nd(hist_df, bins_2d, k, strategy="grid", grid=3).collect()
+    assert len(top) == k
+    assert [r.rank for r in top] == list(range(1, k + 1))
+    # oracle: all pairs sorted
+    rows = [(r.id, r.w) for r in hist_df.collect()]
+    allp = _kernel_oracle(rows, bins_2d, float("inf"))
+    expect = sorted(allp.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+    got = [((r.rid, r.sid), r.emd) for r in top]
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    np.testing.assert_allclose([g[1] for g in got], [e[1] for e in expect], atol=1e-9)
+
+
+def test_collinear_bins_equal_1d_closed_form(spark):
+    """LP solver on a line == cumsum closed form (and the whole grid plan
+    preserves it)."""
+    rng = np.random.default_rng(11)
+    n, b = 40, 8
+    line = np.array([[float(i)] for i in range(b)])
+    rows = [(i + 1, [float(x) for x in rng.random(b)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, w array<double>")
+    theta = 1.0
+    got = _collect_pairs(emd_join_nd(df, line, theta, strategy="grid", grid=4))
+    W = normalize(np.array([r[1] for r in rows]))
+    ids = [r[0] for r in rows]
+    expect = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            e = emd_1d(W[i], W[j])
+            if e <= theta + 1e-4:
+                expect[(ids[i], ids[j])] = e
+    assert set(got) == set(expect)
+    for kpair, v in expect.items():
+        assert got[kpair] == pytest.approx(v, abs=1e-8)
+
+
+def test_duplicate_free_output(spark, hist_df, bins_2d):
+    df = emd_join_nd(hist_df, bins_2d, THETA, strategy="grid", grid=4)
+    n = df.count()
+    nd = df.select("rid", "sid").distinct().count()
+    assert n == nd
+    assert df.where(F.col("rid") >= F.col("sid")).count() == 0
