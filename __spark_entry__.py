@@ -28,6 +28,15 @@ from melody_join_spark.operators.similarity import (
     cosine_topk,
     lsh_cosine_pairs,
 )
+from melody_join_spark.operators.events import (
+    event_window_agg,
+    event_window_agg_oracle_sql,
+    load_events,
+    oracle_user_hist_cte,
+    sessionize,
+    sessionize_oracle_sql,
+    user_value_histograms,
+)
 from melody_join_spark.operators.text import text_features, text_features_oracle_sql
 from melody_join_spark.plans.tpch_bridge import (
     bin_points_2d,
@@ -99,6 +108,40 @@ def _q_emd_nd_topk_2d(spark, sf_dir):
     return res.select(F.col("rank").cast("long").alias("rank"), "rid", "sid", "emd")
 
 
+USER_THETA = 1.0  # behavior-histogram EMD threshold (value-bucket units)
+
+
+def _q_events_window(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    return event_window_agg(ev).select(
+        F.unix_micros("window_start").alias("wstart_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        "n_users",
+    )
+
+
+def _q_events_sessionize(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    return sessionize(ev).select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_events",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+    )
+
+
+def _q_emd_user_behavior(spark, sf_dir):
+    """Users with similar behavior distributions: the EMD threshold join on
+    per-user value histograms (reference's similarity-join core applied to
+    event data)."""
+    ev = load_events(spark, sf_dir)
+    hist = user_value_histograms(ev)
+    return emd_threshold_join(hist, USER_THETA, strategy="cells").orderBy("rid", "sid")
+
+
 JACCARD_THETA = 0.8
 JACCARD_NGRAM = 5
 COSINE_THETA = 0.25
@@ -161,6 +204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_nd_threshold_line": _q_emd_nd_line,
         "emd_nd_threshold_2d": _q_emd_nd_2d,
         "emd_nd_topk_2d": _q_emd_nd_topk_2d,
+        "events_window_hourly": _q_events_window,
+        "events_sessionize": _q_events_sessionize,
+        "emd_user_behavior": _q_emd_user_behavior,
         "text_features": _q_text_features,
         "dedup_exact": _q_exact_dedup,
         "dedup_jaccard_ngram": _q_jaccard,
@@ -183,6 +229,42 @@ def oracle_sql() -> dict[str, str]:
         + f""" SELECT rid, sid, round(emd, 6) AS emd FROM emd
 WHERE round(emd, 6) <= {ND_THETA_LINE} ORDER BY rid, sid"""
     )
+    events_window_sql = """
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP)) AS wstart_us,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2"""
+    sessionize_sql = f"""
+WITH gaps AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+         CASE WHEN epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts::TIMESTAMP) OVER w)
+                   > {30 * 60 * 1_000_000}
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tagged AS (
+  SELECT user_id, event_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+FROM tagged GROUP BY 1, 2"""
+    user_behavior_sql = f"""WITH {oracle_user_hist_cte()},
+pairs AS (
+  SELECT a.id AS rid, b.id AS sid,
+         abs(a.c * b.total - b.c * a.total) AS d,
+         a.total * b.total AS tt
+  FROM cum a JOIN cum b ON a.bucket = b.bucket AND a.id < b.id
+),
+emd AS (SELECT rid, sid, sum(d) / any_value(tt) AS emd FROM pairs GROUP BY 1, 2)
+SELECT rid, sid, emd FROM emd WHERE emd <= {USER_THETA} ORDER BY rid, sid"""
     topk_sql = (
         pair_cte
         + f""",
@@ -225,6 +307,9 @@ SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 10"""
         # LP per pair — not SQL-expressible; rows-only driver check.  Their
         # correctness net is tests/test_emd_join_nd.py (grid == bruteforce ==
         # kernel oracle) and the hash-checked collinear twin above.
+        "events_window_hourly": events_window_sql,
+        "events_sessionize": sessionize_sql,
+        "emd_user_behavior": user_behavior_sql,
         "text_features": text_features_oracle_sql(),
         "dedup_exact": exact_dedup_groups_oracle_sql(),
         "dedup_jaccard_ngram": jaccard_pairs_oracle_sql(

@@ -160,9 +160,13 @@ def _cascade_for(weights: np.ndarray, cfg: NdJoinConfig) -> EmdCascade:
     )
 
 
-def _emit_pairs(ids, li, ri, emds) -> pd.DataFrame:
+def _emit_pairs(ids, li, ri, emds, ordered: bool = False) -> pd.DataFrame:
+    """ordered=False: unordered self-join pairs normalized to rid < sid.
+    ordered=True: two-table pairs — rid is the left (R) id, sid the right."""
     rid = ids[li]
     sid = ids[ri]
+    if ordered:
+        return pd.DataFrame({"rid": rid, "sid": sid, "emd": emds})
     lo = np.minimum(rid, sid)
     hi = np.maximum(rid, sid)
     return pd.DataFrame({"rid": lo, "sid": hi, "emd": emds})
@@ -212,14 +216,20 @@ def emd_join_nd(
     id_col: str = "id",
     w_col: str = "w",
     seed: int = 42,
+    other: DataFrame | None = None,
 ) -> DataFrame:
-    """All unordered pairs with EMD <= threshold (+cfg.slack) over d-dim
-    histograms -> DataFrame(rid, sid, emd).
+    """EMD threshold join -> DataFrame(rid, sid, emd).
 
-    ``hist``: (id long, w array<double>) — weights need not be normalized
-    (normalized per-record in the kernel, HistUtil.normalizeArray parity).
-    ``strategy``: 'grid' (quantile-cell pruned plan) or 'bruteforce'
-    (triangle block join — the J7/BSP-baseline correctness oracle).
+    Self-join (``other=None``): all unordered pairs with EMD <= threshold
+    (+cfg.slack); rid < sid.  Two-table (``other`` given): all (r in hist,
+    s in other) pairs — the R x S generalization the reference lacks
+    (its joins are self-joins only, SURVEY.md §2.3); rid is hist's id, sid
+    is other's.
+
+    ``hist``/``other``: (id long, w array<double>) — weights need not be
+    normalized (normalized per-record in the kernel, HistUtil.normalizeArray
+    parity).  ``strategy``: 'grid' (quantile-cell pruned plan) or
+    'bruteforce' (block join — the J7/BSP-baseline correctness oracle).
     """
     bin_points = np.atleast_2d(np.asarray(bin_points, dtype=np.float64))
     if bin_points.shape[0] == 1 and bin_points.shape[1] > 1:
@@ -229,11 +239,24 @@ def emd_join_nd(
         sw = np.array([r[0] for r in seed_rows], dtype=np.float64)
         cfg = build_config(bin_points, seed_weights=sw, seed=seed)
     theta = float(threshold)
+    two_table = other is not None
 
-    rec = hist.select(F.col(id_col).cast("long").alias("id"), F.col(w_col).alias("w"))
+    rec = hist.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(w_col).alias("w"),
+        F.lit(0).alias("side"),
+    )
+    if two_table:
+        rec = rec.unionByName(
+            other.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(w_col).alias("w"),
+                F.lit(1).alias("side"),
+            )
+        )
 
     if strategy == "bruteforce":
-        return _triangle_join(rec, cfg, theta, num_blocks)
+        return _block_bruteforce(rec, cfg, theta, num_blocks, two_table)
     if strategy != "grid":
         raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -294,9 +317,11 @@ def emd_join_nd(
     cent_struct = F.struct(*[F.col(f"cent_{k}") for k in range(d)])
     rec = rec.withColumn("guests", guest_cells(cent_struct, F.col("cell")))
 
-    natives = rec.select("id", "w", "cell", F.lit(True).alias("native"))
+    natives = rec.select("id", "w", "side", "cell", F.lit(True).alias("native"))
     guests = rec.select(
-        "id", "w", F.explode("guests").alias("cell"), F.lit(False).alias("native")
+        "id", "w", "side",
+        F.explode("guests").alias("cell"),
+        F.lit(False).alias("native"),
     )
     allrows = natives.unionByName(guests)
 
@@ -307,71 +332,102 @@ def emd_join_nd(
         ids = pdf["id"].to_numpy()
         W = normalize(np.stack(pdf["w"].to_numpy()).astype(np.float64))
         nat = pdf["native"].to_numpy()
+        side = pdf["side"].to_numpy()
         casc = _cascade_for(W, cfg)
-        nidx = np.flatnonzero(nat)
-        if nidx.size == 0:
+        if two_table:
+            # anchors: R rows; partners: S rows.  A pair is computed in the
+            # lower of the two native cells, i.e. exactly when at least one
+            # end is native here (never guest x guest).
+            anchors = np.flatnonzero(side == 0)
+            partner_pool = np.flatnonzero(side == 1)
+        else:
+            anchors = np.flatnonzero(nat)
+            partner_pool = np.arange(ids.size)
+        if anchors.size == 0 or partner_pool.size == 0:
             return empty
         # candidate generation via a sorted window on centroid dim 0: a
         # qualifying partner must lie within reach on EVERY centroid dim
         # (Rubner), so pairs outside the dim-0 window are never materialized
         c0 = casc.cents[:, 0]
-        order = np.argsort(c0, kind="stable")
-        cs = c0[order]
-        lo = np.searchsorted(cs, c0[nidx] - reach, side="left")
-        hi = np.searchsorted(cs, c0[nidx] + reach, side="right")
+        pool_sorted = partner_pool[np.argsort(c0[partner_pool], kind="stable")]
+        cs = c0[pool_sorted]
+        lo = np.searchsorted(cs, c0[anchors] - reach, side="left")
+        hi = np.searchsorted(cs, c0[anchors] + reach, side="right")
         counts = hi - lo
         if counts.sum() == 0:
             return empty
-        li = np.repeat(nidx, counts)
-        ri = order[
+        li = np.repeat(anchors, counts)
+        ri = pool_sorted[
             np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
-            if counts.size
-            else np.empty(0, dtype=np.int64)
         ]
-        # dedup rules: native partners once by id order; guest partners all
-        # (guests never appear in their native cell, so no self/guest dups)
-        nat_r = nat[ri]
-        keep = np.where(nat_r, ids[ri] > ids[li], True)
+        if two_table:
+            # at least one native end (pair lives in the lower native cell)
+            keep = nat[li] | nat[ri]
+        else:
+            # native partners once by id order; guest partners all (guests
+            # never appear in their native cell, so no self/guest dups)
+            keep = np.where(nat[ri], ids[ri] > ids[li], True)
         li, ri = li[keep], ri[keep]
         if li.size == 0:
             return empty
         li, ri, emds = casc.run(li, ri, theta, slack=cfg.slack)
-        return _emit_pairs(ids, li, ri, emds)
+        return _emit_pairs(ids, li, ri, emds, ordered=two_table)
 
     return allrows.groupBy("cell").applyInPandas(join_cell, _PAIR_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
-# triangle block join (bruteforce oracle / fallback)
+# block bruteforce join (oracle / fallback)
 # ---------------------------------------------------------------------------
 
-def _triangle_join(
-    rec: DataFrame, cfg: NdJoinConfig, theta: float, num_blocks: int
+def _block_bruteforce(
+    rec: DataFrame,
+    cfg: NdJoinConfig,
+    theta: float,
+    num_blocks: int,
+    two_table: bool = False,
 ) -> DataFrame:
-    """All-pairs block join: records hash into ``num_blocks`` blocks; each
-    unordered block pair (i <= j) is one applyInPandas group (J7 semantics,
-    bsp/BaselineBSP.join:274-345, distributed as a triangle of
-    B(B+1)/2 tasks with B-fold replication — no cross join of rows)."""
+    """All-pairs block join (J7 semantics, bsp/BaselineBSP.join:274-345).
+
+    Self-join: records hash into ``num_blocks`` blocks; each unordered block
+    pair (i <= j) is one applyInPandas group — a triangle of B(B+1)/2 tasks
+    with B-fold replication, never a row-level cross join.  Two-table: the
+    full B x B block grid, R rows fan out over rows of the grid, S rows over
+    columns."""
     P = int(num_blocks)
     blk = F.pmod(F.xxhash64(F.col("id")), F.lit(P))
     rec = rec.withColumn("blk", blk)
-    # record in block b participates in groups (min(b,o), max(b,o)) ∀ o
-    groups = F.transform(
-        F.sequence(F.lit(0), F.lit(P - 1)),
-        lambda o: F.least(F.col("blk"), o) * P + F.greatest(F.col("blk"), o),
-    )
+    if two_table:
+        groups = F.when(
+            F.col("side") == 0,
+            F.transform(F.sequence(F.lit(0), F.lit(P - 1)), lambda o: F.col("blk") * P + o),
+        ).otherwise(
+            F.transform(F.sequence(F.lit(0), F.lit(P - 1)), lambda o: o * P + F.col("blk"))
+        )
+    else:
+        # record in block b participates in groups (min(b,o), max(b,o)) ∀ o
+        groups = F.transform(
+            F.sequence(F.lit(0), F.lit(P - 1)),
+            lambda o: F.least(F.col("blk"), o) * P + F.greatest(F.col("blk"), o),
+        )
     expanded = rec.select(
-        "id", "w", "blk", F.explode(F.array_distinct(groups)).alias("grp")
+        "id", "w", "side", "blk", F.explode(F.array_distinct(groups)).alias("grp")
     )
 
     def join_block(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy()
         W = normalize(np.stack(pdf["w"].to_numpy()).astype(np.float64))
         blks = pdf["blk"].to_numpy()
+        side = pdf["side"].to_numpy()
         grp = int(pdf["grp"].iloc[0])
         gi, gj = divmod(grp, P)
         casc = _cascade_for(W, cfg)
-        if gi == gj:
+        if two_table:
+            left = np.flatnonzero((side == 0) & (blks == gi))
+            right = np.flatnonzero((side == 1) & (blks == gj))
+            li = np.repeat(left, right.size)
+            ri = np.tile(right, left.size)
+        elif gi == gj:
             order = np.argsort(ids, kind="stable")
             a, b = np.triu_indices(order.size, k=1)
             li, ri = order[a], order[b]
@@ -381,7 +437,7 @@ def _triangle_join(
             li = np.repeat(left, right.size)
             ri = np.tile(right, left.size)
         li, ri, emds = casc.run(li, ri, theta, slack=cfg.slack)
-        return _emit_pairs(ids, li, ri, emds)
+        return _emit_pairs(ids, li, ri, emds, ordered=two_table)
 
     return expanded.groupBy("grp").applyInPandas(join_block, _PAIR_SCHEMA)
 
@@ -436,7 +492,9 @@ def emd_topk_nd(
     SW = normalize(np.array([r["w"] for r in sample], dtype=np.float64))
     n = SW.shape[0]
     if n * (n - 1) // 2 < k:
-        scored = _triangle_join(rec, cfg, float("inf"), num_blocks)
+        scored = _block_bruteforce(
+            rec.withColumn("side", F.lit(0)), cfg, float("inf"), num_blocks
+        )
     else:
         rng = np.random.default_rng(seed)
         max_pairs = min(n * (n - 1) // 2, max(10000, 8 * k))

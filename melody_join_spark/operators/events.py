@@ -1,0 +1,178 @@
+"""Event-stream operators: time windows, sessionization, behavior histograms.
+
+The reference engine has no temporal operators (SURVEY.md §2.5: "Set ops /
+grouping sets / streaming: none") — these extend the rebuilt engine to the
+event/clickstream side of a training-data pipeline.  Everything is pure
+Spark SQL (codegen; no UDFs), each with a DuckDB oracle twin so the driver
+hash-checks results.
+
+- ``event_window_agg``     tumbling-window counts/sums per event type
+- ``sessionize``           inactivity-gap sessions per user (lag + cumsum)
+- ``user_value_histograms``per-user histograms over bucketized event values;
+                           feeds the 1-D EMD join -> "users with similar
+                           behavior distributions" (the reference's
+                           similarity-join core applied to behavioral data)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .histograms import bucketize, build_histograms
+
+__all__ = [
+    "load_events",
+    "event_window_agg",
+    "event_window_agg_oracle_sql",
+    "sessionize",
+    "sessionize_oracle_sql",
+    "user_value_histograms",
+    "oracle_user_hist_cte",
+]
+
+VALUE_LO = 0.0
+VALUE_HI = 20.0
+VALUE_BINS = 16
+SESSION_GAP_MIN = 30
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table.  The driver parquet stores ts as
+    TIMESTAMP(NANOS), which vanilla Spark rejects
+    ([PARQUET_TYPE_ILLEGAL]); read nanos as long and truncate to
+    microseconds — the same truncation DuckDB applies, so oracle
+    comparisons agree."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))  # integer div:
+            # float division rounds up at 1e18-ns magnitudes
+        )
+    return raw
+
+
+def event_window_agg(events: DataFrame, hours: int = 1) -> DataFrame:
+    """Tumbling-window aggregate per event type: (window_start, event_type,
+    n_events, sum_value, n_users).  One shuffle; partial aggregation
+    map-side.  The same expression tree runs unchanged under Structured
+    Streaming with a watermark (see streaming/)."""
+    return (
+        events.groupBy(
+            F.window("ts", f"{hours} hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+def event_window_agg_oracle_sql(table: str = "events", hours: int = 1) -> str:
+    return f"""
+SELECT time_bucket(INTERVAL '{hours} hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM {table}
+GROUP BY 1, 2"""
+
+
+def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Inactivity-gap sessionization: a new session starts when a user's gap
+    since their previous event exceeds ``gap_minutes``.  Output one row per
+    session: (user_id, session_id, n_events, session_start, session_end).
+
+    Plan: one shuffle on user_id; lag + cumulative sum inside the per-user
+    window (both whole-stage codegen).  session_id is 1-based per user —
+    deterministic, engine-independent."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer microsecond arithmetic: bit-identical gap decisions across
+    # engines (second-truncated casts would flip boundary gaps)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    tagged = events.withColumn(
+        "session_id", F.sum(new_sess).over(w)
+    )
+    return tagged.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def sessionize_oracle_sql(
+    table: str = "events", gap_minutes: int = SESSION_GAP_MIN
+) -> str:
+    return f"""
+WITH gaps AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+         CASE WHEN epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts::TIMESTAMP) OVER w)
+                   > {gap_minutes * 60 * 1_000_000}
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM {table}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tagged AS (
+  SELECT user_id, event_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM tagged GROUP BY 1, 2"""
+
+
+def user_value_histograms(
+    events: DataFrame, num_bins: int = VALUE_BINS
+) -> DataFrame:
+    """Per-user COUNT histograms over bucketized event values — behavioral
+    distribution inputs for the EMD similarity join (id = user_id)."""
+    return build_histograms(
+        events,
+        "user_id",
+        bucketize(F.col("value"), VALUE_LO, VALUE_HI, num_bins),
+        F.lit(1.0),
+        num_bins,
+    )
+
+
+def oracle_user_hist_cte(num_bins: int = VALUE_BINS) -> str:
+    """DuckDB CTE producing (id, bucket, c=prefix-sum, total) rows matching
+    :func:`user_value_histograms` (integral counts -> bit-stable EMD)."""
+    width = (VALUE_HI - VALUE_LO) / num_bins
+    return f"""
+h AS (
+  SELECT user_id AS id,
+         least({num_bins - 1}, greatest(0,
+             cast(floor((value - {VALUE_LO}) / {width}) AS int))) AS bucket,
+         count(*) AS wsum
+  FROM events
+  GROUP BY 1, 2
+),
+tot AS (SELECT id, sum(wsum) AS total FROM h GROUP BY 1),
+dense AS (
+  SELECT t.id, gs.bucket, coalesce(h.wsum, 0.0) AS wsum, t.total
+  FROM tot t
+  CROSS JOIN (SELECT unnest(generate_series(0, {num_bins - 1})) AS bucket) gs
+  LEFT JOIN h ON h.id = t.id AND h.bucket = gs.bucket
+),
+cum AS (
+  SELECT id, bucket, sum(wsum) OVER (PARTITION BY id ORDER BY bucket) AS c, total
+  FROM dense
+)"""

@@ -1,0 +1,120 @@
+"""Structured Streaming surface of the engine.
+
+The reference is batch-only (SURVEY.md §2.5: no streaming); these operators
+extend the same semantics to unbounded inputs with Spark Structured
+Streaming.  Each transformation reuses the batch expression trees, so batch
+and streaming results agree (tested in tests/test_streaming.py):
+
+- ``stream_events``            file-source event stream with explicit schema
+- ``streaming_window_counts``  tumbling-window agg + watermark for late data
+- ``streaming_dedup``          exact dedup on content fingerprint within the
+                               watermark horizon (dropDuplicates)
+- ``streaming_emd_lookup``     stream-static similarity lookup: each incoming
+                               histogram joined against a broadcast reference
+                               set under an EMD threshold (the reference's
+                               threshold join as a lookup, SURVEY.md §2.5
+                               streaming note)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "stream_events",
+    "streaming_window_counts",
+    "streaming_dedup",
+    "streaming_emd_lookup",
+]
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """Unbounded parquet-directory event source (schema fixed up front —
+    streaming sources cannot infer)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+
+def streaming_window_counts(
+    stream: DataFrame, hours: int = 1, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts/sums per event type over an unbounded stream.
+    The watermark bounds state: windows older than max(event time) -
+    watermark are finalized and dropped.  Expression tree identical to the
+    batch ``event_window_agg`` (operators/events.py)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{hours} hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    fingerprint_col,
+    event_time: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Keep the first row per content fingerprint within the watermark
+    horizon — the streaming form of exact dedup (operators/dedup.py).
+    State is bounded by the watermark."""
+    return (
+        stream.withColumn("fp", fingerprint_col)
+        .withWatermark(event_time, watermark)
+        .dropDuplicates(["fp"])
+    )
+
+
+def streaming_emd_lookup(
+    stream_hist: DataFrame,
+    ref_hist: DataFrame,
+    threshold: float,
+    positions=None,
+) -> DataFrame:
+    """Stream-static EMD threshold lookup: each incoming histogram row
+    (id, w, total, cum) is matched against the static reference set; emits
+    (rid=stream id, sid=ref id, emd) for pairs within the threshold.
+
+    The static side is broadcast (tiny reference sets are the lookup use
+    case); the pair EMD stays a JVM expression — the streaming micro-batch
+    runs the same codegen'd plan as the batch join."""
+    from ..operators.emd_join import _pair_frame, pair_emd_expr
+
+    a = _pair_frame(stream_hist, "a")
+    b = F.broadcast(_pair_frame(ref_hist, "b"))
+    pairs = a.crossJoin(b)
+    emd = pair_emd_expr(positions=positions)
+    return (
+        pairs.withColumn("emd", emd)
+        .where(F.col("emd") <= float(threshold))
+        .select(F.col("id_a").alias("rid"), F.col("id_b").alias("sid"), "emd")
+    )

@@ -127,6 +127,35 @@ def test_collinear_bins_equal_1d_closed_form(spark):
         assert got[kpair] == pytest.approx(v, abs=1e-8)
 
 
+def test_two_table_join_matches_kernel(spark, hist_df, bins_2d):
+    """R x S variant: grid == bruteforce == kernel double loop."""
+    rows = [(r.id, r.w) for r in hist_df.collect()]
+    R_rows, S_rows = rows[:35], rows[35:]
+    R = spark.createDataFrame(R_rows, "id long, w array<double>")
+    S = spark.createDataFrame(S_rows, "id long, w array<double>")
+
+    from melody_join_spark.kernel import ground_distance_matrix
+
+    cost = ground_distance_matrix(bins_2d, dimension=bins_2d.shape[1])
+    WR = normalize(np.array([r[1] for r in R_rows], dtype=np.float64))
+    WS = normalize(np.array([r[1] for r in S_rows], dtype=np.float64))
+    expect = {}
+    for i, (rid, _) in enumerate(R_rows):
+        for j, (sid, _) in enumerate(S_rows):
+            e = emd_exact(WR[i], WS[j], cost)
+            if e <= THETA + 1e-4:
+                expect[(rid, sid)] = e
+
+    for strat in ("bruteforce", "grid"):
+        got = _collect_pairs(
+            emd_join_nd(R, bins_2d, THETA, strategy=strat, other=S, grid=3,
+                        num_blocks=3)
+        )
+        assert set(got) == set(expect), strat
+        for kpair in expect:
+            assert got[kpair] == pytest.approx(expect[kpair], abs=1e-9)
+
+
 def test_duplicate_free_output(spark, hist_df, bins_2d):
     df = emd_join_nd(hist_df, bins_2d, THETA, strategy="grid", grid=4)
     n = df.count()

@@ -1,0 +1,145 @@
+"""Events operators (batch vs DuckDB semantics) + streaming == batch parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from melody_join_spark.operators.events import (
+    event_window_agg,
+    load_events,
+    sessionize,
+    user_value_histograms,
+)
+from melody_join_spark.operators.emd_join import emd_threshold_join
+from melody_join_spark.streaming import (
+    stream_events,
+    streaming_dedup,
+    streaming_emd_lookup,
+    streaming_window_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_events(spark, SF_DIR)
+
+
+def test_event_window_agg(events):
+    out = event_window_agg(events).collect()
+    assert len(out) > 0
+    total = sum(r.n_events for r in out)
+    assert total == events.count()
+    # a window never double-counts an event type
+    keys = [(r.window_start, r.event_type) for r in out]
+    assert len(keys) == len(set(keys))
+
+
+def test_sessionize_invariants(events):
+    sess = sessionize(events, gap_minutes=30)
+    rows = sess.collect()
+    assert sum(r.n_events for r in rows) == events.count()
+    # session ids are 1..K per user, starts ordered
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, ss in by_user.items():
+        ss.sort(key=lambda r: r.session_id)
+        assert [r.session_id for r in ss] == list(range(1, len(ss) + 1))
+        for r in ss:
+            assert r.session_start <= r.session_end
+        for p, q in zip(ss, ss[1:]):
+            # inactivity gap between consecutive sessions really exceeds 30min
+            assert (q.session_start - p.session_end).total_seconds() > 30 * 60
+
+
+def test_user_value_histograms_feed_emd_join(events):
+    hist = user_value_histograms(events)
+    assert hist.columns == ["id", "w", "total", "cum"]
+    res = emd_threshold_join(hist, 1.0, strategy="cells")
+    bf = emd_threshold_join(hist, 1.0, strategy="bruteforce")
+    got = {(r.rid, r.sid): r.emd for r in res.collect()}
+    exp = {(r.rid, r.sid): r.emd for r in bf.collect()}
+    assert got == exp
+    assert len(got) > 0
+
+
+def test_streaming_window_counts_match_batch(spark, events, tmp_path):
+    src = str(tmp_path / "stream_src")
+    events.limit(500).repartition(4).write.parquet(src)
+
+    stream = stream_events(spark, src)
+    q = (
+        streaming_window_counts(stream, hours=1, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = event_window_agg(spark.read.parquet(src))
+    exp = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == exp
+
+
+def test_streaming_dedup(spark, events, tmp_path):
+    src = str(tmp_path / "dedup_src")
+    # force duplicates: same event_type+user rows appear repeatedly
+    events.limit(200).write.parquet(src)
+    stream = stream_events(spark, src)
+    fp = F.md5(F.concat_ws("|", "user_id", "event_type"))
+    q = (
+        streaming_dedup(stream, fp, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT fp, count(*) c FROM dedup_out GROUP BY fp").collect()
+    assert len(out) > 0
+    assert all(r.c == 1 for r in out)
+
+
+def test_streaming_emd_lookup_matches_batch(spark, events, tmp_path):
+    hist = user_value_histograms(events)
+    ref = hist.orderBy("id").limit(10)
+    # batch expectation: brute-force pairs stream x ref
+    from melody_join_spark.operators.emd_join import pair_emd_expr, _pair_frame
+
+    exp_pairs = (
+        _pair_frame(hist, "a")
+        .crossJoin(_pair_frame(ref, "b"))
+        .withColumn("emd", pair_emd_expr())
+        .where(F.col("emd") <= 1.0)
+    )
+    exp = {(r.id_a, r.id_b) for r in exp_pairs.collect()}
+
+    # stream the histogram rows through a parquet dir
+    src = str(tmp_path / "hist_src")
+    hist.write.parquet(src)
+    sh = spark.readStream.schema(hist.schema).parquet(src)
+    q = (
+        streaming_emd_lookup(sh, ref, 1.0)
+        .writeStream.format("memory")
+        .queryName("emd_lookup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.rid, r.sid) for r in spark.sql("SELECT * FROM emd_lookup").collect()}
+    assert got == exp
+    assert len(got) > 0

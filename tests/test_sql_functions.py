@@ -1,0 +1,40 @@
+"""spark.sql surface: registered emd functions agree with the kernel."""
+
+import numpy as np
+import pytest
+
+from melody_join_spark.functions import register_sql_functions
+from melody_join_spark.kernel import (
+    emd_1d,
+    emd_exact,
+    ground_distance_matrix,
+    normalize,
+    rubner_bound,
+    centroids,
+)
+
+
+def test_registered_functions(spark):
+    bins = np.array([[i, j] for i in range(2) for j in range(3)], dtype=np.float64)
+    names = register_sql_functions(spark, bin_points=bins)
+    assert set(names) == {"emd_1d", "emd", "emd_lower_rubner"}
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.random(6)]) for i in range(6)]
+    spark.createDataFrame(rows, "id long, w array<double>").createOrReplaceTempView("h")
+
+    out = spark.sql(
+        """SELECT a.id ra, b.id rb, emd(a.w, b.w) AS e,
+                  emd_1d(a.w, b.w) AS e1, emd_lower_rubner(a.w, b.w) AS rb_
+           FROM h a JOIN h b ON a.id < b.id"""
+    ).collect()
+    assert len(out) == 15
+    W = {i: np.array(w) for i, w in rows}
+    cost = ground_distance_matrix(bins, dimension=2)
+    for r in out:
+        a, b = normalize(W[r.ra]), normalize(W[r.rb])
+        assert r.e == pytest.approx(emd_exact(a, b, cost), abs=1e-9)
+        assert r.e1 == pytest.approx(emd_1d(a, b), abs=1e-9)
+        ca, cb = centroids(a[None, :], bins), centroids(b[None, :], bins)
+        assert r.rb_ == pytest.approx(float(rubner_bound(ca, cb)[0]), abs=1e-9)
+        assert r.rb_ <= r.e + 1e-9  # lower bound invariant
