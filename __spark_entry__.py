@@ -26,8 +26,10 @@ from melody_join_spark.operators.similarity import (
     cosine_pairs,
     cosine_pairs_oracle_sql,
     cosine_topk,
+    ivf_topk,
     lsh_cosine_pairs,
 )
+from melody_join_spark.plans.generate import generate_histograms
 from melody_join_spark.operators.events import (
     event_window_agg,
     event_window_agg_oracle_sql,
@@ -106,6 +108,50 @@ def _q_emd_nd_topk_2d(spark, sf_dir):
     hist = lineitem_histograms_2d(spark, sf_dir)
     res = emd_topk_nd(hist, bin_points_2d(), ND_TOPK, strategy="grid", grid=12)
     return res.select(F.col("rank").cast("long").alias("rank"), "rid", "sid", "emd")
+
+
+def _q_emd_nd_pivot_line(spark, sf_dir):
+    """MRSimJoin pivot strategy on the collinear gate — same oracle as the
+    grid variant, so both physical plans are hash-checked independently."""
+    hist = lineitem_histograms(spark, sf_dir)
+    res = emd_join_nd(hist, bin_points_line(), ND_THETA_LINE, strategy="pivot")
+    return (
+        res.withColumn("emd", F.round("emd", 6))
+        .where(F.col("emd") <= ND_THETA_LINE)
+        .orderBy("rid", "sid")
+    )
+
+
+def _q_cosine_topk_ivf(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qs = emb.orderBy("vec_id").limit(TOPK_QUERIES)
+    res = ivf_topk(emb, qs, k=10, nlist=64, nprobe=16, round_to=6)
+    return res.select("qid", "nid", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+GEN_BINS = 12
+GEN_THETA = 0.1  # ~1k pairs of 500 docs at sf0.01 (selective join density)
+
+
+def _q_generate_media_emd(spark, sf_dir):
+    """Generate->Join flow (reference's two entry points chained): documents
+    bytes as opaque media -> fake decoder histograms -> EMD threshold join."""
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit("mem://"), F.col("doc_id")).alias("path"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "utf-8").alias("content"),
+        F.length("text").cast("long").alias("content_length"),
+        F.lit("{}").alias("meta"),
+    )
+    hist = generate_histograms(spark, media=media, bins=GEN_BINS, fake=True)
+    import numpy as np
+
+    line = np.arange(GEN_BINS, dtype=np.float64).reshape(-1, 1)
+    return emd_join_nd(hist, line, GEN_THETA, strategy="grid", grid=8).orderBy(
+        "rid", "sid"
+    )
 
 
 USER_THETA = 1.0  # behavior-histogram EMD threshold (value-bucket units)
@@ -204,9 +250,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_nd_threshold_line": _q_emd_nd_line,
         "emd_nd_threshold_2d": _q_emd_nd_2d,
         "emd_nd_topk_2d": _q_emd_nd_topk_2d,
+        "emd_nd_threshold_pivot_line": _q_emd_nd_pivot_line,
         "events_window_hourly": _q_events_window,
         "events_sessionize": _q_events_sessionize,
         "emd_user_behavior": _q_emd_user_behavior,
+        "cosine_topk_ivf": _q_cosine_topk_ivf,
+        "generate_media_emd": _q_generate_media_emd,
         "text_features": _q_text_features,
         "dedup_exact": _q_exact_dedup,
         "dedup_jaccard_ngram": _q_jaccard,
@@ -307,9 +356,14 @@ SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 10"""
         # LP per pair — not SQL-expressible; rows-only driver check.  Their
         # correctness net is tests/test_emd_join_nd.py (grid == bruteforce ==
         # kernel oracle) and the hash-checked collinear twin above.
+        "emd_nd_threshold_pivot_line": nd_line_sql,
         "events_window_hourly": events_window_sql,
         "events_sessionize": sessionize_sql,
         "emd_user_behavior": user_behavior_sql,
+        # cosine_topk_ivf: approximate candidate set -> rows-only; exact twin
+        # cosine_topk is hash-checked.  generate_media_emd: fake decoder is
+        # seeded-rng, not SQL-expressible -> rows-only; the EMD join over the
+        # generated table is covered by the hash-checked line variants.
         "text_features": text_features_oracle_sql(),
         "dedup_exact": exact_dedup_groups_oracle_sql(),
         "dedup_jaccard_ngram": jaccard_pairs_oracle_sql(

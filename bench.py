@@ -34,7 +34,10 @@ def main() -> None:
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr, flush=True)
+        # queries persist self-join inputs; drop them so later queries
+        # don't inherit the accumulated cache/GC pressure
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

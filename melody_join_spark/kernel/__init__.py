@@ -30,6 +30,14 @@ from .bounds import (
     rubner_bound_to_bbox,
 )
 from .cascade import CascadeStats, EmdCascade
+from .normal import (
+    cdf_approx_error,
+    cell_normal_bound,
+    fit_normal,
+    hough,
+    normal_bound_pairs,
+    normal_w1,
+)
 
 __all__ = [
     "EPSILON",
@@ -54,4 +62,10 @@ __all__ = [
     "rubner_bound_to_bbox",
     "CascadeStats",
     "EmdCascade",
+    "cdf_approx_error",
+    "cell_normal_bound",
+    "fit_normal",
+    "hough",
+    "normal_bound_pairs",
+    "normal_w1",
 ]

@@ -270,6 +270,21 @@ def _tree_flows(basis, a: np.ndarray, b: np.ndarray) -> dict:
 
 
 def emd_exact(a, b, cost, max_iter: int = MAX_ITER) -> float:
-    """Exact EMD between two (auto-normalized) histograms given a cost matrix."""
+    """Exact EMD between two (auto-normalized) histograms given a cost matrix.
+
+    Solves on the nonzero SUPPORT of each side: zero-weight bins add
+    rows/columns the optimal flow never touches, and real histograms are
+    often sparse (a 16-bin order histogram typically has <=4 nonzero bins —
+    the simplex then runs 4x4 instead of 16x16, ~10x faster)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    ia = np.flatnonzero(a)
+    ib = np.flatnonzero(b)
+    if ia.size == 0 or ib.size == 0:
+        return 0.0
+    if ia.size < a.size or ib.size < b.size:
+        sub = np.asarray(cost, dtype=np.float64)[np.ix_(ia, ib)]
+        total, _, _ = emd_exact_with_duals(a[ia], b[ib], sub, max_iter)
+        return total
     total, _, _ = emd_exact_with_duals(a, b, cost, max_iter)
     return total

@@ -257,6 +257,10 @@ def emd_join_nd(
 
     if strategy == "bruteforce":
         return _block_bruteforce(rec, cfg, theta, num_blocks, two_table)
+    if strategy == "pivot":
+        if two_table:
+            raise ValueError("pivot strategy supports self-joins only")
+        return _pivot_join(rec, cfg, theta, num_pivots=10, seed=seed)
     if strategy != "grid":
         raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -374,6 +378,138 @@ def emd_join_nd(
         return _emit_pairs(ids, li, ri, emds, ordered=two_table)
 
     return allrows.groupBy("cell").applyInPandas(join_cell, _PAIR_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# pivot (MRSimJoin) strategy
+# ---------------------------------------------------------------------------
+
+def _pivot_join(
+    rec: DataFrame,
+    cfg: NdJoinConfig,
+    theta: float,
+    num_pivots: int,
+    seed: int,
+) -> DataFrame:
+    """MRSimJoin re-expressed for Spark (SURVEY.md §2.3 J6, §3.2):
+
+    1. P pivots sampled on the driver (InputSampler.RandomSampler analog,
+       mrsim/generic/MRSimJoinHD.java:379-390) — deterministic seeded
+       choice of P distinct records.
+    2. One mapInPandas pass computes each record's exact EMD to every pivot
+       (CloudJoinBaseMapper.map:81-196 does the same); nearest pivot = base
+       partition.  Generalized-hyperplane window rule: record e is
+       replicated to window partition (i, j) when
+       (d(e, P_far) - d(e, P_near)) / 2 <= theta (+slack) — the condition
+       under which a qualifying partner can live across the boundary.
+    3. groupBy(partition) + applyInPandas: base partitions join all their
+       own pairs; window partitions join base-i x base-j rows only.  Each
+       qualifying pair appears exactly once (same base -> base partition;
+       different bases i<j -> window (i,j), where the triangle inequality
+       guarantees both ends satisfy the window rule).
+
+    The reference's 32 MB spill-and-reround loop (CloudJoinBaseReducer.java:
+    150-272) is unnecessary: Spark's shuffle spills, and partition counts
+    scale with P^2 windows.
+    """
+    P = int(num_pivots)
+    piv_rows = (
+        rec.select("id", "w")
+        .orderBy(F.pmod(F.xxhash64(F.col("id") + F.lit(seed)), F.lit(1 << 31)))
+        .limit(P)
+        .collect()
+    )
+    PV = normalize(np.array([r["w"] for r in piv_rows], dtype=np.float64))
+    reach = theta + cfg.slack
+    d1 = np.atleast_2d(cfg.bin_points).shape[1] == 1
+
+    def dists_part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if d1:
+            pos = cfg.bin_points[:, 0]
+            order = np.argsort(pos, kind="stable")
+            dx = np.diff(pos[order])
+            pv_cdf = np.cumsum(PV[:, order], axis=1)[:, :-1]  # (P, B-1)
+        for pdf in it:
+            W = normalize(np.stack(pdf["w"].to_numpy()).astype(np.float64))
+            if d1:
+                cdf = np.cumsum(W[:, order], axis=1)[:, :-1]
+                D = np.abs(cdf[:, None, :] - pv_cdf[None, :, :]) @ dx  # (n, P)
+            else:
+                D = np.empty((W.shape[0], P))
+                for r in range(W.shape[0]):
+                    for p in range(P):
+                        D[r, p] = emd_exact(W[r], PV[p], cfg.cost)
+            base = D.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "w": pdf["w"],
+                    "side": pdf["side"],
+                    "base": base,
+                    "dists": list(D),
+                }
+            )
+
+    dist_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("w", ArrayType(DoubleType())),
+            StructField("side", LongType()),
+            StructField("base", LongType()),
+            StructField("dists", ArrayType(DoubleType())),
+        ]
+    )
+    with_d = rec.select(
+        "id", "w", F.col("side").cast("long").alias("side")
+    ).mapInPandas(dists_part, dist_schema)
+
+    # partition keys: base partition (b, b) always; window (i, j), i<j, when
+    # the hyperplane rule admits a cross-boundary match with that pivot
+    db = F.element_at("dists", F.col("base").cast("int") + 1)
+    keys = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(P - 1)),
+            lambda o: F.when(
+                o == F.col("base"),
+                F.col("base") * P + F.col("base"),
+            ).when(
+                (F.element_at("dists", o.cast("int") + 1) - db) / 2.0 <= reach,
+                F.least(F.col("base"), o) * P + F.greatest(F.col("base"), o),
+            ).otherwise(F.lit(-1)),
+        ),
+        lambda x: x >= 0,
+    )
+    expanded = with_d.select(
+        "id", "w", "base", F.explode(F.array_distinct(keys)).alias("grp")
+    )
+
+    def join_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"rid": [], "sid": [], "emd": []}).astype(
+            {"rid": "int64", "sid": "int64", "emd": "float64"}
+        )
+        ids = pdf["id"].to_numpy()
+        W = normalize(np.stack(pdf["w"].to_numpy()).astype(np.float64))
+        bases = pdf["base"].to_numpy()
+        grp = int(pdf["grp"].iloc[0])
+        gi, gj = divmod(grp, P)
+        casc = _cascade_for(W, cfg)
+        if gi == gj:
+            order = np.argsort(ids, kind="stable")
+            a, b = np.triu_indices(order.size, k=1)
+            li, ri = order[a], order[b]
+        else:
+            left = np.flatnonzero(bases == gi)
+            right = np.flatnonzero(bases == gj)
+            if left.size == 0 or right.size == 0:
+                return empty
+            li = np.repeat(left, right.size)
+            ri = np.tile(right, left.size)
+        if li.size == 0:
+            return empty
+        li, ri, emds = casc.run(li, ri, theta, slack=cfg.slack)
+        return _emit_pairs(ids, li, ri, emds)
+
+    return expanded.groupBy("grp").applyInPandas(join_part, _PAIR_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

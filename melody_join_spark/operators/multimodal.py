@@ -74,10 +74,17 @@ def read_binary_dir(spark: SparkSession, path: str, modality: str = "image") -> 
 def fake_decode_image(content: bytes, bins: int) -> np.ndarray:
     """Deterministic stand-in for a real image decoder + feature extractor:
     derives a stable pseudo-histogram from the bytes (seeded by crc32), so
-    pipelines are testable end-to-end without codec libraries."""
+    pipelines are testable end-to-end without codec libraries.
+
+    The fake is *concentrated* (a crc-located peak with exponential decay
+    plus noise), like real content features — uniform-random fakes make
+    every histogram's centroid coincide, which both misrepresents real data
+    and defeats centroid-based pruning in downstream joins."""
     seed = zlib.crc32(content or b"")
     rng = np.random.default_rng(seed)
-    h = rng.random(bins)
+    peak = (seed / 0xFFFFFFFF) * (bins - 1)  # continuous peak position
+    decay = np.exp(-0.8 * np.abs(np.arange(bins) - peak))
+    h = decay + 0.05 * rng.random(bins)
     return h / h.sum()
 
 
@@ -114,7 +121,10 @@ def decode_features(
             feats = [decoder(c, bins).tolist() for c in pdf["content"]]
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
-    # select() before mapInPandas prunes every other column from the scan
+    # select() before mapInPandas prunes every other column from the scan.
+    # Parallelism comes from the source layout (spark.sql.files.
+    # maxPartitionBytes) — repartitioning here would shuffle every content
+    # byte, which does not survive a 100 TB corpus.
     return df.select("media_id", "content").mapInPandas(run, out_schema)
 
 

@@ -127,6 +127,35 @@ def test_collinear_bins_equal_1d_closed_form(spark):
         assert got[kpair] == pytest.approx(v, abs=1e-8)
 
 
+def test_pivot_matches_bruteforce(spark, hist_df, bins_2d):
+    """MRSimJoin pivot strategy == triangle bruteforce (identical pair set)."""
+    bf = _collect_pairs(
+        emd_join_nd(hist_df, bins_2d, THETA, strategy="bruteforce", num_blocks=4)
+    )
+    pv = _collect_pairs(emd_join_nd(hist_df, bins_2d, THETA, strategy="pivot"))
+    assert set(pv) == set(bf)
+    for k in bf:
+        assert pv[k] == pytest.approx(bf[k], abs=1e-9)
+
+
+def test_pivot_collinear(spark):
+    rng = np.random.default_rng(5)
+    n, b = 30, 8
+    line = np.array([[float(i)] for i in range(b)])
+    rows = [(i + 1, [float(x) for x in rng.random(b)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, w array<double>")
+    theta = 0.6
+    got = _collect_pairs(emd_join_nd(df, line, theta, strategy="pivot"))
+    W = normalize(np.array([r[1] for r in rows]))
+    expect = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            e = emd_1d(W[i], W[j])
+            if e <= theta + 1e-4:
+                expect[(rows[i][0], rows[j][0])] = e
+    assert set(got) == set(expect)
+
+
 def test_two_table_join_matches_kernel(spark, hist_df, bins_2d):
     """R x S variant: grid == bruteforce == kernel double loop."""
     rows = [(r.id, r.w) for r in hist_df.collect()]

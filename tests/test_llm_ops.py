@@ -14,6 +14,7 @@ from melody_join_spark.operators.dedup import (
     simhash64,
 )
 from melody_join_spark.operators.similarity import (
+    ivf_topk,
     cosine_pairs,
     cosine_topk,
     lsh_cosine_pairs,
@@ -173,3 +174,26 @@ def test_cosine_topk_vs_numpy(emb):
         top = np.argsort(-scores)[:3]
         want_ids = [int(ids[t]) for t in top]
         assert [r.nid for r in sorted(lst, key=lambda r: r.rank)] == want_ids
+
+
+def test_ivf_topk_recall_vs_exact(emb):
+    """IVF with generous probes recovers most of the exact top-k."""
+    qs = emb.orderBy("vec_id").limit(8)
+    exact = cosine_topk(emb, qs, k=5, round_to=6).collect()
+    ivf = ivf_topk(emb, qs, k=5, nlist=16, nprobe=8, round_to=6).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r.qid, set()).add(r.nid)
+    got = {}
+    for r in ivf:
+        got.setdefault(r.qid, set()).add(r.nid)
+    assert set(got) == set(ex)
+    hits = sum(len(ex[q] & got[q]) for q in ex)
+    total = sum(len(ex[q]) for q in ex)
+    assert hits / total >= 0.8, f"recall {hits}/{total}"
+    # IVF cosines are exact for returned neighbors (only the candidate set
+    # is approximate)
+    exact_vals = {(r.qid, r.nid): r.cosine for r in exact}
+    for r in ivf:
+        if (r.qid, r.nid) in exact_vals:
+            assert r.cosine == pytest.approx(exact_vals[(r.qid, r.nid)], abs=1e-6)
