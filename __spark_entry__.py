@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from melody_join_spark.operators.dedup import (
+    dedupe,
+    dedupe_oracle_sql,
     exact_dedup_groups,
     exact_dedup_groups_oracle_sql,
     jaccard_pairs,
@@ -21,7 +23,7 @@ from melody_join_spark.operators.dedup import (
     simhash_pairs,
 )
 from melody_join_spark.operators.emd_join import emd_threshold_join, emd_topk_join
-from melody_join_spark.operators.emd_join_nd import emd_join_nd, emd_topk_nd
+from melody_join_spark.operators.emd_join_nd import emd_join_nd, emd_knn, emd_topk_nd
 from melody_join_spark.operators.similarity import (
     cosine_pairs,
     cosine_pairs_oracle_sql,
@@ -227,6 +229,18 @@ def _q_simhash(spark, sf_dir):
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def _q_dedupe_corpus(spark, sf_dir):
+    return dedupe(_docs(spark, sf_dir), mode="bow")
+
+
+def _q_emd_knn_2d(spark, sf_dir):
+    hist = lineitem_histograms_2d(spark, sf_dir)
+    queries = hist.orderBy("id").limit(TOPK_QUERIES)
+    return emd_knn(
+        hist.select("id", "w"), queries.select("id", "w"), bin_points_2d(), k=5
+    )
+
+
 def _q_cosine_pairs(spark, sf_dir):
     return cosine_pairs(_emb(spark, sf_dir), COSINE_THETA)
 
@@ -258,6 +272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generate_media_emd": _q_generate_media_emd,
         "text_features": _q_text_features,
         "dedup_exact": _q_exact_dedup,
+        "dedupe_corpus": _q_dedupe_corpus,
+        "emd_knn_2d": _q_emd_knn_2d,
         "dedup_jaccard_ngram": _q_jaccard,
         "dedup_minhash_lsh": _q_minhash,
         "dedup_simhash": _q_simhash,
@@ -366,6 +382,9 @@ SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 10"""
         # generated table is covered by the hash-checked line variants.
         "text_features": text_features_oracle_sql(),
         "dedup_exact": exact_dedup_groups_oracle_sql(),
+        "dedupe_corpus": dedupe_oracle_sql(),
+        # emd_knn_2d: exact d=2 EMD kNN — LP per pair, not SQL-expressible;
+        # rows-only here, kernel-parity tested in tests/test_emd_join_nd.py
         "dedup_jaccard_ngram": jaccard_pairs_oracle_sql(
             JACCARD_THETA, ngram=JACCARD_NGRAM
         ),

@@ -35,6 +35,8 @@ from .text import fingerprint_bow, fingerprint_text
 __all__ = [
     "exact_dedup_groups",
     "exact_dedup_groups_oracle_sql",
+    "dedupe",
+    "dedupe_oracle_sql",
     "tokenize_words",
     "tokenize_char_ngrams",
     "jaccard_pairs",
@@ -76,6 +78,61 @@ def exact_dedup_groups_oracle_sql(
 SELECT {fp} AS fp, count(*) AS group_size, min({id_col}) AS keep_id
 FROM {table}
 GROUP BY 1 HAVING count(*) > 1"""
+
+
+def dedupe(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "bow",
+    threshold: float = 0.85,
+) -> DataFrame:
+    """The corpus-cleaning API: return ``df`` with duplicates REMOVED.
+
+    ``mode``:
+    - 'exact' / 'bow'  — canonical-text / bag-of-words fingerprint groups;
+      survivor = smallest id per group (deterministic).  One shuffle.
+    - 'minhash'        — near-duplicate removal: a document is dropped when
+      it has a verified near-dup (jaccard >= threshold) with a smaller id —
+      the standard greedy one-pass rule (no connected components, so one
+      anti-join instead of an iterative clustering).
+    """
+    if mode in ("exact", "bow"):
+        fp = (
+            fingerprint_bow(F.col(text_col))
+            if mode == "bow"
+            else fingerprint_text(F.col(text_col))
+        )
+        keep = (
+            df.select(F.col(id_col).alias("_id"), fp.alias("_fp"))
+            .groupBy("_fp")
+            .agg(F.min("_id").alias("_keep"))
+            .select(F.col("_keep").alias(id_col))
+        )
+        return df.join(keep, id_col, "semi")
+    if mode == "minhash":
+        pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold)
+        drop = pairs.select(F.col("sid").alias(id_col)).distinct()
+        return df.join(drop, id_col, "anti")
+    raise ValueError(f"unknown dedupe mode {mode!r}")
+
+
+def dedupe_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "bow",
+) -> str:
+    fp = (
+        f"md5(array_to_string(list_sort(list_distinct("
+        f"string_split_regex(trim(lower({text_col})), '\\s+'))), ' '))"
+        if mode == "bow"
+        else f"md5(lower(regexp_replace(trim({text_col}), '\\s+', ' ', 'g')))"
+    )
+    return f"""
+SELECT t.* FROM {table} t
+JOIN (SELECT {fp} AS fp, min({id_col}) AS keep_id FROM {table} GROUP BY 1) k
+  ON t.{id_col} = k.keep_id"""
 
 
 # ---------------------------------------------------------------------------

@@ -185,6 +185,60 @@ def test_two_table_join_matches_kernel(spark, hist_df, bins_2d):
             assert got[kpair] == pytest.approx(expect[kpair], abs=1e-9)
 
 
+def test_emd_knn_matches_kernel(spark, hist_df, bins_2d):
+    from melody_join_spark.operators.emd_join_nd import emd_knn
+    from melody_join_spark.kernel import ground_distance_matrix
+
+    rows = [(r.id, r.w) for r in hist_df.collect()]
+    queries = spark.createDataFrame(rows[:5], "id long, w array<double>")
+    k = 4
+    got = emd_knn(hist_df, queries, bins_2d, k=k).collect()
+    cost = ground_distance_matrix(bins_2d, dimension=bins_2d.shape[1])
+    W = normalize(np.array([r[1] for r in rows], dtype=np.float64))
+    ids = [r[0] for r in rows]
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r)
+    for qi in range(5):
+        qid = ids[qi]
+        ds = sorted(
+            (emd_exact(W[qi], W[j], cost), ids[j])
+            for j in range(len(ids))
+            if ids[j] != qid
+        )[:k]
+        want = [nid for _, nid in ds]
+        lst = sorted(by_q[qid], key=lambda r: r.rank)
+        assert [r.nid for r in lst] == want
+        np.testing.assert_allclose(
+            [r.emd for r in lst], [d for d, _ in ds], atol=1e-9
+        )
+
+
+def test_dedupe_modes(spark):
+    from melody_join_spark.operators.dedup import dedupe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    for mode in ("exact", "bow"):
+        out = dedupe(docs, mode=mode)
+        m = out.count()
+        assert m <= n
+        # no surviving duplicate fingerprints
+        from melody_join_spark.operators.text import fingerprint_bow, fingerprint_text
+
+        fp = fingerprint_bow if mode == "bow" else fingerprint_text
+        dups = (
+            out.select(fp(F.col("text")).alias("fp"))
+            .groupBy("fp")
+            .count()
+            .where(F.col("count") > 1)
+            .count()
+        )
+        assert dups == 0
+    near = dedupe(docs, mode="minhash", threshold=0.8)
+    assert near.count() <= n
+
+
 def test_duplicate_free_output(spark, hist_df, bins_2d):
     df = emd_join_nd(hist_df, bins_2d, THETA, strategy="grid", grid=4)
     n = df.count()

@@ -1,0 +1,83 @@
+"""Physical-plan assertions: the properties the 100 TB story depends on.
+
+Catalyst must see through our operator compositions: small dims broadcast,
+filters reach the parquet scan, aggregations pre-aggregate map-side, scans
+read only referenced columns.  These tests pin those properties so a future
+refactor that silently degrades a plan (e.g. to a sort-merge join or a
+full-column scan) fails loudly.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from melody_join_spark.operators.events import event_window_agg, load_events
+from melody_join_spark.operators.text import text_features
+from melody_join_spark.plans.tpch_bridge import lineitem_histograms
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_histogram_build_broadcasts_dims(spark):
+    plan = plan_of(lineitem_histograms(spark, SF))
+    # customer/orders reduction joins into the fact scan must be broadcast,
+    # never a shuffled sort-merge join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # nation filter is pushed into the customer parquet scan
+    assert "PushedFilters: [" in plan and "c_nationkey" in plan
+
+
+def test_histogram_build_partial_aggregation(spark):
+    plan = plan_of(lineitem_histograms(spark, SF))
+    # map-side partial agg before the exchange: two HashAggregate nodes
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_text_features_no_shuffle(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(text_features(docs))
+    assert "Exchange" not in plan  # pure row-local expressions
+    # all-JVM: no Python evaluation anywhere (higher-order exprs keep the
+    # Project outside whole-stage codegen, but never touch Python workers)
+    assert "EvalPython" not in plan
+
+
+def test_text_features_column_pruning(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    slim = text_features(docs).select("doc_id", "quality")
+    plan = plan_of(slim)
+    # scan must read only the referenced source columns
+    assert "ReadSchema" in plan
+    read_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in read_line and "doc_id" in read_line
+    assert "source" not in read_line and "lang" not in read_line
+
+
+def test_event_window_agg_partial(spark):
+    ev = load_events(spark, SF)
+    plan = plan_of(event_window_agg(ev))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_emd_pair_expression_stays_codegen(spark):
+    """The 1-D pair-EMD expression must live inside whole-stage codegen —
+    no Python evaluation in the pair loop."""
+    from melody_join_spark.operators.emd_join import emd_threshold_join
+
+    hist = lineitem_histograms(spark, SF)
+    plan = plan_of(emd_threshold_join(hist, 1.0, strategy="cells"))
+    assert "EvalPython" not in plan  # pair EMD is a JVM expression
+    # the cells plan joins on an equi-key, never a cartesian product
+    assert "CartesianProduct" not in plan
