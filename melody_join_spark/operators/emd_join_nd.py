@@ -66,7 +66,43 @@ from ..kernel import (
     projection_positions,
 )
 
-__all__ = ["NdJoinConfig", "build_config", "emd_join_nd", "emd_topk_nd", "emd_knn"]
+__all__ = [
+    "NdJoinConfig",
+    "JoinStats",
+    "build_config",
+    "emd_join_nd",
+    "emd_topk_nd",
+    "emd_knn",
+]
+
+
+class JoinStats:
+    """Distributed pruning-effectiveness counters — parity with the
+    reference's TimerUtil counters (eliminated / dualElimination /
+    qnePairCounter, utils/TimerUtil.java:12-26, BASELINE.md).
+
+    Spark accumulators aggregate per-task CascadeStats back to the driver;
+    read ``snapshot()`` after an action on the join result."""
+
+    FIELDS = (
+        "candidates",
+        "pruned_rubner",
+        "pruned_normal",
+        "pruned_projection",
+        "pruned_dual",
+        "pruned_reduction",
+        "exact_evaluated",
+    )
+
+    def __init__(self, sc):
+        self.acc = {f: sc.accumulator(0) for f in self.FIELDS}
+
+    def update(self, st) -> None:
+        for f in self.FIELDS:
+            self.acc[f].add(int(getattr(st, f)))
+
+    def snapshot(self) -> dict[str, int]:
+        return {f: self.acc[f].value for f in self.FIELDS}
 
 
 @dataclass
@@ -219,6 +255,7 @@ def emd_join_nd(
     w_col: str = "w",
     seed: int = 42,
     other: DataFrame | None = None,
+    stats: "JoinStats | None" = None,
 ) -> DataFrame:
     """EMD threshold join -> DataFrame(rid, sid, emd).
 
@@ -376,7 +413,14 @@ def emd_join_nd(
         li, ri = li[keep], ri[keep]
         if li.size == 0:
             return empty
-        li, ri, emds = casc.run(li, ri, theta, slack=cfg.slack)
+        if stats is not None:
+            from ..kernel import CascadeStats
+
+            st = CascadeStats()
+            li, ri, emds = casc.run(li, ri, theta, stats=st, slack=cfg.slack)
+            stats.update(st)
+        else:
+            li, ri, emds = casc.run(li, ri, theta, slack=cfg.slack)
         return _emit_pairs(ids, li, ri, emds, ordered=two_table)
 
     return allrows.groupBy("cell").applyInPandas(join_cell, _PAIR_SCHEMA)

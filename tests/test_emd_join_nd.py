@@ -239,6 +239,21 @@ def test_dedupe_modes(spark):
     assert near.count() <= n
 
 
+def test_join_stats_accumulators(spark, hist_df, bins_2d):
+    """Pruning counters (TimerUtil parity) aggregate across tasks."""
+    from melody_join_spark.operators.emd_join_nd import JoinStats
+
+    stats = JoinStats(spark.sparkContext)
+    res = emd_join_nd(hist_df, bins_2d, THETA, strategy="grid", grid=3, stats=stats)
+    n = res.count()
+    snap = stats.snapshot()
+    assert snap["candidates"] > 0
+    assert snap["exact_evaluated"] <= snap["candidates"]
+    pruned = sum(v for k, v in snap.items() if k.startswith("pruned_"))
+    assert pruned + snap["exact_evaluated"] == snap["candidates"]
+    assert n <= snap["exact_evaluated"]
+
+
 def test_duplicate_free_output(spark, hist_df, bins_2d):
     df = emd_join_nd(hist_df, bins_2d, THETA, strategy="grid", grid=4)
     n = df.count()

@@ -55,6 +55,9 @@ def test_text_features_no_shuffle(spark):
 
 
 def test_text_features_column_pruning(spark):
+    # cached plan fragments (other modules cache this table) would replace
+    # the scan with an all-column InMemoryRelation and hide the pruning
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     slim = text_features(docs).select("doc_id", "quality")
     plan = plan_of(slim)
