@@ -35,6 +35,7 @@ __all__ = [
     "streaming_window_counts",
     "streaming_dedup",
     "streaming_emd_lookup",
+    "streaming_sessionize",
 ]
 
 EVENTS_SCHEMA = StructType(
@@ -91,6 +92,92 @@ def streaming_dedup(
         stream.withColumn("fp", fingerprint_col)
         .withWatermark(event_time, watermark)
         .dropDuplicates(["fp"])
+    )
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful streaming operator: inactivity-gap sessionization via
+    ``applyInPandasWithState`` — per-user session state (current session id,
+    last event time, open-session aggregates) lives in the state store;
+    sessions emit when closed by a gap or by state timeout past the
+    watermark.  Output: (user_id, session_id, n_events, session_start,
+    session_end) — the streaming form of operators/events.sessionize.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("session_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("start_us", LongType()),
+            StructField("end_us", LongType()),
+        ]
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        user_id = key[0]
+        if state.hasTimedOut:
+            sid, n, s_us, e_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_id": [sid],
+                    "n_events": [n],
+                    "session_start": [pd.Timestamp(s_us, unit="us")],
+                    "session_end": [pd.Timestamp(e_us, unit="us")],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()
+        if state.exists:
+            sid, n, s_us, e_us = state.get
+        else:
+            sid, n, s_us, e_us = 0, 0, 0, -(1 << 62)
+        out = {k: [] for k in ("user_id", "session_id", "n_events",
+                               "session_start", "session_end")}
+        for t in ts_us:
+            if t - e_us > gap_us:
+                if n > 0:  # close previous session
+                    out["user_id"].append(user_id)
+                    out["session_id"].append(sid)
+                    out["n_events"].append(n)
+                    out["session_start"].append(pd.Timestamp(s_us, unit="us"))
+                    out["session_end"].append(pd.Timestamp(e_us, unit="us"))
+                sid += 1
+                n, s_us = 0, t
+            n += 1
+            e_us = t
+        state.update((int(sid), int(n), int(s_us), int(e_us)))
+        state.setTimeoutTimestamp(int(e_us) // 1000 + gap_minutes * 60 * 1000)
+        yield pd.DataFrame(out)
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

@@ -143,3 +143,36 @@ def test_streaming_emd_lookup_matches_batch(spark, events, tmp_path):
     got = {(r.rid, r.sid) for r in spark.sql("SELECT * FROM emd_lookup").collect()}
     assert got == exp
     assert len(got) > 0
+
+
+def test_streaming_sessionize_stateful(spark, events, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions emitted by the
+    stream match the batch sessionize output for the same closed sessions."""
+    from melody_join_spark.streaming import streaming_sessionize
+
+    src = str(tmp_path / "sess_src")
+    sub = events.where(F.col("user_id") < 10)
+    sub.write.parquet(src)
+    stream = stream_events(spark, src)
+    q = (
+        streaming_sessionize(stream, gap_minutes=30, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    batch = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end)
+        for r in sessionize(spark.read.parquet(src), gap_minutes=30).collect()
+    }
+    # the stream emits only sessions CLOSED by a later event or timeout; all
+    # emitted sessions must match the batch result exactly
+    assert got, "stream should emit closed sessions"
+    for k, v in got.items():
+        assert k in batch and batch[k] == v, (k, v, batch.get(k))
