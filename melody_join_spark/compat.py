@@ -1,0 +1,113 @@
+"""Reference-compatible entry point: run a join straight from a
+``melody-conf.properties`` file.
+
+A user of the reference drives it with
+``java -cp melody.jar com.iojin.melody.Join conf.properties``
+(Join.java:42-131 marshals the properties into the Hadoop conf).  This
+module accepts the SAME properties file and the SAME data files (histogram
+text lines + one-line bins/vectors side files, README.md:19-26) and runs
+the equivalent Spark plan:
+
+    mr.method.name = melody     -> emd_join_nd(strategy='grid')
+                     mrsim      -> emd_join_nd(strategy='pivot')
+                     bspmelody  -> grid (the BSP variant's prepare step IS
+                                   the grid plan's stage 1-2, SURVEY.md §3.3)
+                     bspb       -> emd_join_nd(strategy='bruteforce')
+    melody.join.type = distance -> threshold join at
+                                   melody.join.distance.threshold
+                       topk     -> top-k join at melody.join.k
+
+Output matches the reference shape: threshold -> (rid, sid) id pairs;
+topk -> (rank, rid, sid, emd) (NEProcessReducer.java:262, KReducer.java:
+33-36).  ``data.output.hdfs.path`` (if set) receives text output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.emd_join_nd import build_config, emd_join_nd, emd_topk_nd
+from .sources.histogram_text import read_flat_doubles, read_histogram_text
+
+__all__ = ["load_properties", "run_join_from_properties"]
+
+_METHOD_TO_STRATEGY = {
+    "melody": "grid",
+    "mrsim": "pivot",
+    "bspmelody": "grid",
+    "bspb": "bruteforce",
+}
+
+
+def load_properties(path: str) -> dict[str, str]:
+    """Parse a java-style .properties file (the reference's conf format)."""
+    props: dict[str, str] = {}
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith(("#", "!")):
+                continue
+            if "=" in line:
+                k, v = line.split("=", 1)
+                props[k.strip()] = v.strip()
+    return props
+
+
+def run_join_from_properties(
+    spark: SparkSession, properties_path: str, write_output: bool = True
+) -> DataFrame:
+    """Execute the join a reference deployment would run for this conf."""
+    import numpy as np
+
+    props = load_properties(properties_path)
+    dim = int(props["data.dimension"])
+    nbins = int(props["data.bin.number"])
+    method = props.get("mr.method.name", "melody")
+    if method not in _METHOD_TO_STRATEGY:
+        raise ValueError(f"unknown mr.method.name {method!r}")
+    strategy = _METHOD_TO_STRATEGY[method]
+    join_type = props.get("melody.join.type", "distance")
+    grid = int(props.get("melody.grid.cell.granularity", "4"))
+    # cells per dim: the reference grid has G^2 cells per vector over the
+    # 2-D Hough plane; our centroid grid uses G^2 cells per dim equivalent
+    grid = max(grid * grid, 4)
+
+    hist = read_histogram_text(spark, props["data.input.hdfs.path"]).withColumnRenamed(
+        "id", "id"
+    )
+    bins = read_flat_doubles(spark, props["data.bin.hdfs.path"]).reshape(-1, dim)
+    if bins.shape[0] != nbins:
+        raise ValueError(f"bins file has {bins.shape[0]} points, expected {nbins}")
+
+    n_proj = int(props.get("melody.project.vector.number", "3"))
+    seed_rows = hist.select("w").limit(8).collect()
+    sw = np.array([r[0] for r in seed_rows], dtype=np.float64)
+    cfg = build_config(bins, seed_weights=sw, n_proj=n_proj)
+    # honor user-supplied projection vectors when present (README.md:23-24)
+    vec_path = props.get("melody.project.vector.hdfs.path")
+    if vec_path:
+        from .kernel import projection_positions
+
+        vecs = read_flat_doubles(spark, vec_path).reshape(-1, dim)
+        cfg.proj_positions = [projection_positions(bins, v) for v in vecs]
+
+    if join_type == "distance":
+        theta = float(props["melody.join.distance.threshold"])
+        res = emd_join_nd(hist, bins, theta, cfg=cfg, strategy=strategy, grid=grid)
+        out = res.select("rid", "sid")  # reference emits id pairs
+    elif join_type == "topk":
+        k = int(props["melody.join.k"])
+        res = emd_topk_nd(
+            hist, bins, k, cfg=cfg,
+            strategy="grid" if strategy == "pivot" else strategy, grid=grid,
+        )
+        out = res.select("rank", "rid", "sid", "emd")
+    else:
+        raise ValueError(f"unknown melody.join.type {join_type!r}")
+
+    out_path = props.get("data.output.hdfs.path")
+    if write_output and out_path:
+        line = F.concat_ws(" ", *[F.col(c).cast("string") for c in out.columns])
+        out.select(line.alias("value")).write.mode("overwrite").text(out_path)
+    return out

@@ -1,0 +1,94 @@
+"""Reference-conf compatibility: the same properties file + text data a
+reference deployment uses drives the Spark engine, for every method name."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from melody_join_spark.compat import load_properties, run_join_from_properties
+from melody_join_spark.kernel import emd_exact, ground_distance_matrix, normalize
+
+
+@pytest.fixture(scope="module")
+def ref_layout(spark, tmp_path_factory):
+    """Reference-format data dir: histogram lines, one-line bins file."""
+    root = tmp_path_factory.mktemp("ref")
+    rng = np.random.default_rng(21)
+    B, d, n = 8, 2, 36
+    bins = rng.random((B, d)) * 3
+    W = rng.random((n, B))
+    hist_path = root / "hist.txt"
+    with open(hist_path, "w") as fh:
+        for i in range(n):
+            fh.write(str(i + 1) + " " + " ".join(f"{x:.8f}" for x in W[i]) + "\n")
+    bins_path = root / "bins.txt"
+    with open(bins_path, "w") as fh:
+        fh.write(" ".join(f"{x:.8f}" for x in bins.ravel()) + "\n")
+    vec_path = root / "vectors.txt"
+    vecs = rng.standard_normal((2, d))
+    with open(vec_path, "w") as fh:
+        fh.write(" ".join(f"{x:.8f}" for x in vecs.ravel()) + "\n")
+    return {"root": root, "bins": bins, "W": W, "B": B, "d": d, "n": n,
+            "hist": hist_path, "binsf": bins_path, "vecf": vec_path}
+
+
+def _write_conf(ref, path, method, join_type, theta=0.4, k=8, out=None):
+    lines = [
+        "data.dimension=" + str(ref["d"]),
+        "data.bin.number=" + str(ref["B"]),
+        "data.input.hdfs.path=" + str(ref["hist"]),
+        "data.bin.hdfs.path=" + str(ref["binsf"]),
+        "melody.project.vector.hdfs.path=" + str(ref["vecf"]),
+        "melody.project.vector.number=2",
+        "melody.grid.cell.granularity=2",
+        "melody.join.type=" + join_type,
+        "melody.join.distance.threshold=" + str(theta),
+        "melody.join.k=" + str(k),
+        "mr.method.name=" + method,
+    ]
+    if out:
+        lines.append("data.output.hdfs.path=" + str(out))
+    path.write_text("\n".join(lines) + "\n")
+
+
+def _oracle_pairs(ref, theta):
+    cost = ground_distance_matrix(ref["bins"], dimension=ref["d"])
+    Wn = normalize(ref["W"])
+    out = set()
+    for i in range(ref["n"]):
+        for j in range(i + 1, ref["n"]):
+            if emd_exact(Wn[i], Wn[j], cost) <= theta + 1e-4:
+                out.add((i + 1, j + 1))
+    return out
+
+
+def test_load_properties(ref_layout, tmp_path):
+    conf = tmp_path / "c.properties"
+    _write_conf(ref_layout, conf, "melody", "distance")
+    props = load_properties(str(conf))
+    assert props["mr.method.name"] == "melody"
+    assert props["data.bin.number"] == "8"
+
+
+@pytest.mark.parametrize("method", ["melody", "mrsim", "bspb", "bspmelody"])
+def test_all_methods_same_result(spark, ref_layout, tmp_path, method):
+    theta = 0.4
+    conf = tmp_path / f"{method}.properties"
+    _write_conf(ref_layout, conf, method, "distance", theta=theta)
+    res = run_join_from_properties(spark, str(conf), write_output=False)
+    got = {(r.rid, r.sid) for r in res.collect()}
+    assert got == _oracle_pairs(ref_layout, theta), method
+
+
+def test_topk_and_text_output(spark, ref_layout, tmp_path):
+    out_dir = tmp_path / "out"
+    conf = tmp_path / "topk.properties"
+    _write_conf(ref_layout, conf, "melody", "topk", k=6, out=out_dir)
+    res = run_join_from_properties(spark, str(conf))
+    rows = res.collect()
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(range(1, 7))
+    # text sink: one "<rank> <rid> <sid> <emd>" line per pair
+    txt = spark.read.text(str(out_dir)).collect()
+    assert len(txt) == 6
+    assert all(len(r.value.split()) == 4 for r in txt)
