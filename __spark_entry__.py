@@ -124,6 +124,18 @@ def _q_emd_nd_pivot_line(spark, sf_dir):
     )
 
 
+def _q_emd_nd_pivot_2d(spark, sf_dir):
+    """MRSimJoin pivot strategy at d=2 — the LP-metric pivot partitioner
+    (lower-bound screened pivot assignment, windowed in-partition join).
+    Same pair set as the grid/bruteforce d=2 plans (parity-tested in
+    tests/test_emd_join_nd.py); exact d=2 EMD is an LP per pair, so this is
+    a rows-only driver check like the other _2d queries."""
+    hist = lineitem_histograms_2d(spark, sf_dir)
+    return emd_join_nd(
+        hist, bin_points_2d(), ND_THETA_2D, strategy="pivot"
+    ).orderBy("rid", "sid")
+
+
 def _q_cosine_topk_ivf(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     qs = emb.orderBy("vec_id").limit(TOPK_QUERIES)
@@ -132,12 +144,17 @@ def _q_cosine_topk_ivf(spark, sf_dir):
 
 
 GEN_BINS = 12
-GEN_THETA = 0.1  # ~1k pairs of 500 docs at sf0.01 (selective join density)
+# byte histograms of same-language text cluster tightly, so the realistic
+# near-dup band is narrow: theta 0.005 keeps ~0.5% of all pairs at sf0.01
+GEN_THETA = 0.005
 
 
 def _q_generate_media_emd(spark, sf_dir):
     """Generate->Join flow (reference's two entry points chained): documents
-    bytes as opaque media -> fake decoder histograms -> EMD threshold join."""
+    bytes as opaque media -> REAL byte-histogram feature extraction
+    (multimodal.byte_histogram_decoder, deterministic and codec-free) ->
+    EMD threshold join.  SQL-expressible end-to-end, so this whole path is
+    hash-checked against the DuckDB oracle."""
     docs = _docs(spark, sf_dir)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -147,12 +164,18 @@ def _q_generate_media_emd(spark, sf_dir):
         F.length("text").cast("long").alias("content_length"),
         F.lit("{}").alias("meta"),
     )
-    hist = generate_histograms(spark, media=media, bins=GEN_BINS, fake=True)
+    hist = generate_histograms(spark, media=media, bins=GEN_BINS)
     import numpy as np
 
     line = np.arange(GEN_BINS, dtype=np.float64).reshape(-1, 1)
-    return emd_join_nd(hist, line, GEN_THETA, strategy="grid", grid=8).orderBy(
-        "rid", "sid"
+    res = emd_join_nd(hist, line, GEN_THETA, strategy="grid", grid=8)
+    # -1e-9 before rounding: byte-count EMDs are dyadic rationals that land
+    # EXACTLY on 6-dp halves (e.g. 5/128 = 0.0390625); the shift moves every
+    # such value off the tie so Spark and DuckDB round identically
+    return (
+        res.withColumn("emd", F.round(F.col("emd") - F.lit(1e-9), 6))
+        .where(F.col("emd") <= GEN_THETA)
+        .orderBy("rid", "sid")
     )
 
 
@@ -268,6 +291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_nd_threshold_2d": _q_emd_nd_2d,
         "emd_nd_topk_2d": _q_emd_nd_topk_2d,
         "emd_nd_threshold_pivot_line": _q_emd_nd_pivot_line,
+        "emd_nd_threshold_pivot_2d": _q_emd_nd_pivot_2d,
         "events_window_hourly": _q_events_window,
         "events_sessionize": _q_events_sessionize,
         "emd_user_behavior": _q_emd_user_behavior,
@@ -283,6 +307,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs_lsh": _q_lsh_cosine,
         "cosine_topk": _q_cosine_topk,
     }
+
+
+def _generate_media_oracle_sql() -> str:
+    """DuckDB twin of the full Generate->Join path: byte histogram of the
+    UTF-8 payload (documents are ASCII, so unicode(char) == byte) folded
+    into GEN_BINS buckets, then the closed-form 1-D pair EMD."""
+    return f"""
+WITH bytes AS (
+  SELECT doc_id, unicode(c) AS b
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents)
+  WHERE c <> ''
+),
+hist AS (
+  SELECT doc_id, (b * {GEN_BINS}) // 256 AS bucket, CAST(count(*) AS DOUBLE) AS w
+  FROM bytes GROUP BY 1, 2
+),
+grid AS (SELECT unnest(range({GEN_BINS})) AS bucket),
+dense AS (
+  SELECT d.doc_id AS id, g.bucket, coalesce(h.w, 0) AS w
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE length(text) > 0) d
+  CROSS JOIN grid g
+  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bucket = g.bucket
+),
+cum AS (
+  SELECT id, bucket,
+         sum(w) OVER (PARTITION BY id ORDER BY bucket) AS c,
+         sum(w) OVER (PARTITION BY id) AS total
+  FROM dense
+),
+pairs AS (
+  SELECT a.id AS rid, b.id AS sid,
+         abs(a.c * b.total - b.c * a.total) AS d,
+         a.total * b.total AS tt
+  FROM cum a JOIN cum b ON a.bucket = b.bucket AND a.id < b.id
+),
+emd AS (SELECT rid, sid, round(sum(d) / any_value(tt) - 1e-9, 6) + 0 AS emd
+        FROM pairs GROUP BY 1, 2)  -- +0 folds round's -0.0 back to +0.0
+SELECT rid, sid, emd FROM emd WHERE emd <= {GEN_THETA} ORDER BY rid, sid"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -379,9 +441,8 @@ SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 10"""
         "events_sessionize": sessionize_sql,
         "emd_user_behavior": user_behavior_sql,
         # cosine_topk_ivf: approximate candidate set -> rows-only; exact twin
-        # cosine_topk is hash-checked.  generate_media_emd: fake decoder is
-        # seeded-rng, not SQL-expressible -> rows-only; the EMD join over the
-        # generated table is covered by the hash-checked line variants.
+        # cosine_topk is hash-checked.
+        "generate_media_emd": _generate_media_oracle_sql(),
         "text_features": text_features_oracle_sql(),
         "dedup_exact": exact_dedup_groups_oracle_sql(),
         "dedupe_corpus": dedupe_oracle_sql(),

@@ -90,6 +90,7 @@ class EmdCascade:
                 mu, sigma = fit_normal(Ws, ps)
                 err = cdf_approx_error(Ws, ps, mu, sigma)
                 self.normal_stats.append((mu, sigma, err))
+        self._indmin_on = True
         # d=1 closed-form fast path (DistanceUtil.get1dEmd with real bins,
         # utils/DistanceUtil.java:57-79): exact EMD on a line is the area
         # between step CDFs — vectorized, no LP
@@ -103,6 +104,20 @@ class EmdCascade:
 
     def exact(self, li: int, ri: int) -> float:
         return emd_exact(self.weights[li], self.weights[ri], self.cost)
+
+    def _indmin_pairs(self, li: int, ri: int) -> float:
+        """IndMin bound for one pair via sparse gathers: restrict the cost
+        matrix to the pair's surplus x deficit support (histograms are
+        sparse, so this is a ~|support|^2 gather, not B^2)."""
+        D = self.weights[li] - self.weights[ri]
+        sur = np.flatnonzero(D > 0.0)
+        defi = np.flatnonzero(D < 0.0)
+        if sur.size == 0 or defi.size == 0:
+            return 0.0
+        sub = self.cost[np.ix_(sur, defi)]
+        fwd = D[sur] @ sub.min(axis=1)
+        bwd = (-D[defi]) @ sub.min(axis=0)
+        return max(float(fwd), float(bwd))
 
     CHUNK = 1 << 18  # 256k pairs per block: uniform, reusable temporaries
 
@@ -188,7 +203,34 @@ class EmdCascade:
             st.pruned_dual += int((~keep).sum())
             li, ri = li[keep], ri[keep]
 
-        # 4. reduction bounds (small exact LP per surviving pair).  Skipped
+        # 4. independent-minimization bound (F8, DistanceUtil.getIndMinEmd:
+        # 148-182 / NEProcessReducer.java:195-266 cascade order): each
+        # pair's net surplus must travel at least to its cheapest deficit
+        # bin.  Runs BEFORE the reduction stage (cheap->expensive invariant:
+        # sparse submatrix gathers vs an LP per pair).  ADAPTIVE: the stage
+        # self-disables when a probe block prunes <0.5% of survivors — on
+        # workloads where Rubner/normal/projection/dual already caught
+        # everything indmin can see, paying O(|support|^2) per pair for
+        # nothing is the wrong trade.  Skipped on the d=1 fast path — there
+        # the final stage is already a vectorized closed form.
+        if self._line is None and li.size and self._indmin_on:
+            PROBE = 1024
+            keep = np.ones(li.size, dtype=bool)
+            probe_n = min(PROBE, li.size)
+            for k in range(probe_n):
+                if self._indmin_pairs(li[k], ri[k]) > thr:
+                    keep[k] = False
+            probe_pruned = int((~keep[:probe_n]).sum())
+            if probe_pruned < max(1, probe_n // 200) and li.size > probe_n:
+                self._indmin_on = False  # not earning its keep on this data
+            else:
+                for k in range(probe_n, li.size):
+                    if self._indmin_pairs(li[k], ri[k]) > thr:
+                        keep[k] = False
+            st.pruned_indmin += int((~keep).sum())
+            li, ri = li[keep], ri[keep]
+
+        # 5. reduction bounds (small exact LP per surviving pair).  Skipped
         # on the d=1 fast path: there the projection bound IS the exact EMD
         # and the final stage is a vectorized closed form, so an LP-grade
         # bound can only lose (measured: 100k wasted LPs = 40 s at sf0.1).
@@ -203,7 +245,7 @@ class EmdCascade:
                 st.pruned_reduction += int((~keep).sum())
                 li, ri = li[keep], ri[keep]
 
-        # 5. exact EMD on survivors (vectorized closed form on a line, LP
+        # 6. exact EMD on survivors (vectorized closed form on a line, LP
         # otherwise)
         if self._line is not None:
             pos, cdf = self._line

@@ -201,6 +201,7 @@ def emd_exact_with_duals(a, b, cost, max_iter: int = MAX_ITER):
     bp *= ap.sum() / bp.sum()  # rebalance so totals match exactly
 
     basis, flow = _northwest_corner(ap, bp)
+    converged = False
     for _ in range(max_iter):
         u, v, adj = _potentials(basis, m, n, C)
         red = C - u[:, None] - v[None, :]
@@ -208,6 +209,7 @@ def emd_exact_with_duals(a, b, cost, max_iter: int = MAX_ITER):
         enter_flat = int(np.argmin(red))
         ei, ej = divmod(enter_flat, n)
         if red[ei, ej] >= -1e-12:
+            converged = True
             break
         path = _find_cycle(adj, m, ei, ej)
         # entering cell gets +delta; path edges alternate -,+,-,... starting -
@@ -231,6 +233,15 @@ def emd_exact_with_duals(a, b, cost, max_iter: int = MAX_ITER):
     exact_flow = _tree_flows(basis, a, b)
     total = sum(C[i, j] * f for (i, j), f in exact_flow.items())
     u, v, _ = _potentials(basis, m, n, C)
+    if not converged and (C - u[:, None] - v[None, :]).min() < -1e-9:
+        # iteration cap hit on a non-optimal basis: the flow is still
+        # feasible (total is a valid EMD upper approximation, matching the
+        # reference's maxIter=5000 behavior) but the potentials would
+        # VIOLATE dual feasibility — a bound built on them could falsely
+        # dismiss pairs.  Zero potentials are always dual-feasible for a
+        # nonnegative cost (bound contribution 0, never unsound).
+        u = np.zeros(m)
+        v = np.zeros(n)
     return float(total), u, v
 
 

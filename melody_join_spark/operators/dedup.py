@@ -164,13 +164,22 @@ def _verify_jaccard(cand: DataFrame, docs: DataFrame, threshold: float) -> DataF
     intersect.  No token re-explosion, no per-token shuffle (the naive
     explode-join verification shuffles |cand| * |tokens/doc| rows; this
     shuffles |cand| rows of two arrays).  Integer counts keep the jaccard
-    value bit-stable across engines."""
+    value bit-stable across engines.
+
+    When the doc-side is small enough to broadcast, both array sides ship
+    as broadcast hash joins and the (much larger) candidate set never
+    shuffles at all — near-dup candidate sets routinely run 100-1000x the
+    corpus row count, so candidate-stationary verification is the scalable
+    orientation.  Above the limit the plan falls back to shuffle joins."""
+    n_docs = docs.count()  # docs is persisted by every caller: cheap action
     a = docs.select(
         F.col("id").alias("rid"), F.col("toks").alias("ta"), F.col("nt").alias("na")
     )
     b = docs.select(
         F.col("id").alias("sid"), F.col("toks").alias("tb"), F.col("nt").alias("nb")
     )
+    if n_docs <= 500_000:
+        a, b = F.broadcast(a), F.broadcast(b)
     inter = F.size(F.array_intersect("ta", "tb"))
     jac = inter / (F.col("na") + F.col("nb") - inter)
     return (
@@ -209,8 +218,6 @@ def jaccard_pairs(
     token sets entirely: kills residual blowup from mid-frequency tokens.
     NOTE: changes semantics (sound only when near-dup pairs share a rare
     token) — mirrored in the oracle SQL."""
-    from pyspark.sql.window import Window
-
     tokens = (
         tokenize_char_ngrams(F.col(text_col), ngram)
         if ngram
@@ -220,16 +227,24 @@ def jaccard_pairs(
     freq = rel.groupBy("tok").agg(F.count("*").alias("df_"))
     if max_df is not None:
         freq = freq.where(F.col("df_") <= max_df)
-    # dense integer token ids in global (df asc, tok asc) order: the groupBy
-    # below then sorts ints (not strings), the prefix join keys on an int,
-    # and verification intersects int arrays — each several-fold cheaper
-    # than their string equivalents.  The vocab window is a single-partition
-    # sort of |vocab| rows; at extreme vocab sizes swap tid for
-    # (df_, xxhash64(tok)) encoded into one long.
-    vocab = freq.withColumn(
-        "tid",
-        F.row_number().over(Window.orderBy(F.col("df_").asc(), F.col("tok").asc())),
-    ).select("tok", "tid")
+    # integer token ids in global (df asc, hash asc) order, PACKED as
+    # (clamp(df, 2^22-1) << 40) | xxhash64(tok) mod 2^40 — a pure codegen
+    # expression with no shuffle and no single-partition window.  The high
+    # bits preserve the df-ascending prefix order the PPJoin prefix filter
+    # relies on; the 40 hash bits break ties.  The groupBy below then sorts
+    # longs (not strings), the prefix join keys on a long, and verification
+    # intersects long arrays — each several-fold cheaper than their string
+    # equivalents.  Distinct tokens collide only on identical
+    # (clamped df, 40-bit hash) — odds ~n_same_df^2 / 2^41, negligible below
+    # billion-token vocabularies; a collision merges two tokens and can only
+    # nudge a jaccard value, never crash.
+    vocab = freq.select(
+        "tok",
+        (
+            F.shiftleft(F.least(F.col("df_"), F.lit((1 << 22) - 1)).cast("long"), 40)
+            + F.pmod(F.xxhash64("tok"), F.lit(1 << 40))
+        ).alias("tid"),
+    )
     docs = (
         rel.join(vocab, "tok")
         .groupBy("id")
@@ -244,6 +259,7 @@ def jaccard_pairs(
     # docs feeds the prefix explode AND both verify sides: persist, or the
     # tokenize+freq+vocab+groupBy chain runs three times
     docs = docs.withColumn("prefix", F.slice("toks", F.lit(1), prefix_len)).persist()
+    from ..cache import release_on_gc
     pr = docs.select("id", "nt", F.posexplode("prefix").alias("p", "tok"))
     a = pr.select(
         F.col("id").alias("rid"), "tok", F.col("nt").alias("na"), F.col("p").alias("pa")
@@ -275,7 +291,7 @@ def jaccard_pairs(
         .select("rid", "sid")
         .distinct()
     )
-    return _verify_jaccard(cand, docs, threshold)
+    return release_on_gc(_verify_jaccard(cand, docs, threshold), docs)
 
 
 def jaccard_pairs_oracle_sql(
@@ -422,7 +438,9 @@ def minhash_lsh_pairs(
     docs = df.select(F.col(id_col).alias("id"), grams.alias("toks")).withColumn(
         "nt", F.size("toks")
     ).persist()
-    return _verify_jaccard(cand, docs, threshold)
+    from ..cache import release_on_gc
+
+    return release_on_gc(_verify_jaccard(cand, docs, threshold), band_keys, docs)
 
 
 # ---------------------------------------------------------------------------
@@ -488,6 +506,9 @@ def simhash_pairs(
         .distinct()
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.select("rid", "sid", ham.alias("hamming")).where(
+    from ..cache import release_on_gc
+
+    out = cand.select("rid", "sid", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+    return release_on_gc(out, keys)

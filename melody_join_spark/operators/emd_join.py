@@ -132,11 +132,16 @@ def emd_threshold_join(
         )
         out.append(_finish_threshold(pruned, threshold, positions))
     res = out[0].unionAll(out[1])
+    from ..cache import release_on_gc
+
     # normalize pair order to rid < sid for output parity with the oracle
-    return res.select(
-        F.least("rid", "sid").alias("rid"),
-        F.greatest("rid", "sid").alias("sid"),
-        "emd",
+    return release_on_gc(
+        res.select(
+            F.least("rid", "sid").alias("rid"),
+            F.greatest("rid", "sid").alias("sid"),
+            "emd",
+        ),
+        h,
     )
 
 
@@ -196,11 +201,17 @@ def emd_topk_join(
     )
     seed_emds = [r.emd for r in spairs.select("emd").orderBy("emd").limit(n_pairs_needed).collect()]
     if len(seed_emds) < n_pairs_needed:
-        return emd_topk_join(hist, k, positions, strategy="bruteforce")
+        from ..cache import release_on_gc
+
+        return release_on_gc(
+            emd_topk_join(hist, k, positions, strategy="bruteforce"), hist
+        )
     bound = float(seed_emds[-1])
 
     cand = emd_threshold_join(hist, max(bound, 1e-12), positions, strategy="cells")
-    return _rank_topk(cand, k)
+    from ..cache import release_on_gc
+
+    return release_on_gc(_rank_topk(cand, k), hist)
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:

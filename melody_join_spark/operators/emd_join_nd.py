@@ -40,7 +40,6 @@ closure — the DistributedCache side files of the reference
 
 from __future__ import annotations
 
-import itertools
 from collections.abc import Iterator
 from dataclasses import dataclass, field
 
@@ -82,7 +81,11 @@ class JoinStats:
     qnePairCounter, utils/TimerUtil.java:12-26, BASELINE.md).
 
     Spark accumulators aggregate per-task CascadeStats back to the driver;
-    read ``snapshot()`` after an action on the join result."""
+    read ``snapshot()`` after an action on the join result.  The
+    ``guest_*`` counters track CELL-level elimination during guest
+    enumeration (the Grid.getGuestWithDual screens, utils/Grid.java:352-457):
+    how many candidate (record, cell) replications each screen removed
+    before any row was shuffled."""
 
     FIELDS = (
         "candidates",
@@ -91,18 +94,30 @@ class JoinStats:
         "pruned_projection",
         "pruned_dual",
         "pruned_reduction",
+        "pruned_indmin",
         "exact_evaluated",
+    )
+    CELL_FIELDS = (
+        "guest_considered",
+        "guest_pruned_empty",
+        "guest_pruned_rubner",
+        "guest_pruned_normal",
+        "guest_pruned_dual",
+        "guest_replicas",
     )
 
     def __init__(self, sc):
-        self.acc = {f: sc.accumulator(0) for f in self.FIELDS}
+        self.acc = {f: sc.accumulator(0) for f in self.FIELDS + self.CELL_FIELDS}
 
     def update(self, st) -> None:
         for f in self.FIELDS:
             self.acc[f].add(int(getattr(st, f)))
 
+    def add(self, field: str, n: int) -> None:
+        self.acc[field].add(int(n))
+
     def snapshot(self) -> dict[str, int]:
-        return {f: self.acc[f].value for f in self.FIELDS}
+        return {f: self.acc[f].value for f in self.FIELDS + self.CELL_FIELDS}
 
 
 @dataclass
@@ -212,10 +227,15 @@ def _emit_pairs(ids, li, ri, emds, ordered: bool = False) -> pd.DataFrame:
 
 def _centroid_cols(hist: DataFrame, bin_points: np.ndarray, w_col: str) -> DataFrame:
     """Append cent_0..cent_{d-1} = normalized-weight centroid coordinates.
-    Pure JVM expressions (no UDF): cent_k = sum_i w_i * bins[i, k] / total."""
+    Pure JVM expressions (no UDF): cent_k = sum_i w_i * bins[i, k] / total.
+
+    Zero-mass rows are REJECTED here (their centroid is undefined; the
+    kernel's normalize() would leave them as zero vectors whose EMD to
+    everything is 0 — mirroring build_histograms' total > 0 ingestion filter
+    keeps every strategy consistent)."""
     d = bin_points.shape[1]
     total = F.aggregate(w_col, F.lit(0.0), lambda a, x: a + x)
-    out = hist.withColumn("_tot", total)
+    out = hist.withColumn("_tot", total).where(F.col("_tot") > 0)
     for k in range(d):
         coords = F.array(*[F.lit(float(b)) for b in bin_points[:, k]])
         dot = F.aggregate(
@@ -223,6 +243,103 @@ def _centroid_cols(hist: DataFrame, bin_points: np.ndarray, w_col: str) -> DataF
         )
         out = out.withColumn(f"cent_{k}", dot / F.col("_tot"))
     return out.drop("_tot")
+
+
+def _stat_udf(cfg: NdJoinConfig):
+    """Pandas UDF computing the per-record pruning-stat vector in one
+    vectorized Arrow pass (the reference precomputes the same columns in its
+    preprocess phase, mr/normal/NEPreMapper.java:90-140):
+
+        st = [mu_p, sigma_p, err_p  for each projection p]
+           + [key_q, ckey_q         for each dual q]
+
+    These feed (a) the per-CELL stat aggregation that powers guest-cell
+    screening and (b) nothing else — the in-cell cascade recomputes from
+    weights because an Arrow array column round-trip costs more than the
+    numpy refit on a cell-sized batch."""
+    orders = []
+    for pos in cfg.proj_positions:
+        o = np.argsort(np.asarray(pos), kind="stable")
+        orders.append((o, np.asarray(pos)[o]))
+    dual_uv = [(dl.u, dl.v) for dl in cfg.duals]
+
+    from ..kernel.normal import cdf_approx_error, fit_normal
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def stats(w: pd.Series) -> pd.Series:
+        W = normalize(np.stack(w.to_numpy()).astype(np.float64))
+        cols = []
+        for o, ps in orders:
+            Ws = W[:, o]
+            mu, sigma = fit_normal(Ws, ps)
+            err = cdf_approx_error(Ws, ps, mu, sigma)
+            cols += [mu, sigma, err]
+        for u, v in dual_uv:
+            cols += [W @ u, W @ v]
+        S = np.stack(cols, axis=1)
+        return pd.Series(list(S))
+
+    return stats, 3 * len(orders) + 2 * len(dual_uv)
+
+
+class _CellStats:
+    """Dense per-cell screening tables, built from one groupBy(cell) agg and
+    shipped by closure (G^d cells, all tiny — the analog of the reference's
+    cell error/dual side files, mr/normal/NESpaceReducer.java:74-219).
+
+    Arrays are indexed by cell id; absent cells keep cnt == 0."""
+
+    def __init__(self, rows, d: int, n_proj: int, n_dual: int, ncells: int):
+        self.cnt = np.zeros(ncells, dtype=np.int64)
+        self.cmin = np.full((ncells, d), np.inf)
+        self.cmax = np.full((ncells, d), -np.inf)
+        self.mu_lo = np.zeros((n_proj, ncells))
+        self.mu_hi = np.zeros((n_proj, ncells))
+        self.sig_lo = np.zeros((n_proj, ncells))
+        self.sig_hi = np.zeros((n_proj, ncells))
+        self.err_max = np.zeros((n_proj, ncells))
+        self.key_min = np.zeros((n_dual, ncells))
+        self.ckey_min = np.zeros((n_dual, ncells))
+        for r in rows:
+            c = int(r["cell"])
+            self.cnt[c] = r["cnt"]
+            for k in range(d):
+                self.cmin[c, k] = r[f"cmin_{k}"]
+                self.cmax[c, k] = r[f"cmax_{k}"]
+            for p in range(n_proj):
+                self.mu_lo[p, c] = r[f"mu_lo_{p}"]
+                self.mu_hi[p, c] = r[f"mu_hi_{p}"]
+                self.sig_lo[p, c] = r[f"sig_lo_{p}"]
+                self.sig_hi[p, c] = r[f"sig_hi_{p}"]
+                self.err_max[p, c] = r[f"err_max_{p}"]
+            for q in range(n_dual):
+                self.key_min[q, c] = r[f"key_min_{q}"]
+                self.ckey_min[q, c] = r[f"ckey_min_{q}"]
+
+
+def _collect_cell_stats(
+    rec: DataFrame, d: int, n_proj: int, n_dual: int, ncells: int
+) -> _CellStats:
+    aggs = [F.count("*").alias("cnt")]
+    for k in range(d):
+        aggs += [
+            F.min(f"cent_{k}").alias(f"cmin_{k}"),
+            F.max(f"cent_{k}").alias(f"cmax_{k}"),
+        ]
+    for p in range(n_proj):
+        mu, sig, err = (F.element_at("st", 3 * p + i) for i in (1, 2, 3))
+        aggs += [
+            F.min(mu).alias(f"mu_lo_{p}"),
+            F.max(mu).alias(f"mu_hi_{p}"),
+            F.min(sig).alias(f"sig_lo_{p}"),
+            F.max(sig).alias(f"sig_hi_{p}"),
+            F.max(err).alias(f"err_max_{p}"),
+        ]
+    for q in range(n_dual):
+        key, ckey = (F.element_at("st", 3 * n_proj + 2 * q + i) for i in (1, 2))
+        aggs += [F.min(key).alias(f"key_min_{q}"), F.min(ckey).alias(f"ckey_min_{q}")]
+    rows = rec.groupBy("cell").agg(*aggs).collect()
+    return _CellStats(rows, d, n_proj, n_dual, ncells)
 
 
 # ---------------------------------------------------------------------------
@@ -280,14 +397,17 @@ def emd_join_nd(
     theta = float(threshold)
     two_table = other is not None
 
-    rec = hist.select(
+    # zero-mass histograms are rejected up front (EMD undefined; parity with
+    # build_histograms' total > 0 ingestion filter) so every strategy agrees
+    mass = F.aggregate(F.col(w_col), F.lit(0.0), lambda a, x: a + x) > 0
+    rec = hist.where(mass).select(
         F.col(id_col).cast("long").alias("id"),
         F.col(w_col).alias("w"),
         F.lit(0).alias("side"),
     )
     if two_table:
         rec = rec.unionByName(
-            other.select(
+            other.where(mass).select(
                 F.col(id_col).cast("long").alias("id"),
                 F.col(w_col).alias("w"),
                 F.lit(1).alias("side"),
@@ -303,10 +423,34 @@ def emd_join_nd(
     if strategy != "grid":
         raise ValueError(f"unknown strategy {strategy!r}")
 
+    ctx = _build_grid_ctx(rec, bin_points, cfg, grid)
+    from ..cache import release_on_gc
+
+    out = _grid_join(ctx, theta, stats=stats, two_table=two_table)
+    return release_on_gc(out, ctx.rec1)
+
+
+@dataclass
+class _GridCtx:
+    """Theta-independent grid state, built once and reusable across probe
+    radii (emd_topk_nd's escalation loop): the cached record table with
+    cell + stat columns, the quantile boundaries, and the per-cell screen
+    tables.  Call ``rec1.unpersist()`` when done."""
+
+    rec1: DataFrame
+    bnds: np.ndarray
+    cs: "_CellStats"
+    cfg: NdJoinConfig
+    d: int
+    grid: int
+
+
+def _build_grid_ctx(
+    rec: DataFrame, bin_points: np.ndarray, cfg: NdJoinConfig, grid: int
+) -> _GridCtx:
     d = bin_points.shape[1]
-    rec = _centroid_cols(rec, bin_points, "w")
-    rec = rec.persist()
-    bnds = _grid_boundaries(rec, d, grid)  # (d, grid-1)
+    rec0 = _centroid_cols(rec, bin_points, "w")
+    bnds = _grid_boundaries(rec0, d, grid)  # (d, grid-1)
 
     # native cell id: per-dim index = #boundaries <= coord, base-`grid` encoded
     cell = F.lit(0)
@@ -315,58 +459,141 @@ def emd_join_nd(
         for b in bnds[k]:
             idx_k = idx_k + F.when(F.col(f"cent_{k}") >= float(b), 1).otherwise(0)
         cell = cell * grid + idx_k
-    rec = rec.withColumn("cell", cell.cast("long"))
 
-    # guest cells: every cell strictly below the native cell whose centroid
-    # bbox is within theta(+slack) of this record's centroid
+    stat_udf, stat_len = _stat_udf(cfg)
+    rec1 = (
+        rec0.withColumn("cell", cell.cast("long"))
+        .withColumn("st", stat_udf("w"))
+        .persist()
+    )
+
+    # one agg over the (small) cell space: per-cell centroid bbox, per-cell
+    # (mu, sigma, err) bboxes per projection, per-cell dual-key minima — the
+    # reference's NESpaceReducer cell-stat side files (NESpaceReducer.java:
+    # 74-219) as a broadcastable numpy table
+    cs = _collect_cell_stats(rec1, d, len(cfg.proj_positions), len(cfg.duals), grid**d)
+    return _GridCtx(rec1, bnds, cs, cfg, d, grid)
+
+
+def _grid_join(
+    ctx: _GridCtx,
+    theta: float,
+    stats: "JoinStats | None" = None,
+    two_table: bool = False,
+) -> DataFrame:
+    cfg, d, grid, bnds, cs = ctx.cfg, ctx.d, ctx.grid, ctx.bnds, ctx.cs
+    rec1 = ctx.rec1
+    n_proj = len(cfg.proj_positions)
+    n_dual = len(cfg.duals)
+
+    # guest cells: every *occupied* cell strictly below the native cell that
+    # survives three sound record-to-cell screens (Grid.getGuestWithDual:
+    # 352-457): (1) Rubner distance to the cell's ACTUAL centroid bbox,
+    # (2) the normal/EMD_BR bound over the cell's (mu, sigma) bbox per
+    # projection, (3) the dual-key range bound.  Fully vectorized: per-dim
+    # candidate index windows come from two searchsorted calls (cell edges
+    # are sorted), the mixed-radix combo expansion and every screen are
+    # numpy array ops — no per-row Python loop.
     reach = theta + cfg.slack
-    bnds_b = bnds  # closure capture
+    lo_edges = [np.concatenate(([-np.inf], bnds[k])) for k in range(d)]
+    hi_edges = [np.concatenate((bnds[k], [np.inf])) for k in range(d)]
+    from ..kernel.normal import cell_normal_bound
 
     @F.pandas_udf(ArrayType(LongType()))
-    def guest_cells(cent_struct: pd.DataFrame, native: pd.Series) -> pd.Series:
+    def guest_cells(cent_struct: pd.DataFrame, st: pd.Series, native: pd.Series) -> pd.Series:
         C = cent_struct.to_numpy(dtype=np.float64)  # (n, d)
-        nat = native.to_numpy()
-        G = bnds_b.shape[1] + 1
-        lows = np.concatenate([[-np.inf], bnds_b[0]]) if d == 1 else None
-        # per-dim interval edges
-        lo_edges = [np.concatenate([[-np.inf], bnds_b[k]]) for k in range(d)]
-        hi_edges = [np.concatenate([bnds_b[k], [np.inf]]) for k in range(d)]
-        out = []
-        for r in range(C.shape[0]):
-            c = C[r]
-            ranges = []
-            for k in range(d):
-                ok = [
-                    j
-                    for j in range(G)
-                    if (c[k] - hi_edges[k][j] <= reach) and (lo_edges[k][j] - c[k] <= reach)
-                ]
-                ranges.append(ok)
-            cells = []
-            for combo in itertools.product(*ranges):
-                cid = 0
-                for j in combo:
-                    cid = cid * G + j
-                if cid >= nat[r]:
-                    continue
-                lo = np.array([lo_edges[k][combo[i]] for i, k in enumerate(range(d))])
-                hi = np.array([hi_edges[k][combo[i]] for i, k in enumerate(range(d))])
-                dist = np.linalg.norm(c - np.clip(c, lo, hi))
-                if dist <= reach:
-                    cells.append(cid)
-            out.append(cells)
-        return pd.Series(out)
+        nat = native.to_numpy(dtype=np.int64)
+        n = nat.size
+        if n == 0:
+            return pd.Series([], dtype=object)
+        S = np.stack(st.to_numpy())  # (n, stat_len)
+        jlo = np.empty((n, d), dtype=np.int64)
+        counts = np.empty((n, d), dtype=np.int64)
+        for k in range(d):
+            jlo[:, k] = np.searchsorted(hi_edges[k], C[:, k] - reach, side="left")
+            jhi = np.searchsorted(lo_edges[k], C[:, k] + reach, side="right")
+            counts[:, k] = jhi - jlo[:, k]
+        total = counts.prod(axis=1)
+        rep = np.repeat(np.arange(n), total)
+        starts = np.concatenate(([0], np.cumsum(total)[:-1]))
+        rem = np.arange(int(total.sum())) - np.repeat(starts, total)
+        cid = np.zeros(rem.size, dtype=np.int64)
+        mult = 1
+        for k in range(d - 1, -1, -1):  # decode mixed radix, dim 0 most significant
+            ck = counts[rep, k]
+            cid += (jlo[rep, k] + rem % ck) * mult
+            rem //= ck
+            mult *= grid
+        if stats is not None:
+            stats.add("guest_considered", rep.size)
+        # dedup rule: guests go only to cells strictly below their native cell
+        keep = cid < nat[rep]
+        rep, cid = rep[keep], cid[keep]
+        # screen 0: empty cells host no partners
+        keep = cs.cnt[cid] > 0
+        n_empty = int((~keep).sum())
+        rep, cid = rep[keep], cid[keep]
+        # screen 1: Rubner to the cell's actual centroid bbox (tighter than
+        # the quantile-boundary bbox, esp. for unbounded edge cells)
+        clp = np.clip(C[rep], cs.cmin[cid], cs.cmax[cid])
+        keep = np.linalg.norm(C[rep] - clp, axis=1) <= reach
+        n_rub = int((~keep).sum())
+        rep, cid = rep[keep], cid[keep]
+        # screen 2: normal/EMD_BR bound per projection over the (mu, sigma) bbox
+        n_norm = 0
+        for p in range(n_proj):
+            if rep.size == 0:
+                break
+            lb = cell_normal_bound(
+                S[rep, 3 * p], S[rep, 3 * p + 1], S[rep, 3 * p + 2],
+                cs.mu_lo[p, cid], cs.mu_hi[p, cid],
+                cs.sig_lo[p, cid], cs.sig_hi[p, cid],
+                cs.err_max[p, cid],
+            )
+            keep = lb <= reach
+            n_norm += int((~keep).sum())
+            rep, cid = rep[keep], cid[keep]
+        # screen 3: dual-key ranges — min over cell members of the pair dual
+        # bound max(key_r + ckey_b, key_b + ckey_r) is >= the screen value
+        n_dualp = 0
+        for q in range(n_dual):
+            if rep.size == 0:
+                break
+            lb = np.maximum(
+                S[rep, 3 * n_proj + 2 * q] + cs.ckey_min[q, cid],
+                cs.key_min[q, cid] + S[rep, 3 * n_proj + 2 * q + 1],
+            )
+            keep = lb <= reach
+            n_dualp += int((~keep).sum())
+            rep, cid = rep[keep], cid[keep]
+        if stats is not None:
+            stats.add("guest_pruned_empty", n_empty)
+            stats.add("guest_pruned_rubner", n_rub)
+            stats.add("guest_pruned_normal", n_norm)
+            stats.add("guest_pruned_dual", n_dualp)
+            stats.add("guest_replicas", rep.size)
+        # regroup survivors (rep stayed sorted through the boolean masks)
+        edges = np.searchsorted(rep, np.arange(n + 1))
+        return pd.Series([cid[edges[r]:edges[r + 1]] for r in range(n)])
 
     cent_struct = F.struct(*[F.col(f"cent_{k}") for k in range(d)])
-    rec = rec.withColumn("guests", guest_cells(cent_struct, F.col("cell")))
-
-    natives = rec.select("id", "w", "side", "cell", F.lit(True).alias("native"))
-    guests = rec.select(
-        "id", "w", "side",
-        F.explode("guests").alias("cell"),
-        F.lit(False).alias("native"),
+    # single-read plan: each record explodes into 1 native + 0..k guest
+    # entries in one pass over rec1 (no self-union, so the cached input is
+    # scanned once by the final job)
+    entries = F.concat(
+        F.array(F.struct(F.col("cell").alias("c"), F.lit(True).alias("n"))),
+        F.transform(
+            guest_cells(cent_struct, F.col("st"), F.col("cell")),
+            lambda g: F.struct(g.alias("c"), F.lit(False).alias("n")),
+        ),
     )
-    allrows = natives.unionByName(guests)
+    allrows = rec1.select(
+        "id", "w", "side", F.explode(entries).alias("e")
+    ).select(
+        "id", "w", "side",
+        F.col("e.c").alias("cell"),
+        F.col("e.n").alias("native"),
+    )
 
     def join_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"rid": [], "sid": [], "emd": []}).astype(
@@ -469,22 +696,63 @@ def _pivot_join(
     reach = theta + cfg.slack
     d1 = np.atleast_2d(cfg.bin_points).shape[1] == 1
 
+    pv_cents = PV @ cfg.bin_points  # (P, d) pivot centroids for the lb screen
+
     def dists_part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if d1:
             pos = cfg.bin_points[:, 0]
             order = np.argsort(pos, kind="stable")
             dx = np.diff(pos[order])
             pv_cdf = np.cumsum(PV[:, order], axis=1)[:, :-1]  # (P, B-1)
+        proj = [
+            (np.argsort(np.asarray(p), kind="stable"), np.asarray(p))
+            for p in cfg.proj_positions
+        ]
         for pdf in it:
             W = normalize(np.stack(pdf["w"].to_numpy()).astype(np.float64))
+            n = W.shape[0]
             if d1:
                 cdf = np.cumsum(W[:, order], axis=1)[:, :-1]
                 D = np.abs(cdf[:, None, :] - pv_cdf[None, :, :]) @ dx  # (n, P)
             else:
-                D = np.empty((W.shape[0], P))
-                for r in range(W.shape[0]):
-                    for p in range(P):
-                        D[r, p] = emd_exact(W[r], PV[p], cfg.cost)
+                # exact EMD to a pivot is an LP; most pivots are screened out
+                # by vectorized lower bounds first (the reference pays the
+                # full P LPs per record, CloudJoinBaseMapper.java:81-196):
+                # 1. Rubner centroid distance to every pivot (one matrix op)
+                # 2. projection bounds (batched cumsum tensor per projection)
+                # Then per record: exact EMDs in ascending-lb order stop as
+                # soon as lb > d_near (multistep argmin optimality), and the
+                # window distances only need exactness when
+                # lb <= d_near + 2*reach — pivots beyond that can never admit
+                # a cross-boundary match, so their slot stays +inf and the
+                # JVM window rule drops them for free.
+                cents = W @ cfg.bin_points  # (n, d)
+                LB = np.linalg.norm(
+                    cents[:, None, :] - pv_cents[None, :, :], axis=2
+                )  # (n, P)
+                for o, p_pos in proj:
+                    dxp = np.diff(p_pos[o])
+                    wc = np.cumsum(W[:, o], axis=1)[:, :-1]
+                    pc = np.cumsum(PV[:, o], axis=1)[:, :-1]
+                    pb = np.abs(wc[:, None, :] - pc[None, :, :]) @ dxp
+                    np.maximum(LB, pb, out=LB)
+                D = np.full((n, P), np.inf)
+                for r in range(n):
+                    lbs = LB[r]
+                    o = np.argsort(lbs, kind="stable")
+                    d_near = np.inf
+                    ex = np.full(P, np.nan)
+                    for j in o:
+                        if lbs[j] > d_near:
+                            break
+                        ex[j] = emd_exact(W[r], PV[j], cfg.cost)
+                        d_near = min(d_near, ex[j])
+                    cut = d_near + 2.0 * reach
+                    for j in range(P):
+                        if lbs[j] <= cut:
+                            if np.isnan(ex[j]):
+                                ex[j] = emd_exact(W[r], PV[j], cfg.cost)
+                            D[r, j] = ex[j]
             base = D.argmin(axis=1)
             yield pd.DataFrame(
                 {
@@ -539,17 +807,34 @@ def _pivot_join(
         grp = int(pdf["grp"].iloc[0])
         gi, gj = divmod(grp, P)
         casc = _cascade_for(W, cfg)
+        # candidate generation via a sorted window on centroid dim 0: the
+        # Rubner contraction means a qualifying partner lies within reach on
+        # every centroid dim, so pairs outside the dim-0 window never
+        # materialize.  This replaces the reference's QuickJoin recursion
+        # for oversized base partitions (CloudJoinBaseReducer.java:277-436,
+        # leaf 5000): an oversized or skewed partition costs
+        # O(n * window) candidates, not O(n^2).
+        c0 = casc.cents[:, 0]
         if gi == gj:
-            order = np.argsort(ids, kind="stable")
-            a, b = np.triu_indices(order.size, k=1)
-            li, ri = order[a], order[b]
+            anchors = np.arange(ids.size)
+            pool = anchors
         else:
-            left = np.flatnonzero(bases == gi)
-            right = np.flatnonzero(bases == gj)
-            if left.size == 0 or right.size == 0:
+            anchors = np.flatnonzero(bases == gi)
+            pool = np.flatnonzero(bases == gj)
+            if anchors.size == 0 or pool.size == 0:
                 return empty
-            li = np.repeat(left, right.size)
-            ri = np.tile(right, left.size)
+        pool_sorted = pool[np.argsort(c0[pool], kind="stable")]
+        pcs = c0[pool_sorted]
+        lo = np.searchsorted(pcs, c0[anchors] - (theta + cfg.slack), side="left")
+        hi = np.searchsorted(pcs, c0[anchors] + (theta + cfg.slack), side="right")
+        cnt = hi - lo
+        if cnt.sum() == 0:
+            return empty
+        li = np.repeat(anchors, cnt)
+        ri = pool_sorted[np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])]
+        if gi == gj:
+            keep = ids[ri] > ids[li]  # unordered pairs once
+            li, ri = li[keep], ri[keep]
         if li.size == 0:
             return empty
         li, ri, emds = casc.run(li, ri, theta, slack=cfg.slack)
@@ -670,6 +955,11 @@ def emd_knn(
         pos = cfg.bin_points[:, 0]
         order = np.argsort(pos, kind="stable")
 
+    proj = [
+        (np.argsort(np.asarray(p), kind="stable"), np.asarray(p))
+        for p in cfg.proj_positions
+    ]
+
     def part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids_, QW_, qc_ = b_q.value
         for pdf in it:
@@ -683,8 +973,21 @@ def emd_knn(
                 dcdf = np.cumsum(W[:, order], axis=1)[:, :-1]
                 dx = np.diff(cfg.bin_points[order, 0])
                 qcdf = np.cumsum(QW_[:, order], axis=1)[:, :-1]
+                pcdfs = []
+            else:
+                # precompute per-partition projection CDFs once: the Rubner
+                # ordering alone admits too many exact LPs at d>=2; maxing in
+                # the (vectorized) projection bounds cuts the exact count —
+                # same multi-step loop, tighter screen
+                pcdfs = [
+                    (np.cumsum(W[:, o], axis=1)[:, :-1], np.diff(p[o]),
+                     np.cumsum(QW_[:, o], axis=1)[:, :-1])
+                    for o, p in proj
+                ]
             for qi in range(len(qids_)):
                 lb = np.linalg.norm(cents - qc_[qi], axis=1)  # Rubner
+                for wc, dxp, qcp in pcdfs:
+                    np.maximum(lb, np.abs(wc - qcp[qi]) @ dxp, out=lb)
                 o = np.argsort(lb, kind="stable")
                 kth = np.inf
                 heap: list[tuple[float, int]] = []
@@ -770,6 +1073,7 @@ def emd_topk_nd(
     sample = rec.orderBy("id").limit(max(sample_size, 4 * k)).collect()
     SW = normalize(np.array([r["w"] for r in sample], dtype=np.float64))
     n = SW.shape[0]
+    ctx = None
     if n * (n - 1) // 2 < k:
         scored = _block_bruteforce(
             rec.withColumn("side", F.lit(0)), cfg, float("inf"), num_blocks
@@ -811,17 +1115,40 @@ def emd_topk_nd(
         idx = min(int(np.ceil(need_frac * len(upp_vals))), len(upp_vals) - 1)
         probe = min(max(float(upp_vals[idx]), 1e-9), ceiling)
         scored = None
+        ctx = None
+        if strategy == "grid":
+            # the quantile grid + cell screens are theta-independent: build
+            # once, reuse across the escalation probes (each probe then
+            # costs one guest-enumeration + join job, not a full rebuild)
+            mass = F.aggregate(F.col("w"), F.lit(0.0), lambda a, x: a + x) > 0
+            ctx = _build_grid_ctx(
+                rec.where(mass).withColumn("side", F.lit(0)), bin_points, cfg, grid
+            )
         while True:
-            cand = emd_join_nd(
-                rec, bin_points, probe, cfg=cfg, strategy=strategy, grid=grid,
-                num_blocks=num_blocks,
-            ).persist()
+            if ctx is not None:
+                cand = _grid_join(ctx, probe).persist()
+            else:
+                cand = emd_join_nd(
+                    rec, bin_points, probe, cfg=cfg, strategy=strategy,
+                    grid=grid, num_blocks=num_blocks,
+                ).persist()
             if probe >= ceiling or cand.count() >= k:
                 scored = cand
                 break
+            cand.unpersist()  # superseded probe: release before escalating
             probe = min(probe * 4 + 4 * cfg.slack, ceiling)
-    top = scored.orderBy("emd", "rid", "sid").limit(k)
-    w = Window.orderBy(F.col("emd").asc(), F.col("rid").asc(), F.col("sid").asc())
-    return top.withColumn("rank", F.row_number().over(w)).select(
-        "rank", "rid", "sid", "emd"
+    # the global top-k is k rows by definition — merge on the driver
+    # (TakeOrdered), release every cache deterministically, and return a
+    # local DataFrame so no cached RDDs outlive the call
+    rows = scored.orderBy("emd", "rid", "sid").limit(k).collect()
+    spark = hist.sparkSession
+    if scored.is_cached:
+        scored.unpersist()
+    if ctx is not None:
+        ctx.rec1.unpersist()
+    rec.unpersist()
+    out = spark.createDataFrame(
+        [(i + 1, r.rid, r.sid, float(r.emd)) for i, r in enumerate(rows)],
+        "rank long, rid long, sid long, emd double",
     )
+    return out.orderBy("rank")

@@ -37,6 +37,7 @@ from pyspark.sql.types import (
 __all__ = [
     "MEDIA_SCHEMA",
     "read_binary_dir",
+    "byte_histogram_decoder",
     "fake_decode_image",
     "decode_features",
     "frame_sample",
@@ -71,6 +72,21 @@ def read_binary_dir(spark: SparkSession, path: str, modality: str = "image") -> 
     )
 
 
+def byte_histogram_decoder(content: bytes, bins: int) -> np.ndarray:
+    """REAL, deterministic, dependency-free feature extractor: the payload's
+    byte-value distribution folded into ``bins`` buckets (bucket =
+    byte * bins // 256), L1-normalized.  This is the default decode path —
+    the GenerateUtil color-histogram analog (utils/GenerateUtil.java:44-60)
+    computable on any binary payload with no codec libraries, and exactly
+    reproducible in SQL for the correctness oracle.  Pass a codec-backed
+    ``decoder`` for modality-aware features (pixels, spectrograms, ...)."""
+    a = np.frombuffer(content or b"", dtype=np.uint8)
+    if a.size == 0:
+        return np.zeros(bins)
+    h = np.bincount((a.astype(np.int64) * bins) >> 8, minlength=bins).astype(np.float64)
+    return h / h.sum()
+
+
 def fake_decode_image(content: bytes, bins: int) -> np.ndarray:
     """Deterministic stand-in for a real image decoder + feature extractor:
     derives a stable pseudo-histogram from the bytes (seeded by crc32), so
@@ -98,16 +114,15 @@ def decode_features(
     """content binary -> feature histogram column (array<double>, length
     ``bins``) via Arrow-batched ``mapInPandas``.
 
-    STUB BOUNDARY: ``decoder`` does the real codec work.  With
-    ``fake=True`` the deterministic fake runs instead; with neither, raises
-    NotImplementedError (no image/audio libs in this container).
+    Default decoder is :func:`byte_histogram_decoder` — a real deterministic
+    extractor over raw payload bytes.  STUB BOUNDARY: modality-aware codec
+    decoding (JPEG pixels, PCM frames, ...) needs a codec-backed ``decoder``
+    callable; no image/audio libraries exist in this container, so that hook
+    is the declared integration point, not shipped code.  ``fake=True``
+    selects the seeded pseudo-histogram stand-in used by recall tests.
     """
     if decoder is None:
-        if not fake:
-            raise NotImplementedError(
-                "no media codec available here: pass decoder= or fake=True"
-            )
-        decoder = fake_decode_image
+        decoder = fake_decode_image if fake else byte_histogram_decoder
 
     out_schema = StructType(
         [

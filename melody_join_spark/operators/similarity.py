@@ -327,9 +327,12 @@ def lsh_cosine_pairs(
     )
     va = e.select(F.col("id").alias("rid"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     vb = e.select(F.col("id").alias("sid"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    return (
+    from ..cache import release_on_gc
+
+    out = (
         cand.join(va, "rid")
         .join(vb, "sid")
         .select("rid", "sid", cosine_expr().alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+    return release_on_gc(out, e, band_keys)

@@ -25,7 +25,11 @@ def get_spark(app_name: str = "melody-join-spark", shuffle_partitions: int | Non
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM IS the executor; 32 concurrent tasks
+        # shuffling array columns on an 8g heap live in permanent old-gen
+        # pressure (measured: the same join got 2.5x slower by the second
+        # run of a session).  Size the heap like the executor it is.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

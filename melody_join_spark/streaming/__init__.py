@@ -87,11 +87,17 @@ def streaming_dedup(
 ) -> DataFrame:
     """Keep the first row per content fingerprint within the watermark
     horizon — the streaming form of exact dedup (operators/dedup.py).
-    State is bounded by the watermark."""
+
+    Uses ``dropDuplicatesWithinWatermark``: dedup state for a fingerprint is
+    evicted once the watermark passes its event time, so state really is
+    bounded by the watermark horizon.  (Plain ``dropDuplicates(['fp'])``
+    would only evict when the event-time column itself is part of the key —
+    two identical payloads then differ in ts and are NOT duplicates —
+    so its state grows without bound on long-running streams.)"""
     return (
         stream.withColumn("fp", fingerprint_col)
         .withWatermark(event_time, watermark)
-        .dropDuplicates(["fp"])
+        .dropDuplicatesWithinWatermark(["fp"])
     )
 
 
@@ -129,20 +135,37 @@ def streaming_sessionize(
     )
     gap_us = gap_minutes * 60 * 1_000_000
 
+    # after a session closes by timeout, the (session_id, last event time)
+    # tombstone is retained for `retention` more gap periods so a returning
+    # user continues the monotonic per-user session_id sequence (batch
+    # parity); only after that quiet period is state fully removed.  State
+    # is therefore still bounded: active users hold live aggregates, idle
+    # users hold a 2-long tombstone until retention expires.
+    retention_ms = gap_minutes * 60 * 1000 * 48
+
     def fn(key, pdfs, state):
         user_id = key[0]
         if state.hasTimedOut:
             sid, n, s_us, e_us = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "session_id": [sid],
-                    "n_events": [n],
-                    "session_start": [pd.Timestamp(s_us, unit="us")],
-                    "session_end": [pd.Timestamp(e_us, unit="us")],
-                }
-            )
+            if n > 0:
+                # close the open session but KEEP the id counter: removing
+                # state here would reset session_id to 1 on the user's next
+                # event, colliding with already-emitted (user_id, session_id)
+                # keys and diverging from batch sessionize's monotonic ids
+                state.update((int(sid), 0, 0, int(e_us)))
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + retention_ms)
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_id": [sid],
+                        "n_events": [n],
+                        "session_start": [pd.Timestamp(s_us, unit="us")],
+                        "session_end": [pd.Timestamp(e_us, unit="us")],
+                    }
+                )
+            else:
+                # tombstone expired with no new events: drop state for good
+                state.remove()
             return
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()

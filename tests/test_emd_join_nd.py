@@ -260,3 +260,65 @@ def test_duplicate_free_output(spark, hist_df, bins_2d):
     nd = df.select("rid", "sid").distinct().count()
     assert n == nd
     assert df.where(F.col("rid") >= F.col("sid")).count() == 0
+
+
+def test_cell_level_guest_pruning_active(spark, hist_df, bins_2d):
+    """The Grid.getGuestWithDual-analog screens (empty/Rubner-bbox/normal/
+    dual-range) must actually eliminate candidate guest replications, and
+    eliminating them must not change the result set (grid == bruteforce is
+    asserted elsewhere; here we assert the counters move)."""
+    from melody_join_spark.operators.emd_join_nd import JoinStats
+
+    stats = JoinStats(spark.sparkContext)
+    res = emd_join_nd(hist_df, bins_2d, THETA, strategy="grid", grid=4, stats=stats)
+    res.count()
+    snap = stats.snapshot()
+    assert snap["guest_considered"] > 0
+    cell_pruned = (
+        snap["guest_pruned_empty"]
+        + snap["guest_pruned_rubner"]
+        + snap["guest_pruned_normal"]
+        + snap["guest_pruned_dual"]
+    )
+    assert cell_pruned > 0, snap
+    assert snap["guest_replicas"] < snap["guest_considered"]
+
+
+def test_join_releases_caches_on_gc(spark, hist_df, bins_2d):
+    """Library contract (two-phase): dropping the result marks the
+    operator's internal persist() handles releasable; the next operator
+    invocation (or an explicit drain) actually unpersists them — so caches
+    never die mid-query, and never accumulate across queries."""
+    import gc
+
+    from melody_join_spark import cache
+
+    cache.drain(force=True)
+    res = emd_join_nd(hist_df, bins_2d, THETA, strategy="grid", grid=3)
+    res.count()
+    jsc = spark.sparkContext._jsc
+    assert jsc.getPersistentRDDs().size() > 0  # cache alive while result is
+    del res
+    gc.collect()
+    # a second query's construction drains the first query's caches ...
+    res2 = emd_join_nd(hist_df, bins_2d, THETA, strategy="grid", grid=4)
+    res2.count()
+    del res2
+    gc.collect()
+    # ... and the explicit drain releases everything that remains
+    cache.drain()
+    assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_topk_releases_caches_deterministically(spark, hist_df, bins_2d):
+    import gc
+
+    from melody_join_spark import cache
+
+    cache.drain(force=True)
+    res = emd_topk_nd(hist_df, bins_2d, 5, strategy="grid", grid=3)
+    assert res.count() == 5
+    del res
+    gc.collect()
+    cache.drain()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0

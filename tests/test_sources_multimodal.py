@@ -75,10 +75,19 @@ def test_read_binary_dir_and_decode(spark, media_dir):
     }
 
 
-def test_decode_without_decoder_raises(spark, media_dir):
+def test_decode_default_is_byte_histogram(spark, media_dir):
+    """Default decode path is the REAL byte-histogram extractor: features
+    equal the numpy reference computed on the same payload bytes."""
+    from melody_join_spark.operators.multimodal import byte_histogram_decoder
+
     df = read_binary_dir(spark, media_dir)
-    with pytest.raises(NotImplementedError):
-        decode_features(df, bins=8)
+    payloads = {r.media_id: bytes(r.content) for r in df.collect()}
+    feats = decode_features(df, bins=8).collect()
+    assert len(feats) == len(payloads)
+    for r in feats:
+        expect = byte_histogram_decoder(payloads[r.media_id], 8)
+        assert np.allclose(np.array(r.features), expect)
+        assert np.isclose(sum(r.features), 1.0)
 
 
 def test_frame_sample(spark, media_dir):
