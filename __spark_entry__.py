@@ -100,16 +100,25 @@ def _q_emd_nd_line(spark, sf_dir):
 
 
 def _q_emd_nd_2d(spark, sf_dir):
+    """d=2 grid-strategy threshold join.  Hash-checked against the
+    independent-solver fixture (scripts/make_fixtures.py): exact d=2 EMD is
+    an LP per pair, inexpressible in SQL, so the oracle reads the all-pairs
+    table precomputed by the successive-shortest-path solver — a different
+    algorithm family from the engine's transportation simplex."""
     hist = lineitem_histograms_2d(spark, sf_dir)
-    return emd_join_nd(
-        hist, bin_points_2d(), ND_THETA_2D, strategy="grid", grid=12
-    ).orderBy("rid", "sid")
+    res = emd_join_nd(hist, bin_points_2d(), ND_THETA_2D, strategy="grid", grid=12)
+    return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
 
 
 def _q_emd_nd_topk_2d(spark, sf_dir):
     hist = lineitem_histograms_2d(spark, sf_dir)
     res = emd_topk_nd(hist, bin_points_2d(), ND_TOPK, strategy="grid", grid=12)
-    return res.select(F.col("rank").cast("long").alias("rank"), "rid", "sid", "emd")
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        "rid",
+        "sid",
+        F.round("emd", 6).alias("emd"),
+    )
 
 
 def _q_emd_nd_pivot_line(spark, sf_dir):
@@ -128,12 +137,11 @@ def _q_emd_nd_pivot_2d(spark, sf_dir):
     """MRSimJoin pivot strategy at d=2 — the LP-metric pivot partitioner
     (lower-bound screened pivot assignment, windowed in-partition join).
     Same pair set as the grid/bruteforce d=2 plans (parity-tested in
-    tests/test_emd_join_nd.py); exact d=2 EMD is an LP per pair, so this is
-    a rows-only driver check like the other _2d queries."""
+    tests/test_emd_join_nd.py); hash-checked against the independent-solver
+    fixture like _q_emd_nd_2d."""
     hist = lineitem_histograms_2d(spark, sf_dir)
-    return emd_join_nd(
-        hist, bin_points_2d(), ND_THETA_2D, strategy="pivot"
-    ).orderBy("rid", "sid")
+    res = emd_join_nd(hist, bin_points_2d(), ND_THETA_2D, strategy="pivot")
+    return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
 
 
 def _q_cosine_topk_ivf(spark, sf_dir):
@@ -218,6 +226,7 @@ JACCARD_NGRAM = 5
 COSINE_THETA = 0.25
 COSINE_DIM = 128
 TOPK_QUERIES = 32
+KNN_K = 5
 
 
 def _docs(spark, sf_dir):
@@ -257,10 +266,25 @@ def _q_dedupe_corpus(spark, sf_dir):
 
 
 def _q_emd_knn_2d(spark, sf_dir):
+    """Exact-EMD kNN, hash-checked against the independent-solver fixture.
+    Rank ties: dup-heavy data yields exactly-equal rational EMDs (1/3, ...)
+    whose last-bit doubles differ between the simplex and the fixture's SSP
+    solver, so ranking on raw values is cross-engine unstable.  Fetch a
+    margin (k=10), re-rank on round(emd, 6) with nid tie-break — fully
+    deterministic in both engines — and cut at k=5."""
+    from pyspark.sql.window import Window
+
     hist = lineitem_histograms_2d(spark, sf_dir)
     queries = hist.orderBy("id").limit(TOPK_QUERIES)
-    return emd_knn(
-        hist.select("id", "w"), queries.select("id", "w"), bin_points_2d(), k=5
+    res = emd_knn(
+        hist.select("id", "w"), queries.select("id", "w"), bin_points_2d(), k=10
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("emd").asc(), F.col("nid").asc())
+    return (
+        res.withColumn("emd", F.round("emd", 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= KNN_K)
+        .select("qid", "nid", "emd", "rank")
     )
 
 
@@ -427,16 +451,55 @@ ranked AS (
   FROM scored
 )
 SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 10"""
+    # d=2 exact EMD is a min-cost-flow LP per pair — not SQL-expressible
+    # directly.  The oracle instead reads the committed all-pairs fixture
+    # computed by the INDEPENDENT successive-shortest-path solver
+    # (scripts/make_fixtures.py; engine/solver cross-validation in
+    # tests/test_fixture_solver.py), turning the four d=2 queries into
+    # hash-grade checks.  round+0 folds round()'s -0.0 back to +0.0.
+    fx = "read_parquet('/root/repo/fixtures/emd2d_pairs_sf001.parquet')"
+    nd_2d_sql = f"""
+SELECT rid, sid, round(emd, 6) + 0 AS emd FROM {fx}
+WHERE emd <= {ND_THETA_2D} + 1e-4 ORDER BY rid, sid"""
+    nd_topk_2d_sql = f"""
+WITH ranked AS (
+  SELECT row_number() OVER (ORDER BY emd, rid, sid) AS rank, rid, sid, emd
+  FROM {fx}
+)
+SELECT rank, rid, sid, round(emd, 6) + 0 AS emd FROM ranked
+WHERE rank <= {ND_TOPK} ORDER BY rank"""
+    knn_2d_sql = f"""
+WITH ids AS (
+  SELECT DISTINCT rid AS id FROM {fx}
+  UNION SELECT DISTINCT sid FROM {fx}
+),
+q AS (SELECT id FROM ids ORDER BY id LIMIT {TOPK_QUERIES}),
+e AS (
+  SELECT rid AS qid, sid AS nid, emd FROM {fx}
+  UNION ALL SELECT sid, rid, emd FROM {fx}
+),
+ranked AS (
+  -- rank on ROUNDED emd (ties by nid): raw last-bit doubles differ between
+  -- the fixture's SSP solver and the engine's simplex on exactly-tied
+  -- rational EMDs, so raw-order ranks are cross-engine unstable
+  SELECT e.qid, e.nid, round(e.emd, 6) + 0 AS emd,
+         row_number() OVER (
+           PARTITION BY e.qid ORDER BY round(e.emd, 6) + 0, e.nid
+         ) AS rank
+  FROM e JOIN q ON e.qid = q.id
+)
+SELECT qid, nid, emd, rank FROM ranked
+WHERE rank <= {KNN_K} ORDER BY qid, rank"""
     return {
         "emd_threshold_bruteforce": threshold_sql,
         "emd_threshold_cells": threshold_sql,
         "emd_topk": topk_sql,
         "emd_nd_threshold_line": nd_line_sql,
-        # emd_nd_threshold_2d / emd_nd_topk_2d: exact d=2 EMD is a min-cost
-        # LP per pair — not SQL-expressible; rows-only driver check.  Their
-        # correctness net is tests/test_emd_join_nd.py (grid == bruteforce ==
-        # kernel oracle) and the hash-checked collinear twin above.
+        "emd_nd_threshold_2d": nd_2d_sql,
+        "emd_nd_topk_2d": nd_topk_2d_sql,
         "emd_nd_threshold_pivot_line": nd_line_sql,
+        "emd_nd_threshold_pivot_2d": nd_2d_sql,
+        "emd_knn_2d": knn_2d_sql,
         "events_window_hourly": events_window_sql,
         "events_sessionize": sessionize_sql,
         "emd_user_behavior": user_behavior_sql,
@@ -446,8 +509,6 @@ SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 10"""
         "text_features": text_features_oracle_sql(),
         "dedup_exact": exact_dedup_groups_oracle_sql(),
         "dedupe_corpus": dedupe_oracle_sql(),
-        # emd_knn_2d: exact d=2 EMD kNN — LP per pair, not SQL-expressible;
-        # rows-only here, kernel-parity tested in tests/test_emd_join_nd.py
         "dedup_jaccard_ngram": jaccard_pairs_oracle_sql(
             JACCARD_THETA, ngram=JACCARD_NGRAM
         ),

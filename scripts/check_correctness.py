@@ -10,7 +10,12 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_args = [a for a in sys.argv[1:] if not a.startswith("--only=")]
+ONLY = None
+for _a in sys.argv[1:]:
+    if _a.startswith("--only="):  # --only=q1,q2 runs a subset while iterating
+        ONLY = set(_a.split("=", 1)[1].split(","))
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -41,6 +46,8 @@ def main() -> int:
     qs, oracles = em.queries(), em.oracle_sql()
     failures = []
     for name, fn in qs.items():
+        if ONLY is not None and name not in ONLY:
+            continue
         sdf = fn(spark, SF_DIR)
         srows = sdf.collect()
         scols = sorted(sdf.columns)

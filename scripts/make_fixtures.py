@@ -1,0 +1,103 @@
+"""Build oracle fixtures for the d>=2 EMD queries.
+
+The DuckDB oracle cannot express an LP per pair, so the d=2 queries were
+rows-only checks in round 1.  This script computes the complete all-pairs
+exact-EMD table for the sf0.01 d=2 workload with the INDEPENDENT
+successive-shortest-path solver (scripts/fixture_solver.py — a different
+algorithm family from the engine's transportation simplex, cross-validated
+to 1e-15 in tests/test_fixture_solver.py) and writes it to
+``fixtures/emd2d_pairs_sf001.parquet``.  The oracle SQL for the four d=2
+queries (threshold grid, threshold pivot, top-k, kNN) then derives each
+result from this table with plain SQL over ``read_parquet``.
+
+Inputs come from the exact same helper the Spark queries use
+(`plans.tpch_bridge.lineitem_histograms_2d`), so engine and oracle see
+identical histograms by construction.
+
+Usage: python scripts/make_fixtures.py  (~2-4 min on 16 cores)
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "fixtures", "emd2d_pairs_sf001.parquet")
+
+_W = None
+_C = None
+
+
+def _init(W, C):
+    global _W, _C
+    _W, _C = W, C
+
+
+def _pairs_for(i: int):
+    from fixture_solver import ssp_emd
+
+    n = _W.shape[0]
+    return [(i, j, ssp_emd(_W[i], _W[j], _C)) for j in range(i + 1, n)]
+
+
+def main() -> None:
+    from melody_join_spark.session import get_spark
+    from melody_join_spark.plans.tpch_bridge import (
+        bin_points_2d,
+        lineitem_histograms_2d,
+    )
+
+    spark = get_spark("make-fixtures")
+    rows = (
+        lineitem_histograms_2d(spark, SF_DIR)
+        .select("id", "w")
+        .orderBy("id")
+        .collect()
+    )
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    W = np.stack([np.asarray(r["w"], dtype=np.float64) for r in rows])
+    pts = bin_points_2d()
+    C = np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=2)
+    n = len(ids)
+    print(f"{n} histograms -> {n * (n - 1) // 2} pairs")
+    t0 = time.time()
+    with mp.Pool(16, initializer=_init, initargs=(W, C)) as pool:
+        chunks = pool.map(_pairs_for, range(n))
+    rid, sid, emd = [], [], []
+    for ch in chunks:
+        for i, j, e in ch:
+            rid.append(int(ids[i]))
+            sid.append(int(ids[j]))
+            emd.append(e)
+    print(f"solved in {time.time() - t0:.1f}s")
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    tbl = pa.table(
+        {
+            "rid": pa.array(rid, type=pa.int64()),
+            "sid": pa.array(sid, type=pa.int64()),
+            "emd": pa.array(emd, type=pa.float64()),
+        }
+    )
+    pq.write_table(tbl, OUT)
+    e = np.array(emd)
+    print(f"wrote {OUT}: {len(e)} pairs, emd range [{e.min():.6f}, {e.max():.6f}]")
+    print(f"pairs <= 0.25+1e-4: {(e <= 0.2501).sum()}")
+    srt = np.sort(e)
+    print("top-20 boundary gap:", srt[20] - srt[19])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Cross-validation of the independent fixture solver (scripts/fixture_solver).
+
+The d=2 oracle fixtures are only trustworthy if the successive-shortest-path
+solver and the engine's transportation simplex (kernel/emd.py) — two
+unrelated algorithm families — agree on the exact optimum.  Three-way check:
+SSP vs simplex on random sparse/dense inputs, and both vs the d=1 closed
+form (area between CDFs), which is a third independent derivation.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts"))
+
+from fixture_solver import ssp_emd  # noqa: E402
+
+from melody_join_spark.kernel import normalize  # noqa: E402
+from melody_join_spark.kernel.emd import emd_exact  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def lattice_cost():
+    g = 4
+    pts = np.array([[i, j] for i in range(g) for j in range(g)], dtype=np.float64)
+    return np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=2)
+
+
+def test_ssp_matches_simplex_sparse(lattice_cost):
+    rng = np.random.default_rng(7)
+    for _ in range(400):
+        a = np.zeros(16)
+        b = np.zeros(16)
+        for i in rng.choice(16, rng.integers(1, 7), replace=False):
+            a[i] = rng.integers(1, 20)
+        for i in rng.choice(16, rng.integers(1, 7), replace=False):
+            b[i] = rng.integers(1, 20)
+        e1 = emd_exact(normalize(a[None])[0], normalize(b[None])[0], lattice_cost)
+        e2 = ssp_emd(a, b, lattice_cost)
+        assert abs(e1 - e2) < 1e-9, (a, b, e1, e2)
+
+
+def test_ssp_matches_simplex_dense(lattice_cost):
+    rng = np.random.default_rng(11)
+    for _ in range(100):
+        a = rng.random(16)
+        b = rng.random(16)
+        e1 = emd_exact(normalize(a[None])[0], normalize(b[None])[0], lattice_cost)
+        e2 = ssp_emd(a, b, lattice_cost)
+        assert abs(e1 - e2) < 1e-9
+
+
+def test_ssp_matches_1d_closed_form():
+    pos = np.arange(12, dtype=np.float64)
+    C = np.abs(pos[:, None] - pos[None, :])
+    rng = np.random.default_rng(13)
+    for _ in range(200):
+        a = rng.random(12)
+        b = rng.random(12)
+        closed = float(np.abs(np.cumsum(a / a.sum() - b / b.sum()))[:-1].sum())
+        assert abs(closed - ssp_emd(a, b, C)) < 1e-9
+
+
+def test_ssp_identical_and_zero():
+    C = np.abs(np.arange(4.0)[:, None] - np.arange(4.0)[None, :])
+    a = np.array([1.0, 2.0, 0.0, 1.0])
+    assert ssp_emd(a, 3 * a, C) == 0.0  # scale-invariant (L1 normalization)
+    assert ssp_emd(np.zeros(4), a, C) == 0.0  # zero-mass convention
+
+
+def test_fixture_file_matches_engine_sample():
+    """Spot-check the committed fixture against the engine kernel: 200
+    random fixture rows re-solved with the transportation simplex must
+    agree to 1e-9 (catches a stale fixture after testdata regeneration)."""
+    fx = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)),
+        "fixtures",
+        "emd2d_pairs_sf001.parquet",
+    )
+    if not os.path.exists(fx):
+        pytest.skip("fixture not built")
+    import pyarrow.parquet as pq
+
+    from melody_join_spark.session import get_spark
+    from melody_join_spark.plans.tpch_bridge import (
+        bin_points_2d,
+        lineitem_histograms_2d,
+    )
+
+    if not os.path.isdir("/root/testdata/sf0.01"):
+        pytest.skip("testdata not present")
+    spark = get_spark("test-fixture")
+    rows = (
+        lineitem_histograms_2d(spark, "/root/testdata/sf0.01")
+        .select("id", "w")
+        .collect()
+    )
+    W = {int(r["id"]): normalize(np.asarray(r["w"], dtype=np.float64)[None])[0] for r in rows}
+    pts = bin_points_2d()
+    C = np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=2)
+    t = pq.read_table(fx).to_pandas()
+    assert set(t["rid"]).issubset(W.keys()) and set(t["sid"]).issubset(W.keys())
+    n = len(W)
+    assert len(t) == n * (n - 1) // 2, "fixture must be complete all-pairs"
+    sample = t.sample(200, random_state=3)
+    for _, r in sample.iterrows():
+        e = emd_exact(W[int(r["rid"])], W[int(r["sid"])], C)
+        assert abs(e - r["emd"]) < 1e-9
