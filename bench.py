@@ -13,9 +13,15 @@ import sys
 import time
 
 
+def _cpu_stat() -> list[int]:
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    stat0 = _cpu_stat()
 
     from melody_join_spark.session import get_spark
 
@@ -39,6 +45,14 @@ def main() -> None:
         # don't inherit the accumulated cache/GC pressure
         spark.catalog.clearCache()
 
+    # host contention context: steal% is CPU time the hypervisor withheld
+    # from this VM during the run.  Wall-clock timings above are inflated
+    # by roughly 1/(1-steal) when nonzero — compare runs at similar steal.
+    stat1 = _cpu_stat()
+    d = [b - a for a, b in zip(stat0, stat1)]
+    tot = sum(d) or 1
+    steal_pct = round(100.0 * d[7] / tot, 2) if len(d) > 7 else None
+    busy_pct = round(100.0 * (tot - d[3]) / tot, 2)
     print(
         json.dumps(
             {
@@ -47,6 +61,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "host_steal_pct": steal_pct,
+                "host_busy_pct": busy_pct,
             }
         )
     )

@@ -91,6 +91,12 @@ class EmdCascade:
                 err = cdf_approx_error(Ws, ps, mu, sigma)
                 self.normal_stats.append((mu, sigma, err))
         self._indmin_on = True
+        # row-group ids: identical (normalized) histograms share a group, so
+        # the exact stage can memoize one LP per DISTINCT pair — dup-heavy
+        # data (the LLM-dedup regime; 33% dup rate measured on the sf0.1 d=2
+        # bridge tables) then pays ~half the LPs for the same results
+        _, self.row_group = np.unique(self.weights, axis=0, return_inverse=True)
+        self._pair_memo: dict = {}
         # d=1 closed-form fast path (DistanceUtil.get1dEmd with real bins,
         # utils/DistanceUtil.java:57-79): exact EMD on a line is the area
         # between step CDFs — vectorized, no LP
@@ -251,14 +257,20 @@ class EmdCascade:
             pos, cdf = self._line
             emds = emd_1d_pairs(cdf, li, ri, positions=pos)
         else:
-            # identical rows (dup-heavy data: LLM-dedup regime) short-circuit
-            # to 0 — an LP per equal pair is pure waste
+            # identical rows (same row group) short-circuit to 0, and every
+            # distinct (group, group) pair solves its LP exactly once — memo
+            # hits are free repeats on dup-heavy data
             emds = np.zeros(li.size)
-            neq = np.flatnonzero(
-                ~np.all(self.weights[li] == self.weights[ri], axis=1)
-            )
-            for k in neq:
-                emds[k] = self.exact(int(li[k]), int(ri[k]))
+            gl = self.row_group[li]
+            gr = self.row_group[ri]
+            memo = self._pair_memo
+            for k in np.flatnonzero(gl != gr):
+                key = (gl[k], gr[k]) if gl[k] < gr[k] else (gr[k], gl[k])
+                e = memo.get(key)
+                if e is None:
+                    e = self.exact(int(li[k]), int(ri[k]))
+                    memo[key] = e
+                emds[k] = e
         st.exact_evaluated += li.size
         keep = emds <= thr
         return li[keep], ri[keep], emds[keep]

