@@ -35,6 +35,7 @@ __all__ = [
     "streaming_window_counts",
     "streaming_dedup",
     "streaming_emd_lookup",
+    "streaming_emd_join_nd",
     "streaming_sessionize",
 ]
 
@@ -228,3 +229,70 @@ def streaming_emd_lookup(
         .where(F.col("emd") <= float(threshold))
         .select(F.col("id_a").alias("rid"), F.col("id_b").alias("sid"), "emd")
     )
+
+
+def streaming_emd_join_nd(
+    stream_hist: DataFrame,
+    ref_hist: DataFrame,
+    bin_points,
+    threshold: float,
+    cfg=None,
+    id_col: str = "id",
+    w_col: str = "w",
+    seed: int = 42,
+) -> DataFrame:
+    """Stream-static EMD threshold join for general-d bins: each micro-batch
+    of incoming histograms runs the full filter cascade (Rubner -> normal ->
+    projection -> dual -> reduction -> IndMin -> exact LP, kernel/cascade.py)
+    against a broadcast static reference set.  Emits (rid=stream id,
+    sid=ref id, emd) within threshold (+1e-4 slack, batch parity).
+
+    The 1-D expression-tree lookup (:func:`streaming_emd_lookup`) covers
+    collinear bins entirely JVM-side; this operator is its d>=2 twin, where
+    exact EMD is an LP per pair and must run in an Arrow-batched pandas
+    pass.  Stateless by design — the work per micro-batch is bounded by
+    |batch| x |ref| vectorized bound evaluations plus an LP per surviving
+    pair, and scales horizontally with stream partitions (the reference set
+    ships once per executor via broadcast, as the batch operators do for
+    their side inputs)."""
+    import numpy as np
+
+    from ..kernel import normalize
+    from ..operators.emd_join_nd import _cascade_for, build_config
+
+    bin_points = np.atleast_2d(np.asarray(bin_points, dtype=np.float64))
+    if bin_points.shape[0] == 1 and bin_points.shape[1] > 1:
+        bin_points = bin_points.T
+    ref_rows = ref_hist.select(id_col, w_col).collect()
+    rids = np.array([r[0] for r in ref_rows], dtype=np.int64)
+    RW = normalize(np.array([r[1] for r in ref_rows], dtype=np.float64))
+    if cfg is None:
+        cfg = build_config(bin_points, seed_weights=RW, seed=seed)
+    spark = stream_hist.sparkSession
+    b_ref = spark.sparkContext.broadcast((rids, RW))
+
+    def part(it):
+        import pandas as pd
+
+        rids_, RW_ = b_ref.value
+        m = RW_.shape[0]
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            W = normalize(np.stack(pdf[w_col].to_numpy()).astype(np.float64))
+            n = W.shape[0]
+            # one cascade over the stacked [batch | ref] matrix; candidate
+            # pairs are the full batch x ref cross — the vectorized Rubner
+            # stage prunes it before anything per-pair runs
+            casc = _cascade_for(np.vstack([W, RW_]), cfg)
+            li = np.repeat(np.arange(n), m)
+            ri = n + np.tile(np.arange(m), n)
+            li, ri, emds = casc.run(li, ri, float(threshold), slack=cfg.slack)
+            yield pd.DataFrame(
+                {"rid": ids[li], "sid": rids_[ri - n], "emd": emds}
+            )
+
+    return stream_hist.select(
+        F.col(id_col).alias(id_col), F.col(w_col).alias(w_col)
+    ).mapInPandas(part, "rid long, sid long, emd double")
