@@ -110,6 +110,18 @@ def _q_emd_nd_2d(spark, sf_dir):
     return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
 
 
+def _q_emd_nd_2d_l1(spark, sf_dir):
+    """d=2 grid join under the L1 (LONE) ground distance — exercises the
+    DistanceType plumbing end to end: L1 cost matrix, Rubner screens in the
+    1-norm, Hoelder-scaled projections.  Hash-checked against the
+    independent-solver L1 fixture."""
+    hist = lineitem_histograms_2d(spark, sf_dir)
+    res = emd_join_nd(
+        hist, bin_points_2d(), ND_THETA_2D, strategy="grid", grid=12, ground="l1"
+    )
+    return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
+
+
 def _q_emd_nd_topk_2d(spark, sf_dir):
     hist = lineitem_histograms_2d(spark, sf_dir)
     res = emd_topk_nd(hist, bin_points_2d(), ND_TOPK, strategy="grid", grid=12)
@@ -313,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_topk": _q_emd_topk,
         "emd_nd_threshold_line": _q_emd_nd_line,
         "emd_nd_threshold_2d": _q_emd_nd_2d,
+        "emd_nd_threshold_2d_l1": _q_emd_nd_2d_l1,
         "emd_nd_topk_2d": _q_emd_nd_topk_2d,
         "emd_nd_threshold_pivot_line": _q_emd_nd_pivot_line,
         "emd_nd_threshold_pivot_2d": _q_emd_nd_pivot_2d,
@@ -458,8 +471,12 @@ SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 10"""
     # tests/test_fixture_solver.py), turning the four d=2 queries into
     # hash-grade checks.  round+0 folds round()'s -0.0 back to +0.0.
     fx = "read_parquet('/root/repo/fixtures/emd2d_pairs_sf001.parquet')"
+    fx_l1 = "read_parquet('/root/repo/fixtures/emd2d_l1_pairs_sf001.parquet')"
     nd_2d_sql = f"""
 SELECT rid, sid, round(emd, 6) + 0 AS emd FROM {fx}
+WHERE emd <= {ND_THETA_2D} + 1e-4 ORDER BY rid, sid"""
+    nd_2d_l1_sql = f"""
+SELECT rid, sid, round(emd, 6) + 0 AS emd FROM {fx_l1}
 WHERE emd <= {ND_THETA_2D} + 1e-4 ORDER BY rid, sid"""
     nd_topk_2d_sql = f"""
 WITH ranked AS (
@@ -496,6 +513,7 @@ WHERE rank <= {KNN_K} ORDER BY qid, rank"""
         "emd_topk": topk_sql,
         "emd_nd_threshold_line": nd_line_sql,
         "emd_nd_threshold_2d": nd_2d_sql,
+        "emd_nd_threshold_2d_l1": nd_2d_l1_sql,
         "emd_nd_topk_2d": nd_topk_2d_sql,
         "emd_nd_threshold_pivot_line": nd_line_sql,
         "emd_nd_threshold_pivot_2d": nd_2d_sql,

@@ -58,26 +58,38 @@ def rubner_bound(ca: np.ndarray, cb: np.ndarray, ord: float = 2) -> np.ndarray:
     return np.linalg.norm(d, ord=ord, axis=1)
 
 
-def rubner_bound_to_bbox(c: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+def rubner_bound_to_bbox(
+    c: np.ndarray, lo: np.ndarray, hi: np.ndarray, ord: float = 2
+) -> np.ndarray:
     """Distance from centroid(s) ``c`` (R, d) to the axis-aligned bbox
     [lo, hi] of a cell's centroids: 3-line replacement for the reference's
-    27-octant case analysis (DistanceUtil.java:232-417), valid for any d."""
+    27-octant case analysis (DistanceUtil.java:232-417), valid for any d
+    and any Minkowski ``ord`` (the clamp point minimizes every p-norm
+    coordinate-wise, so it is the p-norm-nearest box point for all p)."""
     c = np.atleast_2d(np.asarray(c, dtype=np.float64))
     clamped = np.clip(c, lo, hi)
-    return np.linalg.norm(c - clamped, axis=1)
+    return np.linalg.norm(c - clamped, ord=ord, axis=1)
 
 
 # ---------------------------------------------------------------------------
 # Projection (1-D) bound
 # ---------------------------------------------------------------------------
 
-def projection_positions(bin_points: np.ndarray, vector: np.ndarray) -> np.ndarray:
-    """Project (B, d) bin locations onto a unit vector -> (B,) positions.
+def projection_positions(
+    bin_points: np.ndarray, vector: np.ndarray, ground: str = "l2"
+) -> np.ndarray:
+    """Project (B, d) bin locations onto a vector -> (B,) positions scaled
+    so the projected 1-D EMD lower-bounds the ``ground``-Minkowski EMD.
 
     Parity: HistUtil.projectBins (utils/HistUtil.java:495-517) with
-    unitArray (:532-542)."""
+    unitArray (:532-542) — the reference normalizes to unit L2, which is
+    exactly the Hoelder scaling for its L2 ground.  General Minkowski p:
+    |v . (x - y)| <= ||v||_q ||x - y||_p with q = p/(p-1), so dividing the
+    positions by the DUAL norm ||v||_q keeps the contraction property
+    (p=1 -> q=inf, p=2 -> q=2, p=3 -> q=1.5)."""
     v = np.asarray(vector, dtype=np.float64)
-    v = v / np.linalg.norm(v)
+    q = {"l1": np.inf, "l2": 2.0, "l3": 1.5}[ground]
+    v = v / np.linalg.norm(v, ord=q)
     return np.asarray(bin_points, dtype=np.float64) @ v
 
 

@@ -72,6 +72,12 @@ class EmdCascade:
     reduced_weights: list = field(default_factory=list)
     use_normal: bool = True
     normal_stats: list = field(default_factory=list)
+    # Minkowski exponent of the ground distance (1, 2 or 3), or None for an
+    # ARBITRARY cost matrix (DistanceType parity, DistanceUtil.java:440-474).
+    # None disables the centroid/Rubner stage and the d=1 CDF closed form —
+    # both assume |x-y|-shaped geometry the arbitrary matrix need not have;
+    # the dual / reduction / IndMin / exact stages are cost-matrix-generic.
+    rubner_ord: float | None = 2
 
     def __post_init__(self):
         self.weights = np.asarray(self.weights, dtype=np.float64)
@@ -102,7 +108,7 @@ class EmdCascade:
         # between step CDFs — vectorized, no LP
         self._line = None
         bp = np.atleast_2d(self.bin_points)
-        if bp.shape[1] == 1:
+        if bp.shape[1] == 1 and self.rubner_ord is not None:
             pos = bp[:, 0]
             order = np.argsort(pos, kind="stable")
             cdf = np.cumsum(self.weights[:, order], axis=1)
@@ -174,8 +180,8 @@ class EmdCascade:
         # (The reference's EmdFilter runs projections first because it has no
         # precomputed centroid column; the cascade ORDER cheap->expensive is
         # the invariant being preserved, EmdFilter.java:49-82.)
-        if li.size:
-            lb = rubner_bound(self.cents[li], self.cents[ri])
+        if li.size and self.rubner_ord is not None:
+            lb = rubner_bound(self.cents[li], self.cents[ri], ord=self.rubner_ord)
             keep = lb <= thr
             st.pruned_rubner += int((~keep).sum())
             li, ri = li[keep], ri[keep]

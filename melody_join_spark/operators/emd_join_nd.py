@@ -135,6 +135,10 @@ class NdJoinConfig:
     duals: list = field(default_factory=list)            # [DualPotentials]
     reductions: list = field(default_factory=list)       # [ReductionMap]
     slack: float = 1e-4             # DistanceUtil.EPSILON output slack
+    # Minkowski exponent of the ground distance, or None for an ARBITRARY
+    # cost matrix (DistanceType parity).  None disables every centroid- and
+    # projection-geometry screen (see EmdCascade.rubner_ord).
+    rubner_ord: float | None = 2
 
 
 def build_config(
@@ -146,22 +150,38 @@ def build_config(
     reduced_dim: int = 8,
     seed: int = 42,
     slack: float = 1e-4,
+    ground: str | np.ndarray = "l2",
 ) -> NdJoinConfig:
     """Build the broadcastable join config on the driver.
 
     ``seed_weights`` (>=2 rows of normalized weights) seed the dual
     potentials exactly as the reference seeds duals from cached record pairs
     (NEPreMapper.java:123-128); seeded rng makes runs reproducible
-    (SURVEY.md §5 determinism note)."""
+    (SURVEY.md §5 determinism note).
+
+    ``ground`` selects the ground distance: ``'l1' | 'l2' | 'l3'``
+    (Minkowski, DistanceType LONE/LTWO/LTHREE) or an explicit (B, B) cost
+    matrix (ARBITRARY, DistanceUtil.java:440-474).  Minkowski grounds get
+    the full screen stack (projections Hoelder-scaled to the chosen norm,
+    Rubner in the matching p-norm); an arbitrary matrix keeps only the
+    cost-matrix-generic stages (dual, reduction, IndMin, exact) — like the
+    reference, whose grid/normal machinery is built on L2 geometry."""
     bin_points = np.atleast_2d(np.asarray(bin_points, dtype=np.float64))
     if bin_points.shape[0] == 1 and bin_points.shape[1] > 1:
         bin_points = bin_points.T
-    cost = ground_distance_matrix(bin_points, dimension=bin_points.shape[1])
+    cost = ground_distance_matrix(
+        bin_points.ravel(), dimension=bin_points.shape[1], ground=ground
+    )
+    minkowski = {"l1": 1.0, "l2": 2.0, "l3": 3.0}.get(ground) if isinstance(
+        ground, str
+    ) else None
     d = bin_points.shape[1]
     rng = np.random.default_rng(seed)
 
     projs = []
-    if d == 1:
+    if minkowski is None:
+        n_proj = 0  # projection contraction needs a Minkowski ground
+    elif d == 1:
         n_proj = 1  # every 1-D projection is the same line (up to sign)
     for k in range(n_proj):
         if k < d:
@@ -169,7 +189,7 @@ def build_config(
             v[k] = 1.0          # axis projections first (always useful)
         else:
             v = rng.standard_normal(d)
-        projs.append(projection_positions(bin_points, v))
+        projs.append(projection_positions(bin_points, v, ground=ground))
 
     duals = []
     if seed_weights is not None and len(seed_weights) >= 2:
@@ -186,7 +206,9 @@ def build_config(
         ReductionMap(cost, reduced=min(reduced_dim, cost.shape[0]), seed=seed + k)
         for k in range(num_reductions)
     ]
-    return NdJoinConfig(bin_points, cost, projs, duals, reductions, slack)
+    return NdJoinConfig(
+        bin_points, cost, projs, duals, reductions, slack, rubner_ord=minkowski
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -210,6 +232,7 @@ def _cascade_for(weights: np.ndarray, cfg: NdJoinConfig) -> EmdCascade:
         proj_positions=cfg.proj_positions,
         duals=cfg.duals,
         reductions=cfg.reductions,
+        rubner_ord=cfg.rubner_ord,
     )
 
 
@@ -373,6 +396,7 @@ def emd_join_nd(
     seed: int = 42,
     other: DataFrame | None = None,
     stats: "JoinStats | None" = None,
+    ground: str | np.ndarray = "l2",
 ) -> DataFrame:
     """EMD threshold join -> DataFrame(rid, sid, emd).
 
@@ -386,6 +410,11 @@ def emd_join_nd(
     normalized (normalized per-record in the kernel, HistUtil.normalizeArray
     parity).  ``strategy``: 'grid' (quantile-cell pruned plan) or
     'bruteforce' (block join — the J7/BSP-baseline correctness oracle).
+
+    ``ground``: 'l1' | 'l2' | 'l3' | explicit (B, B) cost matrix
+    (DistanceType parity).  An arbitrary matrix supports 'bruteforce' and
+    'pivot' (which needs it to be a metric, as the reference assumes); the
+    grid strategy is centroid-geometry-based and requires Minkowski.
     """
     bin_points = np.atleast_2d(np.asarray(bin_points, dtype=np.float64))
     if bin_points.shape[0] == 1 and bin_points.shape[1] > 1:
@@ -393,7 +422,7 @@ def emd_join_nd(
     if cfg is None:
         seed_rows = hist.select(w_col).limit(8).collect()
         sw = np.array([r[0] for r in seed_rows], dtype=np.float64)
-        cfg = build_config(bin_points, seed_weights=sw, seed=seed)
+        cfg = build_config(bin_points, seed_weights=sw, seed=seed, ground=ground)
     theta = float(threshold)
     two_table = other is not None
 
@@ -422,6 +451,12 @@ def emd_join_nd(
         return _pivot_join(rec, cfg, theta, num_pivots=10, seed=seed)
     if strategy != "grid":
         raise ValueError(f"unknown strategy {strategy!r}")
+    if cfg.rubner_ord is None:
+        raise ValueError(
+            "grid strategy requires a Minkowski ground ('l1'/'l2'/'l3'); "
+            "use strategy='pivot' (metric cost) or 'bruteforce' for an "
+            "arbitrary cost matrix"
+        )
 
     ctx = _build_grid_ctx(rec, bin_points, cfg, grid)
     from ..cache import release_on_gc
@@ -534,9 +569,10 @@ def _grid_join(
         n_empty = int((~keep).sum())
         rep, cid = rep[keep], cid[keep]
         # screen 1: Rubner to the cell's actual centroid bbox (tighter than
-        # the quantile-boundary bbox, esp. for unbounded edge cells)
+        # the quantile-boundary bbox, esp. for unbounded edge cells), in the
+        # ground distance's own p-norm
         clp = np.clip(C[rep], cs.cmin[cid], cs.cmax[cid])
-        keep = np.linalg.norm(C[rep] - clp, axis=1) <= reach
+        keep = np.linalg.norm(C[rep] - clp, ord=cfg.rubner_ord, axis=1) <= reach
         n_rub = int((~keep).sum())
         rep, cid = rep[keep], cid[keep]
         # screen 2: normal/EMD_BR bound per projection over the (mu, sigma) bbox
@@ -694,7 +730,8 @@ def _pivot_join(
     )
     PV = normalize(np.array([r["w"] for r in piv_rows], dtype=np.float64))
     reach = theta + cfg.slack
-    d1 = np.atleast_2d(cfg.bin_points).shape[1] == 1
+    # the 1-D CDF closed form assumes |x-y| costs — Minkowski-only
+    d1 = np.atleast_2d(cfg.bin_points).shape[1] == 1 and cfg.rubner_ord is not None
 
     pv_cents = PV @ cfg.bin_points  # (P, d) pivot centroids for the lb screen
 
@@ -727,9 +764,17 @@ def _pivot_join(
                 # a cross-boundary match, so their slot stays +inf and the
                 # JVM window rule drops them for free.
                 cents = W @ cfg.bin_points  # (n, d)
-                LB = np.linalg.norm(
-                    cents[:, None, :] - pv_cents[None, :, :], axis=2
-                )  # (n, P)
+                if cfg.rubner_ord is not None:
+                    LB = np.linalg.norm(
+                        cents[:, None, :] - pv_cents[None, :, :],
+                        ord=cfg.rubner_ord,
+                        axis=2,
+                    )  # (n, P)
+                else:
+                    # arbitrary cost: no centroid geometry — every pivot
+                    # needs its exact EMD (the reference pays the same,
+                    # CloudJoinBaseMapper.java:81-196)
+                    LB = np.zeros((n, P))
                 for o, p_pos in proj:
                     dxp = np.diff(p_pos[o])
                     wc = np.cumsum(W[:, o], axis=1)[:, :-1]
@@ -833,15 +878,23 @@ def _pivot_join(
             pool = np.flatnonzero(bases == gj)
             if anchors.size == 0 or pool.size == 0:
                 return empty
-        pool_sorted = pool[np.argsort(c0[pool], kind="stable")]
-        pcs = c0[pool_sorted]
-        lo = np.searchsorted(pcs, c0[anchors] - (theta + cfg.slack), side="left")
-        hi = np.searchsorted(pcs, c0[anchors] + (theta + cfg.slack), side="right")
-        cnt = hi - lo
-        if cnt.sum() == 0:
-            return empty
-        li = np.repeat(anchors, cnt)
-        ri = pool_sorted[np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])]
+        if cfg.rubner_ord is not None:
+            # centroid dim-0 window: |d cent_0| <= reach is implied by the
+            # Rubner bound for any Minkowski ground
+            pool_sorted = pool[np.argsort(c0[pool], kind="stable")]
+            pcs = c0[pool_sorted]
+            lo = np.searchsorted(pcs, c0[anchors] - (theta + cfg.slack), side="left")
+            hi = np.searchsorted(pcs, c0[anchors] + (theta + cfg.slack), side="right")
+            cnt = hi - lo
+            if cnt.sum() == 0:
+                return empty
+            li = np.repeat(anchors, cnt)
+            ri = pool_sorted[np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])]
+        else:
+            # arbitrary cost: no centroid window — full in-partition block
+            # (the cascade's generic stages still prune before the LPs)
+            li = np.repeat(anchors, pool.size)
+            ri = np.tile(pool, anchors.size)
         if gi == gj:
             keep = ids[ri] > ids[li]  # unordered pairs once
             li, ri = li[keep], ri[keep]
@@ -932,6 +985,7 @@ def emd_knn(
     id_col: str = "id",
     w_col: str = "w",
     seed: int = 42,
+    ground: str | np.ndarray = "l2",
 ) -> DataFrame:
     """k nearest database histograms per query under exact EMD ->
     (qid, nid, emd, rank); excludes identical-id matches.
@@ -951,7 +1005,7 @@ def emd_knn(
     if cfg is None:
         seed_rows = db.select(w_col).limit(8).collect()
         sw = np.array([r[0] for r in seed_rows], dtype=np.float64)
-        cfg = build_config(bin_points, seed_weights=sw, seed=seed)
+        cfg = build_config(bin_points, seed_weights=sw, seed=seed, ground=ground)
 
     qrows = queries.select(id_col, w_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
@@ -960,7 +1014,8 @@ def emd_knn(
     spark = db.sparkSession
     b_q = spark.sparkContext.broadcast((qids, QW, qcents))
     cost = cfg.cost
-    d1 = cfg.bin_points.shape[1] == 1
+    # the 1-D CDF closed form assumes |x-y| costs — Minkowski-only
+    d1 = cfg.bin_points.shape[1] == 1 and cfg.rubner_ord is not None
     if d1:
         pos = cfg.bin_points[:, 0]
         order = np.argsort(pos, kind="stable")
@@ -1000,7 +1055,12 @@ def emd_knn(
                     for o, p in proj
                 ]
             for qi in range(len(qids_)):
-                lb = np.linalg.norm(cents - qc_[qi], axis=1)  # Rubner
+                if cfg.rubner_ord is not None:
+                    lb = np.linalg.norm(
+                        cents - qc_[qi], ord=cfg.rubner_ord, axis=1
+                    )  # Rubner
+                else:
+                    lb = np.zeros(cents.shape[0])  # arbitrary cost: no screen
                 for wc, dxp, qcp in pcdfs:
                     np.maximum(lb, np.abs(wc - qcp[qi]) @ dxp, out=lb)
                 o = np.argsort(lb, kind="stable")
@@ -1059,6 +1119,7 @@ def emd_topk_nd(
     id_col: str = "id",
     w_col: str = "w",
     seed: int = 42,
+    ground: str | np.ndarray = "l2",
 ) -> DataFrame:
     """k smallest-EMD pairs -> (rank, rid, sid, emd); ties by (emd, rid, sid)
     (JoinedPair.compareTo order, utils/JoinedPair.java:45-58).
@@ -1075,7 +1136,9 @@ def emd_topk_nd(
     if cfg is None:
         seed_rows = hist.select(w_col).limit(8).collect()
         sw = np.array([r[0] for r in seed_rows], dtype=np.float64)
-        cfg = build_config(bin_points, seed_weights=sw, seed=seed)
+        cfg = build_config(bin_points, seed_weights=sw, seed=seed, ground=ground)
+    if cfg.rubner_ord is None and strategy == "grid":
+        strategy = "bruteforce"  # arbitrary cost: no centroid grid geometry
 
     rec = hist.select(F.col(id_col).cast("long").alias("id"), F.col(w_col).alias("w"))
     rec = rec.persist()

@@ -240,6 +240,7 @@ def streaming_emd_join_nd(
     id_col: str = "id",
     w_col: str = "w",
     seed: int = 42,
+    ground="l2",
 ) -> DataFrame:
     """Stream-static EMD threshold join for general-d bins: each micro-batch
     of incoming histograms runs the full filter cascade (Rubner -> normal ->
@@ -267,7 +268,7 @@ def streaming_emd_join_nd(
     rids = np.array([r[0] for r in ref_rows], dtype=np.int64)
     RW = normalize(np.array([r[1] for r in ref_rows], dtype=np.float64))
     if cfg is None:
-        cfg = build_config(bin_points, seed_weights=RW, seed=seed)
+        cfg = build_config(bin_points, seed_weights=RW, seed=seed, ground=ground)
     spark = stream_hist.sparkSession
     b_ref = spark.sparkContext.broadcast((rids, RW))
 

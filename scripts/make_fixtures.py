@@ -30,8 +30,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.01"
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "fixtures", "emd2d_pairs_sf001.parquet")
+_FIXDIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures"
+)
+OUT = os.path.join(_FIXDIR, "emd2d_pairs_sf001.parquet")
+OUT_L1 = os.path.join(_FIXDIR, "emd2d_l1_pairs_sf001.parquet")
 
 _W = None
 _C = None
@@ -66,37 +69,41 @@ def main() -> None:
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     W = np.stack([np.asarray(r["w"], dtype=np.float64) for r in rows])
     pts = bin_points_2d()
-    C = np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=2)
     n = len(ids)
-    print(f"{n} histograms -> {n * (n - 1) // 2} pairs")
-    t0 = time.time()
-    with mp.Pool(16, initializer=_init, initargs=(W, C)) as pool:
-        chunks = pool.map(_pairs_for, range(n))
-    rid, sid, emd = [], [], []
-    for ch in chunks:
-        for i, j, e in ch:
-            rid.append(int(ids[i]))
-            sid.append(int(ids[j]))
-            emd.append(e)
-    print(f"solved in {time.time() - t0:.1f}s")
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    os.makedirs(os.path.dirname(OUT), exist_ok=True)
-    tbl = pa.table(
-        {
-            "rid": pa.array(rid, type=pa.int64()),
-            "sid": pa.array(sid, type=pa.int64()),
-            "emd": pa.array(emd, type=pa.float64()),
-        }
-    )
-    pq.write_table(tbl, OUT)
-    e = np.array(emd)
-    print(f"wrote {OUT}: {len(e)} pairs, emd range [{e.min():.6f}, {e.max():.6f}]")
-    print(f"pairs <= 0.25+1e-4: {(e <= 0.2501).sum()}")
-    srt = np.sort(e)
-    print("top-20 boundary gap:", srt[20] - srt[19])
+    os.makedirs(_FIXDIR, exist_ok=True)
+    diff = np.abs(pts[:, None, :] - pts[None, :, :])
+    for out, C in (
+        (OUT, np.sqrt((diff**2).sum(axis=2))),  # L2 (engine default)
+        (OUT_L1, diff.sum(axis=2)),  # L1 (DistanceType LONE)
+    ):
+        print(f"{n} histograms -> {n * (n - 1) // 2} pairs ({out})")
+        t0 = time.time()
+        with mp.Pool(16, initializer=_init, initargs=(W, C)) as pool:
+            chunks = pool.map(_pairs_for, range(n))
+        rid, sid, emd = [], [], []
+        for ch in chunks:
+            for i, j, e in ch:
+                rid.append(int(ids[i]))
+                sid.append(int(ids[j]))
+                emd.append(e)
+        print(f"solved in {time.time() - t0:.1f}s")
+        tbl = pa.table(
+            {
+                "rid": pa.array(rid, type=pa.int64()),
+                "sid": pa.array(sid, type=pa.int64()),
+                "emd": pa.array(emd, type=pa.float64()),
+            }
+        )
+        pq.write_table(tbl, out)
+        e = np.array(emd)
+        print(f"wrote {out}: {len(e)} pairs, emd range [{e.min():.6f}, {e.max():.6f}]")
+        print(f"pairs <= 0.25+1e-4: {(e <= 0.2501).sum()}")
+        srt = np.sort(e)
+        print("top-20 boundary gap:", srt[20] - srt[19])
 
 
 if __name__ == "__main__":

@@ -70,14 +70,16 @@ def test_ssp_identical_and_zero():
     assert ssp_emd(np.zeros(4), a, C) == 0.0  # zero-mass convention
 
 
-def test_fixture_file_matches_engine_sample():
-    """Spot-check the committed fixture against the engine kernel: 200
+@pytest.mark.parametrize(
+    "fname,ground",
+    [("emd2d_pairs_sf001.parquet", "l2"), ("emd2d_l1_pairs_sf001.parquet", "l1")],
+)
+def test_fixture_file_matches_engine_sample(fname, ground):
+    """Spot-check the committed fixtures against the engine kernel: 200
     random fixture rows re-solved with the transportation simplex must
     agree to 1e-9 (catches a stale fixture after testdata regeneration)."""
     fx = os.path.join(
-        os.path.dirname(os.path.dirname(__file__)),
-        "fixtures",
-        "emd2d_pairs_sf001.parquet",
+        os.path.dirname(os.path.dirname(__file__)), "fixtures", fname
     )
     if not os.path.exists(fx):
         pytest.skip("fixture not built")
@@ -99,7 +101,9 @@ def test_fixture_file_matches_engine_sample():
     )
     W = {int(r["id"]): normalize(np.asarray(r["w"], dtype=np.float64)[None])[0] for r in rows}
     pts = bin_points_2d()
-    C = np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=2)
+    from melody_join_spark.kernel.ground import ground_distance_matrix
+
+    C = ground_distance_matrix(pts.ravel(), dimension=2, ground=ground)
     t = pq.read_table(fx).to_pandas()
     assert set(t["rid"]).issubset(W.keys()) and set(t["sid"]).issubset(W.keys())
     n = len(W)
