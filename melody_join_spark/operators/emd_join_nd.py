@@ -458,6 +458,34 @@ def emd_join_nd(
             "arbitrary cost matrix"
         )
 
+    if bin_points.shape[1] == 1 and not two_table and stats is None:
+        # Collinear bins: 1-D EMD is a closed form over prefix CDFs, fully
+        # expressible as JVM codegen — delegate to the cells plan of the 1-D
+        # operator (hash-checked emd_threshold_cells machinery) instead of
+        # shipping arrays through a Python cascade.  Same semantics: the
+        # cells plan filters emd <= passed threshold, so pass theta + slack
+        # (cascade parity); every Minkowski p coincides with |x - y| on a
+        # line.  The pandas path remains for two-table joins and when the
+        # caller wants JoinStats instrumentation.
+        from .emd_join import emd_threshold_join
+        from .histograms import with_cum
+
+        pos = cfg.bin_points[:, 0]
+        order = np.argsort(pos, kind="stable")
+        h = rec.select("id", "w")
+        if not np.array_equal(order, np.arange(pos.size)):
+            h = h.withColumn(
+                "w", F.array(*[F.col("w")[int(i)] for i in order])
+            )
+        h = with_cum(
+            h.withColumn(
+                "total", F.aggregate("w", F.lit(0.0), lambda a, x: a + x)
+            )
+        )
+        return emd_threshold_join(
+            h, theta + cfg.slack, positions=pos[order], strategy="cells"
+        )
+
     ctx = _build_grid_ctx(rec, bin_points, cfg, grid)
     from ..cache import release_on_gc
 
