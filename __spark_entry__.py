@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from melody_join_spark.operators.dedup import (
     dedupe,
     dedupe_oracle_sql,
+    dup_clusters_oracle_sql,
     exact_dedup_groups,
     exact_dedup_groups_oracle_sql,
     jaccard_pairs,
@@ -257,6 +258,20 @@ def _q_exact_dedup(spark, sf_dir):
     return exact_dedup_groups(_docs(spark, sf_dir))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering: jaccard dup edges -> connected
+    components (min-label propagation), every document labeled with the
+    smallest id in its dup cluster.  Hash-checked against a DuckDB
+    recursive-CTE reachability oracle."""
+    from melody_join_spark.operators.dedup import dup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, threshold=JACCARD_THETA, ngram=JACCARD_NGRAM)
+    return dup_clusters(
+        pairs, ids=docs.select("doc_id"), id_col="doc_id"
+    ).orderBy("id")
+
+
 def _q_jaccard(spark, sf_dir):
     return jaccard_pairs(
         _docs(spark, sf_dir), threshold=JACCARD_THETA, ngram=JACCARD_NGRAM
@@ -338,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_corpus": _q_dedupe_corpus,
         "emd_knn_2d": _q_emd_knn_2d,
         "dedup_jaccard_ngram": _q_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_minhash_lsh": _q_minhash,
         "dedup_simhash": _q_simhash,
         "cosine_pairs": _q_cosine_pairs,
@@ -529,6 +545,10 @@ WHERE rank <= {KNN_K} ORDER BY qid, rank"""
         "dedupe_corpus": dedupe_oracle_sql(),
         "dedup_jaccard_ngram": jaccard_pairs_oracle_sql(
             JACCARD_THETA, ngram=JACCARD_NGRAM
+        ),
+        "dedup_clusters": dup_clusters_oracle_sql(
+            jaccard_pairs_oracle_sql(JACCARD_THETA, ngram=JACCARD_NGRAM),
+            ids_sql="SELECT doc_id AS id FROM documents",
         ),
         # dedup_minhash_lsh / dedup_simhash / cosine_pairs_lsh: hash-sketch
         # operators, not SQL-expressible -> rows-only driver check; their

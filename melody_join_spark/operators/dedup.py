@@ -117,6 +117,103 @@ def dedupe(
     raise ValueError(f"unknown dedupe mode {mode!r}")
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    ids: DataFrame | None = None,
+    id_col: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph ->
+    (id, cluster_id), cluster_id = smallest id reachable through dup edges.
+
+    The transitive step the greedy drop rule skips: near-dup is not
+    transitive, but a 100-TB cleaning pipeline wants whole dup CLUSTERS
+    (keep one representative per component, audit the rest).  Min-label
+    propagation in pure DataFrame ops: each round every node takes the min
+    of its own label and its neighbors' labels; converged when no label
+    changes.  Rounds needed = component diameter — tiny for near-dup
+    clusters (they are dense blobs, not chains), so the driver loop runs
+    2-4 rounds in practice; ``max_iter`` guards pathological chains, and
+    non-convergence raises rather than returning a wrong labeling.
+
+    Each round is one shuffle (edge join + min agg); labels persist per
+    round and the previous round is unpersisted — state on executors stays
+    O(|V|).  ``ids`` (optional, one ``id_col`` column) adds isolated nodes
+    so every input row gets a cluster (itself when it has no dup edge).
+    """
+    e = pairs.select(
+        F.col("rid").cast("long").alias("a"), F.col("sid").cast("long").alias("b")
+    )
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    nodes = edges.select("a").distinct()
+    if ids is not None:
+        nodes = nodes.unionByName(
+            ids.select(F.col(id_col).cast("long").alias("a"))
+        ).distinct()
+    labels = nodes.select("a", F.col("a").alias("lbl")).persist()
+    labels.count()
+    for _ in range(max_iter):
+        # candidate labels flowing across edges this round
+        cand = (
+            edges.alias("e")
+            .join(labels.alias("l"), F.col("e.b") == F.col("l.a"), "inner")
+            .select(F.col("e.a").alias("a"), F.col("l.lbl").alias("lbl"))
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(cand, "a", "left")
+            .select(
+                "a",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "a")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        edges.unpersist()
+        labels.unpersist()
+        raise RuntimeError(f"dup_clusters did not converge in {max_iter} rounds")
+    edges.unpersist()
+    from ..cache import release_on_gc
+
+    out = labels.select(F.col("a").alias("id"), F.col("lbl").alias("cluster_id"))
+    return release_on_gc(out, labels)
+
+
+def dup_clusters_oracle_sql(pairs_sql: str, ids_sql: str | None = None) -> str:
+    """DuckDB twin of :func:`dup_clusters`: min reachable id per node via a
+    recursive CTE over the symmetric edge set produced by ``pairs_sql``
+    (any query yielding (rid, sid)); ``ids_sql`` optionally yields (id)
+    rows to include as isolated nodes."""
+    iso = (
+        f"UNION SELECT id, id FROM ({ids_sql})"
+        if ids_sql is not None
+        else ""
+    )
+    return f"""
+WITH RECURSIVE p AS ({pairs_sql}),
+e AS (SELECT rid AS a, sid AS b FROM p UNION SELECT sid, rid FROM p),
+reach(src, node) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+  {iso}
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.node = e.a
+)
+SELECT src AS id, min(node) AS cluster_id FROM reach GROUP BY src ORDER BY id"""
+
+
 def dedupe_oracle_sql(
     table: str = "documents",
     id_col: str = "doc_id",

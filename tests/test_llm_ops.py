@@ -197,3 +197,44 @@ def test_ivf_topk_recall_vs_exact(emb):
     for r in ivf:
         if (r.qid, r.nid) in exact_vals:
             assert r.cosine == pytest.approx(exact_vals[(r.qid, r.nid)], abs=1e-6)
+
+
+def test_dup_clusters_matches_union_find(spark):
+    """Label propagation == classic union-find on random sparse graphs,
+    including isolated nodes and multi-hop chains (transitivity)."""
+    from melody_join_spark.operators.dedup import dup_clusters
+
+    rng = np.random.default_rng(23)
+    ids = list(range(60))
+    edges = []
+    for _ in range(45):
+        a, b = rng.choice(60, size=2, replace=False)
+        edges.append((int(min(a, b)), int(max(a, b))))
+    edges = sorted(set(edges))
+    # chain component exercising diameter > 1 propagation
+    edges += [(70, 71), (71, 72), (72, 73), (73, 74)]
+    ids += [70, 71, 72, 73, 74, 99]  # 99 stays isolated
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in ids}
+
+    pairs = spark.createDataFrame(edges, "rid long, sid long")
+    ids_df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {
+        r.id: r.cluster_id
+        for r in dup_clusters(pairs, ids=ids_df, id_col="id").collect()
+    }
+    assert got == expected
+    assert got[99] == 99  # isolated node maps to itself
+    assert got[74] == 70  # 5-node chain collapses to its min id
