@@ -285,7 +285,14 @@ def _q_minhash(spark, sf_dir):
 
 
 def _q_simhash(spark, sf_dir):
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    """SimHash near-dup pairs.  Deterministic (crc32 sign-hash) and the
+    chunk banding is pigeonhole-EXACT for hamming <= chunks-1, so the whole
+    pipeline hash-checks against a fixture computed by an independent
+    pure-python re-execution of the spec (scripts/make_fixtures.py)."""
+    res = simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return res.select(
+        "rid", "sid", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("rid", "sid")
 
 
 def _q_dedupe_corpus(spark, sf_dir):
@@ -550,9 +557,16 @@ WHERE rank <= {KNN_K} ORDER BY qid, rank"""
             jaccard_pairs_oracle_sql(JACCARD_THETA, ngram=JACCARD_NGRAM),
             ids_sql="SELECT doc_id AS id FROM documents",
         ),
-        # dedup_minhash_lsh / dedup_simhash / cosine_pairs_lsh: hash-sketch
-        # operators, not SQL-expressible -> rows-only driver check; their
-        # exact twins (dedup_jaccard_ngram / cosine_pairs) are hash-checked
+        # dedup_minhash_lsh / cosine_pairs_lsh / cosine_topk_ivf: randomized
+        # sketch recall (approximate by design) -> rows-only driver check;
+        # their exact twins (dedup_jaccard_ngram / cosine_pairs /
+        # cosine_topk) are hash-checked.  dedup_simhash IS deterministic and
+        # its banding is pigeonhole-exact, so it hash-checks against the
+        # independent pure-python re-execution fixture.
+        "dedup_simhash": """
+SELECT rid, sid, hamming
+FROM read_parquet('/root/repo/fixtures/simhash_pairs_sf001.parquet')
+ORDER BY rid, sid""",
         "cosine_pairs": cosine_pairs_oracle_sql(COSINE_THETA, COSINE_DIM),
         "cosine_topk": cosine_topk_sql,
     }

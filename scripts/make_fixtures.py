@@ -35,6 +35,7 @@ _FIXDIR = os.path.join(
 )
 OUT = os.path.join(_FIXDIR, "emd2d_pairs_sf001.parquet")
 OUT_L1 = os.path.join(_FIXDIR, "emd2d_l1_pairs_sf001.parquet")
+OUT_SIMHASH = os.path.join(_FIXDIR, "simhash_pairs_sf001.parquet")
 
 _W = None
 _C = None
@@ -50,6 +51,68 @@ def _pairs_for(i: int):
 
     n = _W.shape[0]
     return [(i, j, ssp_emd(_W[i], _W[j], _C)) for j in range(i + 1, n)]
+
+
+def _simhash64_py(text: str) -> int:
+    """Pure-python re-execution of operators/dedup.simhash64's spec (crc32
+    sign-hash over the distinct lowercased word set) — no Spark, no shared
+    code with the operator's pandas UDF."""
+    import zlib
+
+    words = set((text or "").lower().split())
+    if not words:
+        return 0
+    acc = [0] * 64
+    for w in words:
+        e = w.encode()
+        h = ((zlib.crc32(e) << 32) | zlib.crc32(e + b"#salt")) & ((1 << 64) - 1)
+        for bit in range(64):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+    packed = 0
+    for bit in range(64):
+        if acc[bit] > 0:
+            packed |= 1 << bit
+    # two's-complement view as signed int64 (Spark LongType)
+    return packed - (1 << 64) if packed >= (1 << 63) else packed
+
+
+def make_simhash_fixture(max_hamming: int = 3) -> None:
+    """All (rid, sid, hamming<=max_hamming) simhash pairs for sf0.01
+    documents, computed entirely outside Spark: independent re-execution of
+    the deterministic simhash spec turns the dedup_simhash query into a
+    hash-grade check (the banding join is pigeonhole-EXACT for
+    hamming <= chunks-1, so spark output == this table)."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    hashes = np.array(
+        [_simhash64_py(x) for x in texts], dtype=np.int64
+    ).view(np.uint64)
+    order = np.argsort(np.asarray(ids))
+    ids_s = np.asarray(ids)[order]
+    h_s = hashes[order]
+    x = h_s[:, None] ^ h_s[None, :]
+    ham = np.zeros(x.shape, dtype=np.int64)
+    for b in range(64):
+        ham += ((x >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+    iu = np.triu_indices(len(ids_s), k=1)
+    keep = ham[iu] <= max_hamming
+    rid = ids_s[iu[0]][keep]
+    sid = ids_s[iu[1]][keep]
+    hm = ham[iu][keep]
+    tbl = pa.table(
+        {
+            "rid": pa.array(rid.tolist(), type=pa.int64()),
+            "sid": pa.array(sid.tolist(), type=pa.int64()),
+            "hamming": pa.array(hm.tolist(), type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, OUT_SIMHASH)
+    print(f"wrote {OUT_SIMHASH}: {len(hm)} pairs (hamming <= {max_hamming})")
 
 
 def main() -> None:
@@ -107,4 +170,5 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    make_simhash_fixture()
     main()

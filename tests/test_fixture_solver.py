@@ -112,3 +112,19 @@ def test_fixture_file_matches_engine_sample(fname, ground):
     for _, r in sample.iterrows():
         e = emd_exact(W[int(r["rid"])], W[int(r["sid"])], C)
         assert abs(e - r["emd"]) < 1e-9
+
+
+def test_simhash_py_matches_spark_udf(spark):
+    """The fixture's pure-python simhash re-execution must agree with the
+    operator's pandas UDF on real document texts (spec parity)."""
+    from make_fixtures import _simhash64_py
+
+    from melody_join_spark.operators.dedup import simhash64
+
+    if not os.path.isdir("/root/testdata/sf0.001"):
+        pytest.skip("testdata not present")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    got = {r.id: r.simhash for r in simhash64(docs).collect()}
+    for r in docs.collect():
+        assert got[r.doc_id] == _simhash64_py(r.text), r.doc_id
+    assert _simhash64_py("") == 0 and _simhash64_py(None) == 0
