@@ -279,9 +279,14 @@ def _q_jaccard(spark, sf_dir):
 
 
 def _q_minhash(spark, sf_dir):
-    return minhash_lsh_pairs(
+    """MinHash-LSH near-dup pairs.  Deterministic given its seed (crc32
+    shingles, seeded Mersenne permutations), so the pipeline hash-checks
+    against a fixture computed by a pure-python re-execution of the spec
+    (scripts/make_fixtures.py make_minhash_fixture)."""
+    res = minhash_lsh_pairs(
         _docs(spark, sf_dir), threshold=JACCARD_THETA, shingle=JACCARD_NGRAM
     )
+    return res.orderBy("rid", "sid")
 
 
 def _q_simhash(spark, sf_dir):
@@ -557,12 +562,16 @@ WHERE rank <= {KNN_K} ORDER BY qid, rank"""
             jaccard_pairs_oracle_sql(JACCARD_THETA, ngram=JACCARD_NGRAM),
             ids_sql="SELECT doc_id AS id FROM documents",
         ),
-        # dedup_minhash_lsh / cosine_pairs_lsh / cosine_topk_ivf: randomized
-        # sketch recall (approximate by design) -> rows-only driver check;
-        # their exact twins (dedup_jaccard_ngram / cosine_pairs /
-        # cosine_topk) are hash-checked.  dedup_simhash IS deterministic and
-        # its banding is pigeonhole-exact, so it hash-checks against the
-        # independent pure-python re-execution fixture.
+        # cosine_pairs_lsh / cosine_topk_ivf: approximate-recall sketches ->
+        # rows-only driver check; their exact twins (cosine_pairs /
+        # cosine_topk) are hash-checked.  dedup_simhash and
+        # dedup_minhash_lsh are deterministic pipelines (crc32 hashes,
+        # seeded permutations), so both hash-check against fixtures from
+        # independent pure-python re-executions of their specs.
+        "dedup_minhash_lsh": """
+SELECT rid, sid, jaccard
+FROM read_parquet('/root/repo/fixtures/minhash_pairs_sf001.parquet')
+ORDER BY rid, sid""",
         "dedup_simhash": """
 SELECT rid, sid, hamming
 FROM read_parquet('/root/repo/fixtures/simhash_pairs_sf001.parquet')

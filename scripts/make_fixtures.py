@@ -36,6 +36,7 @@ _FIXDIR = os.path.join(
 OUT = os.path.join(_FIXDIR, "emd2d_pairs_sf001.parquet")
 OUT_L1 = os.path.join(_FIXDIR, "emd2d_l1_pairs_sf001.parquet")
 OUT_SIMHASH = os.path.join(_FIXDIR, "simhash_pairs_sf001.parquet")
+OUT_MINHASH = os.path.join(_FIXDIR, "minhash_pairs_sf001.parquet")
 
 _W = None
 _C = None
@@ -115,6 +116,86 @@ def make_simhash_fixture(max_hamming: int = 3) -> None:
     print(f"wrote {OUT_SIMHASH}: {len(hm)} pairs (hamming <= {max_hamming})")
 
 
+def make_minhash_fixture(
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 16,
+    shingle: int = 5,
+    seed: int = 42,
+) -> None:
+    """Pure-python re-execution of the full MinHash-LSH pipeline spec
+    (operators/dedup.minhash_lsh_pairs): crc32 shingle hashes, seeded
+    Mersenne permutations, banded bucketing (tuple equality == the md5 band
+    key equality the operator joins on), exact char-shingle jaccard verify.
+    MinHash LSH is *deterministic given its seed*, so its output is a fixed
+    set — re-deriving it without Spark turns dedup_minhash_lsh into a
+    hash-grade check of the operator's distributed execution."""
+    import zlib
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    rng = np.random.default_rng(seed)
+    M = (1 << 31) - 1
+    a = rng.integers(1, M, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, M, size=num_hashes, dtype=np.int64)
+    rows = num_hashes // bands
+
+    def shingle_hashes(text):
+        s = " ".join((text or "").lower().split())
+        grams = {s} if len(s) < shingle else {
+            s[i:i + shingle] for i in range(len(s) - shingle + 1)
+        }
+        return np.fromiter(
+            (zlib.crc32(g.encode()) for g in grams), dtype=np.int64
+        ) % M
+
+    def char_grams(text):
+        s = (text or "").lower()
+        if len(s) <= shingle:
+            return {s}
+        return {s[i:i + shingle] for i in range(len(s) - shingle + 1)}
+
+    sigs = []
+    for txt in texts:
+        h = shingle_hashes(txt)
+        sigs.append(((h[:, None] * a[None, :] + b[None, :]) % M).min(axis=0))
+    buckets: dict = {}
+    for k, sig in enumerate(sigs):
+        for bnd in range(bands):
+            key = (bnd, tuple(sig[bnd * rows:(bnd + 1) * rows]))
+            buckets.setdefault(key, []).append(k)
+    cand = set()
+    for members in buckets.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                x, y = members[i], members[j]
+                if ids[x] > ids[y]:
+                    x, y = y, x
+                cand.add((x, y))
+    toks = [char_grams(txt) for txt in texts]
+    rid, sid, jac = [], [], []
+    for x, y in sorted(cand, key=lambda p: (ids[p[0]], ids[p[1]])):
+        inter = len(toks[x] & toks[y])
+        j = inter / (len(toks[x]) + len(toks[y]) - inter)
+        if j >= threshold:
+            rid.append(ids[x])
+            sid.append(ids[y])
+            jac.append(j)
+    tbl = pa.table(
+        {
+            "rid": pa.array(rid, type=pa.int64()),
+            "sid": pa.array(sid, type=pa.int64()),
+            "jaccard": pa.array(jac, type=pa.float64()),
+        }
+    )
+    pq.write_table(tbl, OUT_MINHASH)
+    print(f"wrote {OUT_MINHASH}: {len(rid)} pairs (j >= {threshold})")
+
+
 def main() -> None:
     from melody_join_spark.session import get_spark
     from melody_join_spark.plans.tpch_bridge import (
@@ -171,4 +252,5 @@ def main() -> None:
 
 if __name__ == "__main__":
     make_simhash_fixture()
+    make_minhash_fixture()
     main()

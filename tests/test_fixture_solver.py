@@ -128,3 +128,26 @@ def test_simhash_py_matches_spark_udf(spark):
     for r in docs.collect():
         assert got[r.doc_id] == _simhash64_py(r.text), r.doc_id
     assert _simhash64_py("") == 0 and _simhash64_py(None) == 0
+
+
+def test_minhash_py_matches_spark_udf(spark):
+    """The fixture's pure-python minhash re-execution must produce the same
+    signatures as the operator's pandas UDF (spec parity)."""
+    import zlib
+
+    from melody_join_spark.operators.dedup import minhash_signatures
+
+    if not os.path.isdir("/root/testdata/sf0.001"):
+        pytest.skip("testdata not present")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    got = {r.id: list(r.sig) for r in minhash_signatures(docs).collect()}
+    rng = np.random.default_rng(42)
+    M = (1 << 31) - 1
+    a = rng.integers(1, M, size=128, dtype=np.int64)
+    b = rng.integers(0, M, size=128, dtype=np.int64)
+    for r in docs.collect():
+        s = " ".join((r.text or "").lower().split())
+        grams = {s} if len(s) < 5 else {s[i:i + 5] for i in range(len(s) - 4)}
+        h = np.fromiter((zlib.crc32(g.encode()) for g in grams), dtype=np.int64) % M
+        sig = ((h[:, None] * a[None, :] + b[None, :]) % M).min(axis=0)
+        assert got[r.doc_id] == sig.tolist(), r.doc_id
