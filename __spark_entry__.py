@@ -332,7 +332,11 @@ def _q_cosine_pairs(spark, sf_dir):
 
 
 def _q_lsh_cosine(spark, sf_dir):
-    return lsh_cosine_pairs(_emb(spark, sf_dir), COSINE_THETA)
+    """Hyperplane-LSH cosine pairs.  Deterministic given its seed, so the
+    pipeline hash-checks against a fixture computed by a pure-python
+    re-execution with Spark's left-fold accumulation order
+    (scripts/make_fixtures.py make_lsh_cosine_fixture)."""
+    return lsh_cosine_pairs(_emb(spark, sf_dir), COSINE_THETA).orderBy("rid", "sid")
 
 
 def _q_cosine_topk(spark, sf_dir):
@@ -562,12 +566,19 @@ WHERE rank <= {KNN_K} ORDER BY qid, rank"""
             jaccard_pairs_oracle_sql(JACCARD_THETA, ngram=JACCARD_NGRAM),
             ids_sql="SELECT doc_id AS id FROM documents",
         ),
-        # cosine_pairs_lsh / cosine_topk_ivf: approximate-recall sketches ->
-        # rows-only driver check; their exact twins (cosine_pairs /
-        # cosine_topk) are hash-checked.  dedup_simhash and
-        # dedup_minhash_lsh are deterministic pipelines (crc32 hashes,
-        # seeded permutations), so both hash-check against fixtures from
-        # independent pure-python re-executions of their specs.
+        # Every sketch pipeline is deterministic given its seed (simhash,
+        # minhash LSH, hyperplane LSH, IVF kmeans), so each hash-checks
+        # against a fixture from an independent pure-python re-execution of
+        # its spec (scripts/make_fixtures.py) — approximate RECALL vs the
+        # exact twin, but an exactly reproducible output set.
+        "cosine_topk_ivf": """
+SELECT qid, nid, cosine, rank
+FROM read_parquet('/root/repo/fixtures/ivf_topk_sf001.parquet')
+ORDER BY qid, rank""",
+        "cosine_pairs_lsh": """
+SELECT rid, sid, cosine
+FROM read_parquet('/root/repo/fixtures/lsh_cosine_pairs_sf001.parquet')
+ORDER BY rid, sid""",
         "dedup_minhash_lsh": """
 SELECT rid, sid, jaccard
 FROM read_parquet('/root/repo/fixtures/minhash_pairs_sf001.parquet')

@@ -37,6 +37,8 @@ OUT = os.path.join(_FIXDIR, "emd2d_pairs_sf001.parquet")
 OUT_L1 = os.path.join(_FIXDIR, "emd2d_l1_pairs_sf001.parquet")
 OUT_SIMHASH = os.path.join(_FIXDIR, "simhash_pairs_sf001.parquet")
 OUT_MINHASH = os.path.join(_FIXDIR, "minhash_pairs_sf001.parquet")
+OUT_LSHCOS = os.path.join(_FIXDIR, "lsh_cosine_pairs_sf001.parquet")
+OUT_IVF = os.path.join(_FIXDIR, "ivf_topk_sf001.parquet")
 
 _W = None
 _C = None
@@ -196,6 +198,157 @@ def make_minhash_fixture(
     print(f"wrote {OUT_MINHASH}: {len(rid)} pairs (j >= {threshold})")
 
 
+def _fold(vals) -> float:
+    """Sequential left fold — bit-parity with Spark's F.aggregate (which is
+    a strict left fold, unlike numpy's pairwise/SIMD summation)."""
+    acc = 0.0
+    for x in vals:
+        acc += x
+    return acc
+
+
+def make_lsh_cosine_fixture(
+    threshold: float = 0.25,
+    num_planes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> None:
+    """Pure-python re-execution of hyperplane-LSH cosine pairs
+    (operators/similarity.lsh_cosine_pairs): seeded hyperplanes, sign-bit
+    band bucketing (tuple equality == the operator's md5 band keys), exact
+    cosine verify with Spark's left-fold accumulation order.  Deterministic
+    given the seed -> hash-grade fixture for cosine_pairs_lsh."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    # float32 storage cast to double, exactly like _as_double
+    vecs = [
+        [float(np.float64(np.float32(x))) for x in v]
+        for v in t["embedding"].to_pylist()
+    ]
+    dim = len(vecs[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+    rows = num_planes // bands
+    norms = [np.sqrt(_fold(x * x for x in v)) for v in vecs]
+    bits = []
+    for v in vecs:
+        bits.append(
+            tuple(
+                1 if _fold(x * float(c) for x, c in zip(v, planes[p])) >= 0 else 0
+                for p in range(num_planes)
+            )
+        )
+    buckets: dict = {}
+    for k, bt in enumerate(bits):
+        for bnd in range(bands):
+            key = (bnd, bt[bnd * rows:(bnd + 1) * rows])
+            buckets.setdefault(key, []).append(k)
+    cand = set()
+    for members in buckets.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                x, y = members[i], members[j]
+                if ids[x] > ids[y]:
+                    x, y = y, x
+                cand.add((x, y))
+    rid, sid, cos = [], [], []
+    for x, y in sorted(cand, key=lambda p: (ids[p[0]], ids[p[1]])):
+        c = _fold(a * b for a, b in zip(vecs[x], vecs[y])) / (norms[x] * norms[y])
+        if c >= threshold:
+            rid.append(ids[x])
+            sid.append(ids[y])
+            cos.append(c)
+    tbl = pa.table(
+        {
+            "rid": pa.array(rid, type=pa.int64()),
+            "sid": pa.array(sid, type=pa.int64()),
+            "cosine": pa.array(cos, type=pa.float64()),
+        }
+    )
+    pq.write_table(tbl, OUT_LSHCOS)
+    print(f"wrote {OUT_LSHCOS}: {len(rid)} pairs (cos >= {threshold})")
+
+
+def make_ivf_fixture(
+    k: int = 10,
+    nlist: int = 64,
+    nprobe: int = 16,
+    n_queries: int = 32,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+) -> None:
+    """Pure-python re-execution of IVF top-k (operators/similarity.ivf_topk
+    with the _q_cosine_topk_ivf parameters): seeded spherical k-means
+    codebook over the sample in file order, argmax list assignment,
+    nprobe-list probing, cosine with the operator's exact accumulation
+    orders (Spark left-fold for db dot/norm, numpy norm for the query
+    side), HALF_UP rounding to 6 dp, rank by (cosine desc, nid)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+
+    # codebook: same sample (file order, limit >= table size here), same ops
+    rng = np.random.default_rng(seed)
+    X = vecs
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = Xn[rng.choice(len(Xn), size=min(nlist, len(Xn)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = (Xn @ C.T).argmax(axis=1)
+        for c in range(C.shape[0]):
+            m = assign == c
+            if m.any():
+                v = Xn[m].sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    C[c] = v / n
+    list_id = (Xn @ C.T).argmax(axis=1)
+
+    order = np.argsort(np.asarray(ids), kind="stable")[:n_queries]
+    rows_out = {"qid": [], "nid": [], "cosine": [], "rank": []}
+    for qi in order:
+        qv = vecs[qi]
+        qn = float(np.linalg.norm(qv))
+        sims = (qv / max(qn, 1e-12)) @ C.T
+        probes = set(np.argsort(-sims)[:min(nprobe, C.shape[0])].tolist())
+        scored = []
+        for j in range(len(ids)):
+            if ids[j] == ids[qi] or int(list_id[j]) not in probes:
+                continue
+            dot = _fold(a * b for a, b in zip(vecs[j], qv))
+            nrm = np.sqrt(_fold(x * x for x in vecs[j]))
+            c = dot / (nrm * qn)
+            c6 = float(
+                Decimal(c).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            )
+            scored.append((-c6, ids[j]))
+        scored.sort()
+        for r, (negc, nid) in enumerate(scored[:k], start=1):
+            rows_out["qid"].append(ids[qi])
+            rows_out["nid"].append(nid)
+            rows_out["cosine"].append(-negc)
+            rows_out["rank"].append(r)
+    tbl = pa.table(
+        {
+            "qid": pa.array(rows_out["qid"], type=pa.int64()),
+            "nid": pa.array(rows_out["nid"], type=pa.int64()),
+            "cosine": pa.array(rows_out["cosine"], type=pa.float64()),
+            "rank": pa.array(rows_out["rank"], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, OUT_IVF)
+    print(f"wrote {OUT_IVF}: {len(rows_out['qid'])} rows")
+
+
 def main() -> None:
     from melody_join_spark.session import get_spark
     from melody_join_spark.plans.tpch_bridge import (
@@ -253,4 +406,6 @@ def main() -> None:
 if __name__ == "__main__":
     make_simhash_fixture()
     make_minhash_fixture()
+    make_lsh_cosine_fixture()
+    make_ivf_fixture()
     main()
