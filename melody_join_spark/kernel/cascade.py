@@ -97,6 +97,7 @@ class EmdCascade:
                 err = cdf_approx_error(Ws, ps, mu, sigma)
                 self.normal_stats.append((mu, sigma, err))
         self._indmin_on = True
+        self._reduction_on = True
         # row-group ids: identical (normalized) histograms share a group, so
         # the exact stage can memoize one LP per DISTINCT pair — dup-heavy
         # data (the LLM-dedup regime; 33% dup rate measured on the sf0.1 d=2
@@ -246,16 +247,31 @@ class EmdCascade:
         # on the d=1 fast path: there the projection bound IS the exact EMD
         # and the final stage is a vectorized closed form, so an LP-grade
         # bound can only lose (measured: 100k wasted LPs = 40 s at sf0.1).
-        if self._line is None:
+        # ADAPTIVE like the indmin stage: after the earlier screens, the
+        # reduction bound often catches almost nothing (measured 5 prunes
+        # out of 15k LP-priced probes on the sf0.1 d=2 workload) — probe a
+        # block and self-disable when it isn't earning its LPs.
+        if self._line is None and self._reduction_on:
+            PROBE_R = 1024
             for rmap, rw in zip(self.reductions, self.reduced_weights):
                 if li.size == 0:
                     break
                 keep = np.ones(li.size, dtype=bool)
-                for k in range(li.size):
+                probe_n = min(PROBE_R, li.size)
+                for k in range(probe_n):
                     if reduction_bound(rmap, rw[li[k]], rw[ri[k]]) > thr:
                         keep[k] = False
+                probe_pruned = int((~keep[:probe_n]).sum())
+                if probe_pruned < max(1, probe_n // 200) and li.size > probe_n:
+                    self._reduction_on = False  # not earning its keep
+                else:
+                    for k in range(probe_n, li.size):
+                        if reduction_bound(rmap, rw[li[k]], rw[ri[k]]) > thr:
+                            keep[k] = False
                 st.pruned_reduction += int((~keep).sum())
                 li, ri = li[keep], ri[keep]
+                if not self._reduction_on:
+                    break
 
         # 6. exact EMD on survivors (vectorized closed form on a line, LP
         # otherwise)
