@@ -84,3 +84,22 @@ def test_emd_pair_expression_stays_codegen(spark):
     assert "EvalPython" not in plan  # pair EMD is a JVM expression
     # the cells plan joins on an equi-key, never a cartesian product
     assert "CartesianProduct" not in plan
+
+
+def test_nd_collinear_delegation_is_pure_codegen(spark):
+    """d=1 ND grid joins delegate to the 1-D cells plan: the physical plan
+    must contain NO Python evaluation (no Arrow/pandas UDF nodes) — the
+    whole join stays in JVM whole-stage codegen."""
+    import numpy as np
+
+    from melody_join_spark.operators.emd_join_nd import emd_join_nd
+
+    hist = lineitem_histograms(spark, SF)
+    bins = np.arange(16, dtype=np.float64).reshape(-1, 1)
+    plan = plan_of(emd_join_nd(hist.select("id", "w"), bins, 0.5, strategy="grid"))
+    assert "EvalPython" not in plan  # covers Batch- and ArrowEvalPython
+    assert "FlatMapGroupsInPandas" not in plan
+    # ... while the d>=2 grid plan legitimately carries the pandas cascade
+    bins2 = np.array([[float(i), float(j)] for i in range(4) for j in range(4)])
+    plan2 = plan_of(emd_join_nd(hist.select("id", "w"), bins2, 0.5, strategy="grid"))
+    assert "EvalPython" in plan2 or "FlatMapGroupsInPandas" in plan2
