@@ -141,12 +141,24 @@ def dup_clusters(
     O(|V|).  ``ids`` (optional, one ``id_col`` column) adds isolated nodes
     so every input row gets a cluster (itself when it has no dup edge).
     """
-    e = pairs.select(
-        F.col("rid").cast("long").alias("a"), F.col("sid").cast("long").alias("b")
-    )
-    edges = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    # symmetric edges from ONE pass over pairs: a union of two selects would
+    # embed the (possibly expensive) upstream pairs plan twice in the same
+    # job — with jaccard_pairs upstream that doubles the whole tokenize +
+    # prefix-join + verify chain.  explode keeps a single scan.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("rid").cast("long").alias("a"),
+                    F.col("sid").cast("long").alias("b"),
+                ),
+                F.struct(
+                    F.col("sid").cast("long").alias("a"),
+                    F.col("rid").cast("long").alias("b"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b").persist()
     nodes = edges.select("a").distinct()
     if ids is not None:
         nodes = nodes.unionByName(
