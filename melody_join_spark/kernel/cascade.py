@@ -27,6 +27,7 @@ from .bounds import (
     rubner_bound,
 )
 from .emd import emd_1d_pairs, emd_exact
+from .emd_batch import emd_exact_pairs_memo, support_table
 from .normal import cdf_approx_error, fit_normal, normal_bound_pairs
 
 __all__ = ["EmdCascade", "CascadeStats"]
@@ -74,9 +75,16 @@ class EmdCascade:
     normal_stats: list = field(default_factory=list)
     # Minkowski exponent of the ground distance (1, 2 or 3), or None for an
     # ARBITRARY cost matrix (DistanceType parity, DistanceUtil.java:440-474).
-    # None disables the centroid/Rubner stage and the d=1 CDF closed form —
-    # both assume |x-y|-shaped geometry the arbitrary matrix need not have;
-    # the dual / reduction / IndMin / exact stages are cost-matrix-generic.
+    # None disables the centroid/Rubner stage, the d=1 CDF closed form AND
+    # the IndMin stage: the first two assume |x-y|-shaped geometry, and the
+    # netted IndMin bound (surplus->deficit direct arcs after common-mass
+    # cancellation) is a valid lower bound only for METRIC costs — for an
+    # arbitrary matrix the full LP can route common mass more cheaply than
+    # any netted plan, so the "bound" could exceed true EMD and falsely
+    # dismiss pairs (the reference's getIndMinEmd, DistanceUtil.java:148-182,
+    # relaxes the un-netted LP and stays sound; our netted form trades that
+    # generality for a vectorizable gather).  The dual / reduction / exact
+    # stages are cost-matrix-generic.
     rubner_ord: float | None = 2
 
     def __post_init__(self):
@@ -103,7 +111,11 @@ class EmdCascade:
         # data (the LLM-dedup regime; 33% dup rate measured on the sf0.1 d=2
         # bridge tables) then pays ~half the LPs for the same results
         _, self.row_group = np.unique(self.weights, axis=0, return_inverse=True)
+        self._n_groups = int(self.row_group.max()) + 1 if self.row_group.size else 0
         self._pair_memo: dict = {}
+        # support table for the BATCHED exact stage (one stacked simplex per
+        # support-shape class instead of one Python LP per pair)
+        self._sup, self._cnt = support_table(self.weights)
         # d=1 closed-form fast path (DistanceUtil.get1dEmd with real bins,
         # utils/DistanceUtil.java:57-79): exact EMD on a line is the area
         # between step CDFs — vectorized, no LP
@@ -225,8 +237,15 @@ class EmdCascade:
         # workloads where Rubner/normal/projection/dual already caught
         # everything indmin can see, paying O(|support|^2) per pair for
         # nothing is the wrong trade.  Skipped on the d=1 fast path — there
-        # the final stage is already a vectorized closed form.
-        if self._line is None and li.size and self._indmin_on:
+        # the final stage is already a vectorized closed form — and for
+        # ARBITRARY cost matrices, where the netted form is unsound (see
+        # rubner_ord docstring).
+        if (
+            self._line is None
+            and li.size
+            and self._indmin_on
+            and self.rubner_ord is not None
+        ):
             PROBE = 1024
             keep = np.ones(li.size, dtype=bool)
             probe_n = min(PROBE, li.size)
@@ -279,20 +298,22 @@ class EmdCascade:
             pos, cdf = self._line
             emds = emd_1d_pairs(cdf, li, ri, positions=pos)
         else:
-            # identical rows (same row group) short-circuit to 0, and every
-            # distinct (group, group) pair solves its LP exactly once — memo
-            # hits are free repeats on dup-heavy data
-            emds = np.zeros(li.size)
-            gl = self.row_group[li]
-            gr = self.row_group[ri]
-            memo = self._pair_memo
-            for k in np.flatnonzero(gl != gr):
-                key = (gl[k], gr[k]) if gl[k] < gr[k] else (gr[k], gl[k])
-                e = memo.get(key)
-                if e is None:
-                    e = self.exact(int(li[k]), int(ri[k]))
-                    memo[key] = e
-                emds[k] = e
+            # batched transportation simplex over survivors: identical rows
+            # (same row group) short-circuit to 0, every distinct
+            # (group, group) pair solves exactly once (memo), and the
+            # distinct pairs solve as STACKED tableaus per support-shape
+            # class — O(pivots) interpreter cost, not O(pairs * pivots)
+            emds = emd_exact_pairs_memo(
+                self.weights,
+                self.cost,
+                li,
+                ri,
+                self.row_group,
+                self._pair_memo,
+                sup=self._sup,
+                cnt=self._cnt,
+                n_groups=self._n_groups,
+            )
         st.exact_evaluated += li.size
         keep = emds <= thr
         return li[keep], ri[keep], emds[keep]
