@@ -325,3 +325,54 @@ def test_topk_releases_caches_deterministically(spark, hist_df, bins_2d):
     gc.collect()
     cache.drain()
     assert jsc.getPersistentRDDs().size() == base
+
+
+def test_topk_single_join_pass(spark, hist_df, bins_2d, monkeypatch):
+    """The exact-sampled kth ceiling makes the top-k probe single-pass: the
+    k seed pairs qualify at the probe radius by construction, so exactly ONE
+    _grid_join executes (round-2 VERDICT item 3 — the A6 count-ceiling
+    analog; Grid.pruneCandidates:329-350)."""
+    from melody_join_spark.operators import emd_join_nd as mod
+
+    calls = {"n": 0}
+    real = mod._grid_join
+
+    def counting(ctx, theta, **kw):
+        calls["n"] += 1
+        return real(ctx, theta, **kw)
+
+    monkeypatch.setattr(mod, "_grid_join", counting)
+    top = emd_topk_nd(hist_df, bins_2d, 12, strategy="grid", grid=3).collect()
+    assert len(top) == 12
+    assert calls["n"] == 1, f"expected single-pass top-k, got {calls['n']} joins"
+
+
+def test_hot_cell_salting_matches_bruteforce(spark):
+    """Adversarially skewed data: every record lands in ONE grid cell; a tiny
+    cell_cap forces that cell to split into block-pair sub-groups (round-2
+    VERDICT item 4).  The salted plan must produce exactly the bruteforce
+    pair set — each pair once — with no straggler task holding the cell."""
+    from melody_join_spark.operators.emd_join_nd import _salt_factors
+
+    rng = np.random.default_rng(3)
+    bins = np.array([[i, j] for i in range(3) for j in range(3)], dtype=np.float64)
+    base = rng.random(9) + 0.5
+    rows = [
+        (i + 1, [float(x) for x in base + 0.01 * rng.random(9)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id long, w array<double>")
+    theta = 0.05
+    bf = _collect_pairs(
+        emd_join_nd(df, bins, theta, strategy="bruteforce", num_blocks=4)
+    )
+    assert _salt_factors(np.array([120]), 16)[0] > 1  # the cap really bites
+    gr = _collect_pairs(
+        emd_join_nd(df, bins, theta, strategy="grid", grid=2, cell_cap=16)
+    )
+    assert set(gr) == set(bf)
+    for k in bf:
+        assert gr[k] == pytest.approx(bf[k], abs=1e-9)
+    # unsalted (default cap) parity on the same skewed input
+    gr2 = _collect_pairs(emd_join_nd(df, bins, theta, strategy="grid", grid=2))
+    assert set(gr2) == set(bf)
