@@ -124,13 +124,23 @@ def _q_emd_nd_2d_l1(spark, sf_dir):
 
 
 def _q_emd_nd_topk_2d(spark, sf_dir):
+    """Top-k on d=2.  Rank ties: like emd_knn_2d, exactly-tied rational EMDs
+    can order differently in the last bit between the engine's simplex and
+    the fixture's SSP solver, so ranking on raw values is cross-engine
+    unstable.  Fetch a margin (k+10), re-rank on round(emd, 6) with
+    (rid, sid) tie-break — deterministic in both engines — and cut at k."""
+    from pyspark.sql.window import Window
+
     hist = lineitem_histograms_2d(spark, sf_dir)
-    res = emd_topk_nd(hist, bin_points_2d(), ND_TOPK, strategy="grid", grid=12)
-    return res.select(
-        F.col("rank").cast("long").alias("rank"),
-        "rid",
-        "sid",
-        F.round("emd", 6).alias("emd"),
+    res = emd_topk_nd(hist, bin_points_2d(), ND_TOPK + 10, strategy="grid", grid=12)
+    w = Window.orderBy(
+        F.round("emd", 6).asc(), F.col("rid").asc(), F.col("sid").asc()
+    )
+    return (
+        res.withColumn("emd", F.round("emd", 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= ND_TOPK)
+        .select("rank", "rid", "sid", "emd")
     )
 
 
@@ -512,10 +522,14 @@ SELECT rid, sid, round(emd, 6) + 0 AS emd FROM {fx_l1}
 WHERE emd <= {ND_THETA_2D} + 1e-4 ORDER BY rid, sid"""
     nd_topk_2d_sql = f"""
 WITH ranked AS (
-  SELECT row_number() OVER (ORDER BY emd, rid, sid) AS rank, rid, sid, emd
+  -- rank on ROUNDED emd (ties by rid, sid): raw last-bit doubles differ
+  -- between the fixture's SSP solver and the engine's simplex on
+  -- exactly-tied rational EMDs, so raw-order ranks are cross-engine unstable
+  SELECT row_number() OVER (ORDER BY round(emd, 6) + 0, rid, sid) AS rank,
+         rid, sid, round(emd, 6) + 0 AS emd
   FROM {fx}
 )
-SELECT rank, rid, sid, round(emd, 6) + 0 AS emd FROM ranked
+SELECT rank, rid, sid, emd FROM ranked
 WHERE rank <= {ND_TOPK} ORDER BY rank"""
     knn_2d_sql = f"""
 WITH ids AS (

@@ -279,15 +279,23 @@ def _verify_jaccard(cand: DataFrame, docs: DataFrame, threshold: float) -> DataF
     as broadcast hash joins and the (much larger) candidate set never
     shuffles at all — near-dup candidate sets routinely run 100-1000x the
     corpus row count, so candidate-stationary verification is the scalable
-    orientation.  Above the limit the plan falls back to shuffle joins."""
-    n_docs = docs.count()  # docs is persisted by every caller: cheap action
+    orientation.  The gate is BYTE-estimated (rows x avg tokens x 8 for the
+    long arrays, plus per-row overhead), not row-counted: 500k docs of a few
+    hundred tokens each is multi-GB — far past any broadcast budget even
+    though the row count looks small.  Above the budget the plan falls back
+    to shuffle joins (AQE still re-plans the actual sizes)."""
+    # docs is persisted by every caller: one cheap agg sizes the broadcast
+    n_docs, tot_toks = docs.agg(
+        F.count("*"), F.coalesce(F.sum("nt"), F.lit(0))
+    ).first()
+    est_bytes = int(tot_toks) * 8 + int(n_docs) * 32
     a = docs.select(
         F.col("id").alias("rid"), F.col("toks").alias("ta"), F.col("nt").alias("na")
     )
     b = docs.select(
         F.col("id").alias("sid"), F.col("toks").alias("tb"), F.col("nt").alias("nb")
     )
-    if n_docs <= 500_000:
+    if est_bytes <= 128 << 20:
         a, b = F.broadcast(a), F.broadcast(b)
     inter = F.size(F.array_intersect("ta", "tb"))
     jac = inter / (F.col("na") + F.col("nb") - inter)
@@ -343,27 +351,42 @@ def jaccard_pairs(
     rel = df.select(
         F.col(id_col).alias("id"), F.explode(tokens).alias("tok")
     ).select("id", F.xxhash64("tok").alias("th"))
-    freq = rel.groupBy("th").agg(F.count("*").alias("df_"))
+    # document frequency via count() OVER (PARTITION BY th): ONE exchange of
+    # the token relation, after which every row carries its token's df.  The
+    # groupBy(th)+join-back alternative embeds `rel` twice in the DAG — the
+    # tokenize+explode runs twice and the relation crosses three exchanges
+    # (agg, join probe, join build) instead of one; measured 2x on the sf0.1
+    # corpus (the round-2 dedup_jaccard_ngram regression).
+    from pyspark.sql.window import Window
+
+    rel = rel.withColumn("df_", F.count("*").over(Window.partitionBy("th")))
     if max_df is not None:
-        freq = freq.where(F.col("df_") <= max_df)
-    # integer token ids in global (df asc, hash asc) order, PACKED as
-    # (clamp(df, 2^22-1) << 40) | hash mod 2^40 — a pure codegen expression
-    # with no shuffle and no single-partition window.  The high bits
-    # preserve the df-ascending prefix order the PPJoin prefix filter
-    # relies on; the 40 hash bits break ties.  The groupBy below then sorts
-    # longs, the prefix join keys on a long, and verification intersects
-    # long arrays.
-    vocab = freq.select(
-        "th",
-        (
-            F.shiftleft(F.least(F.col("df_"), F.lit((1 << 22) - 1)).cast("long"), 40)
-            + F.pmod(F.col("th"), F.lit(1 << 40))
-        ).alias("tid"),
+        rel = rel.where(F.col("df_") <= max_df)
+    # PPJoin global token order: df ascending, ties broken deterministically.
+    # The packed sort key (clamp(df, 2^22-1) << 40) | hash mod 2^40 is a pure
+    # codegen expression with no extra shuffle and no single-partition
+    # window; the high bits give the df-ascending prefix order, the 40 hash
+    # bits spread ties.  Documents then store the FULL 64-bit token hash
+    # sorted by (tid, th): tid-equal tokens (same df, same low-40 hash —
+    # expected once a df-class passes ~2^20.5 tokens, routine at corpus
+    # scale) stay DISTINCT longs ordered by th, so the downstream set ops
+    # never merge two tokens short of a true 64-bit collision
+    # (~|vocab|^2 / 2^65).  The prefix equi-join keys on the 64-bit hash and
+    # verification intersects 64-bit arrays — tid is ONLY an ordering
+    # device, never an identity.
+    tid = (
+        F.shiftleft(F.least(F.col("df_"), F.lit((1 << 22) - 1)).cast("long"), 40)
+        + F.pmod(F.col("th"), F.lit(1 << 40))
     )
     docs = (
-        rel.join(vocab, "th")
+        rel.select("id", "th", tid.alias("tid"))
         .groupBy("id")
-        .agg(F.sort_array(F.collect_list("tid")).alias("toks"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("tid", "th"))),
+                lambda s: s["th"],
+            ).alias("toks")
+        )
         .withColumn("nt", F.size("toks"))
     )
     # -1e-9 guards float fuzz in t*nt: undershooting ceil only lengthens the

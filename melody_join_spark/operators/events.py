@@ -39,18 +39,26 @@ SESSION_GAP_MIN = 30
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the events table.  The driver parquet stores ts as
-    TIMESTAMP(NANOS), which vanilla Spark rejects
-    ([PARQUET_TYPE_ILLEGAL]); read nanos as long and truncate to
-    microseconds — the same truncation DuckDB applies, so oracle
-    comparisons agree."""
+    """Read the events table, normalizing ``ts`` to TIMESTAMP whatever the
+    driver parquet stored:
+
+    - TIMESTAMP(NANOS) (round 1-2 testdata): vanilla Spark rejects it
+      ([PARQUET_TYPE_ILLEGAL]); read nanos as long and truncate to micros —
+      the same truncation DuckDB applies, so oracle comparisons agree.
+    - TIMESTAMP_NTZ (round-3 testdata, timestamp[us] without UTC
+      adjustment): cast to TIMESTAMP under a pinned UTC session zone, so the
+      naive wall-clock maps to the same epoch DuckDB assigns it."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(raw.dtypes).get("ts") == "bigint":
+    dt = dict(raw.dtypes).get("ts")
+    if dt == "bigint":
         raw = raw.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))  # integer div:
             # float division rounds up at 1e18-ns magnitudes
         )
+    elif dt == "timestamp_ntz":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 

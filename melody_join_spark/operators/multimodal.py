@@ -3,10 +3,12 @@
 Media are opaque ``binary`` columns plus typed metadata.  The Spark-side
 plumbing — schemas, `binaryFile` ingestion, Arrow-batched `mapInPandas`
 decode/feature/resize/frame-sample operators, partition sizing — is real and
-tested; the codec step itself is stubbed (this container has no image/audio
-libraries) behind ``decoder=``: pass a real decoder callable in production,
-default raises ``NotImplementedError`` unless ``fake=True`` supplies the
-deterministic test fake.
+tested; the codec step is pluggable behind ``decoder=``: the default is the
+REAL (codec-free, deterministic) ``byte_histogram_decoder`` over the raw
+payload bytes, a production decoder callable (PIL/ffmpeg/librosa) plugs in
+unchanged, and ``fake=True`` selects the deterministic test fake.  Only
+modality-aware pixel/spectrogram decoding is deferred to the injected
+callable — this container has no image/audio libraries.
 
 This replaces the reference's generator input stack (HIPI bundles / Lire
 feature extractors, SURVEY.md §2.1 S6, src/com/iojin/melody/Generate.java:

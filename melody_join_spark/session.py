@@ -12,6 +12,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_heap() -> str:
+    """min(32g, ~50% of total RAM), floored at 2g."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) / (1 << 20)
+                    break
+            else:
+                return "8g"
+    except OSError:
+        return "8g"
+    return f"{max(2, min(32, int(total_gb * 0.5)))}g"
+
+
 def get_spark(app_name: str = "melody-join-spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
@@ -28,9 +43,14 @@ def get_spark(app_name: str = "melody-join-spark", shuffle_partitions: int | Non
         # local mode: the driver JVM IS the executor; 32 concurrent tasks
         # shuffling array columns on an 8g heap live in permanent old-gen
         # pressure (measured: the same join got 2.5x slower by the second
-        # run of a session).  Size the heap like the executor it is.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # run of a session).  Size the heap like the executor it is — but
+        # derive the default from the machine (~50% of RAM, capped at 32g)
+        # so the session still starts on small hosts; SPARK_GRAFT_DRIVER_MEM
+        # overrides for bench hosts.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_heap())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # deterministic epoch math for naive (NTZ) timestamps across hosts
+        .config("spark.sql.session.timeZone", "UTC")
     )
     return builder.getOrCreate()

@@ -110,3 +110,41 @@ def test_fake_decoder_stability():
     c = fake_decode_image(b"world", 16)
     assert np.array_equal(a, b)
     assert not np.array_equal(a, c)
+
+
+def test_custom_decoder_plugs_through_generate_to_join(spark):
+    """The production decoder= hook end to end (round-2 VERDICT item 8): a
+    custom callable flows through decode_features -> generate_histograms ->
+    emd_join_nd and changes the result the way its features dictate."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from melody_join_spark.operators.emd_join_nd import emd_join_nd
+    from melody_join_spark.plans.generate import generate_histograms
+
+    def first_byte_decoder(content: bytes, bins: int) -> np.ndarray:
+        # deterministic custom feature: all mass at the first byte's bucket
+        h = np.zeros(bins)
+        h[(content[0] if content else 0) % bins] = 1.0
+        return h
+
+    rows = [
+        (1, "m://1", "image", bytes([0, 9, 9]), 3, "{}"),
+        (2, "m://2", "image", bytes([0, 1, 2]), 3, "{}"),   # same first byte as 1
+        (3, "m://3", "image", bytes([4, 1, 2]), 3, "{}"),   # one bucket away
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, path string, modality string, content binary, "
+        "content_length long, meta string",
+    )
+    hist = generate_histograms(spark, media=media, bins=8, decoder=first_byte_decoder)
+    got = {r.media_id: r.w for r in hist.select(F.col("id").alias("media_id"), "w").collect()}
+    assert got[1] == got[2] != got[3]
+    bins = np.arange(8, dtype=np.float64).reshape(-1, 1)
+    pairs = {
+        (r.rid, r.sid): r.emd
+        for r in emd_join_nd(hist, bins, 0.5, strategy="grid", grid=2).collect()
+    }
+    assert pairs[(1, 2)] == 0.0          # identical custom features
+    assert (1, 3) not in pairs or pairs[(1, 3)] > 0.5  # 4 buckets apart: pruned
