@@ -419,7 +419,10 @@ def emd_join_nd(
     bin_points = np.atleast_2d(np.asarray(bin_points, dtype=np.float64))
     if bin_points.shape[0] == 1 and bin_points.shape[1] > 1:
         bin_points = bin_points.T
-    if cfg is None:
+    # for the grid strategy, cfg seeding is DEFERRED into _build_grid_ctx so
+    # the seed sample reads the cached centroid table instead of re-running
+    # the (possibly expensive) upstream plan one extra time
+    if cfg is None and strategy != "grid":
         seed_rows = hist.select(w_col).limit(8).collect()
         sw = np.array([r[0] for r in seed_rows], dtype=np.float64)
         cfg = build_config(bin_points, seed_weights=sw, seed=seed, ground=ground)
@@ -451,7 +454,12 @@ def emd_join_nd(
         return _pivot_join(rec, cfg, theta, num_pivots=10, seed=seed)
     if strategy != "grid":
         raise ValueError(f"unknown strategy {strategy!r}")
-    if cfg.rubner_ord is None:
+    minkowski = (
+        cfg.rubner_ord
+        if cfg is not None
+        else ({"l1": 1.0, "l2": 2.0, "l3": 3.0}.get(ground) if isinstance(ground, str) else None)
+    )
+    if minkowski is None:
         raise ValueError(
             "grid strategy requires a Minkowski ground ('l1'/'l2'/'l3'); "
             "use strategy='pivot' (metric cost) or 'bruteforce' for an "
@@ -470,7 +478,7 @@ def emd_join_nd(
         from .emd_join import emd_threshold_join
         from .histograms import with_cum
 
-        pos = cfg.bin_points[:, 0]
+        pos = bin_points[:, 0]
         order = np.argsort(pos, kind="stable")
         h = rec.select("id", "w")
         if not np.array_equal(order, np.arange(pos.size)):
@@ -482,11 +490,12 @@ def emd_join_nd(
                 "total", F.aggregate("w", F.lit(0.0), lambda a, x: a + x)
             )
         )
+        slack = cfg.slack if cfg is not None else 1e-4
         return emd_threshold_join(
-            h, theta + cfg.slack, positions=pos[order], strategy="cells"
+            h, theta + slack, positions=pos[order], strategy="cells"
         )
 
-    ctx = _build_grid_ctx(rec, bin_points, cfg, grid)
+    ctx = _build_grid_ctx(rec, bin_points, cfg, grid, seed=seed, ground=ground)
     from ..cache import release_on_gc
 
     out = _grid_join(ctx, theta, stats=stats, two_table=two_table, cell_cap=cell_cap)
@@ -509,11 +518,26 @@ class _GridCtx:
 
 
 def _build_grid_ctx(
-    rec: DataFrame, bin_points: np.ndarray, cfg: NdJoinConfig, grid: int
+    rec: DataFrame,
+    bin_points: np.ndarray,
+    cfg: NdJoinConfig | None,
+    grid: int,
+    seed: int = 42,
+    ground: str | np.ndarray = "l2",
 ) -> _GridCtx:
     d = bin_points.shape[1]
-    rec0 = _centroid_cols(rec, bin_points, "w")
-    bnds = _grid_boundaries(rec0, d, grid)  # (d, grid-1)
+    # persist the centroid-annotated records BEFORE the driver-side stat
+    # jobs: the quantile-boundary agg, the cfg seed sample, the stat-column
+    # materialization and the cell-stat collect would otherwise each
+    # re-execute the upstream plan (for the bench bridge tables that is a
+    # 3-join + groupBy chain — measured ~40% of the whole d=2 query before
+    # this cache)
+    rec0 = _centroid_cols(rec, bin_points, "w").persist()
+    bnds = _grid_boundaries(rec0, d, grid)  # (d, grid-1); materializes rec0
+    if cfg is None:
+        seed_rows = rec0.select("w").limit(8).collect()
+        sw = np.array([r[0] for r in seed_rows], dtype=np.float64)
+        cfg = build_config(bin_points, seed_weights=sw, seed=seed, ground=ground)
 
     # native cell id: per-dim index = #boundaries <= coord, base-`grid` encoded
     cell = F.lit(0)
@@ -535,6 +559,7 @@ def _build_grid_ctx(
     # reference's NESpaceReducer cell-stat side files (NESpaceReducer.java:
     # 74-219) as a broadcastable numpy table
     cs = _collect_cell_stats(rec1, d, len(cfg.proj_positions), len(cfg.duals), grid**d)
+    rec0.unpersist()  # rec1 (a superset) is materialized now
     return _GridCtx(rec1, bnds, cs, cfg, d, grid)
 
 
