@@ -144,6 +144,29 @@ def _q_emd_nd_topk_2d(spark, sf_dir):
     )
 
 
+def _q_emd_nd_two_table(spark, sf_dir):
+    """Two-table R x S EMD threshold join (the generalization the reference
+    lacks — its joins are self-joins only, SURVEY.md §2.3): nation-1 order
+    histograms against nation-2's.  Collinear bins keep the exact EMD
+    SQL-expressible, so the full two-table grid machinery (side-tagged
+    records, one-native-end pair rule) is hash-checked end to end."""
+    h1 = lineitem_histograms(spark, sf_dir, nationkey=1)
+    h2 = lineitem_histograms(spark, sf_dir, nationkey=2)
+    res = emd_join_nd(
+        h1.select("id", "w"),
+        bin_points_line(),
+        ND_THETA_LINE,
+        other=h2.select("id", "w"),
+        strategy="grid",
+        grid=16,
+    )
+    return (
+        res.withColumn("emd", F.round("emd", 6))
+        .where(F.col("emd") <= ND_THETA_LINE)
+        .orderBy("rid", "sid")
+    )
+
+
 def _q_emd_nd_pivot_line(spark, sf_dir):
     """MRSimJoin pivot strategy on the collinear gate — same oracle as the
     grid variant, so both physical plans are hash-checked independently."""
@@ -368,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_nd_threshold_2d": _q_emd_nd_2d,
         "emd_nd_threshold_2d_l1": _q_emd_nd_2d_l1,
         "emd_nd_topk_2d": _q_emd_nd_topk_2d,
+        "emd_nd_two_table_line": _q_emd_nd_two_table,
         "emd_nd_threshold_pivot_line": _q_emd_nd_pivot_line,
         "emd_nd_threshold_pivot_2d": _q_emd_nd_pivot_2d,
         "events_window_hourly": _q_events_window,
@@ -437,6 +461,19 @@ def oracle_sql() -> dict[str, str]:
         + f""" SELECT rid, sid, round(emd, 6) AS emd FROM emd
 WHERE round(emd, 6) <= {ND_THETA_LINE} ORDER BY rid, sid"""
     )
+    from melody_join_spark.plans.tpch_bridge import oracle_hist_cte
+
+    two_table_sql = f"""WITH {oracle_hist_cte(1, prefix="r")},
+{oracle_hist_cte(2, prefix="s")},
+pairs AS (
+  SELECT a.id AS rid, b.id AS sid,
+         abs(a.c * b.total - b.c * a.total) AS d,
+         a.total * b.total AS tt
+  FROM rcum a JOIN scum b ON a.bucket = b.bucket
+),
+emd AS (SELECT rid, sid, sum(d) / any_value(tt) AS emd FROM pairs GROUP BY 1, 2)
+SELECT rid, sid, round(emd, 6) AS emd FROM emd
+WHERE round(emd, 6) <= {ND_THETA_LINE} ORDER BY rid, sid"""
     events_window_sql = """
 SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP)) AS wstart_us,
        event_type,
@@ -561,6 +598,7 @@ WHERE rank <= {KNN_K} ORDER BY qid, rank"""
         "emd_nd_threshold_2d": nd_2d_sql,
         "emd_nd_threshold_2d_l1": nd_2d_l1_sql,
         "emd_nd_topk_2d": nd_topk_2d_sql,
+        "emd_nd_two_table_line": two_table_sql,
         "emd_nd_threshold_pivot_line": nd_line_sql,
         "emd_nd_threshold_pivot_2d": nd_2d_sql,
         "emd_knn_2d": knn_2d_sql,

@@ -117,30 +117,143 @@ def dedupe(
     raise ValueError(f"unknown dedupe mode {mode!r}")
 
 
+def _star_rounds(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond"): converges in
+    O(log^2 n) rounds on ANY graph — including adversarial long chains,
+    where min-label propagation needs diameter rounds.  Returns the stable
+    star edge set (node -> component min).
+
+    large-star(u): every strictly-larger neighbor of u re-attaches to
+    min(N(u) ∪ {u}).  small-star(u): every smaller-or-equal neighbor (and u
+    itself) attaches to the minimum among them.  Both are one window-min
+    over the edge list — no joins against a label table."""
+    from pyspark.sql.window import Window
+
+    # localCheckpoint (not persist) per round: an iterative DataFrame whose
+    # round N plan embeds round N-1's plan re-ANALYZES a geometrically
+    # growing tree every round even when the data is cached — Catalyst time
+    # explodes after ~8 rounds.  Checkpointing truncates the lineage to a
+    # materialized RDD; Spark's ContextCleaner reclaims the backing blocks
+    # when the round's DataFrame goes out of scope.
+    e = (
+        edges.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(df: DataFrame):
+        # order-insensitive edge-set checksum: xor of row hashes (sum would
+        # overflow longs under ANSI mode); edges are distinct so xor
+        # cancellation cannot collide two different sets of the same size
+        # short of a real hash collision
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)
+            ).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    fp = fingerprint(e)
+    for _ in range(max_iter):
+        # large-star over the symmetric neighborhood view
+        sym = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        wl = Window.partitionBy("a")
+        m = F.least(F.col("a"), F.min("b").over(wl))
+        large = (
+            sym.withColumn("m", m)
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star over larger-endpoint orientation
+        ws = Window.partitionBy("a")
+        d2 = large.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).withColumn("m", F.min("b").over(ws))
+        new_e = (
+            d2.select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(d2.select("a", F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_fp = fingerprint(new_e)
+        e = new_e
+        if new_fp == fp:
+            return e  # stable star set: every edge is (node, component min)
+        fp = new_fp
+    raise RuntimeError(f"dup_clusters did not converge in {max_iter} rounds")
+
+
 def dup_clusters(
     pairs: DataFrame,
     ids: DataFrame | None = None,
     id_col: str = "id",
     max_iter: int = 25,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph ->
     (id, cluster_id), cluster_id = smallest id reachable through dup edges.
 
     The transitive step the greedy drop rule skips: near-dup is not
     transitive, but a 100-TB cleaning pipeline wants whole dup CLUSTERS
-    (keep one representative per component, audit the rest).  Min-label
-    propagation in pure DataFrame ops: each round every node takes the min
-    of its own label and its neighbors' labels; converged when no label
-    changes.  Rounds needed = component diameter — tiny for near-dup
-    clusters (they are dense blobs, not chains), so the driver loop runs
-    2-4 rounds in practice; ``max_iter`` guards pathological chains, and
-    non-convergence raises rather than returning a wrong labeling.
+    (keep one representative per component, audit the rest).
 
-    Each round is one shuffle (edge join + min agg); labels persist per
-    round and the previous round is unpersisted — state on executors stays
-    O(|V|).  ``ids`` (optional, one ``id_col`` column) adds isolated nodes
-    so every input row gets a cluster (itself when it has no dup edge).
+    ``algorithm='star'`` (default): alternating large-star/small-star
+    rounds (`_star_rounds`) — O(log^2 n) rounds on ANY graph shape, the
+    100-TB-safe choice (an adversarial chain of length L costs ~log L
+    rounds, not L).  ``algorithm='label'``: min-label propagation — each
+    round every node takes the min of its own and its neighbors' labels;
+    rounds = component diameter (tiny for near-dup blobs, pathological for
+    chains).  Both raise on non-convergence rather than returning a wrong
+    labeling, and both are pure DataFrame plans (window mins / edge joins —
+    one or two shuffles per round, state O(|E|) on executors).
+
+    ``ids`` (optional, one ``id_col`` column) adds isolated nodes so every
+    input row gets a cluster (itself when it has no dup edge).
     """
+    if algorithm == "star":
+        star = _star_rounds(
+            pairs.select(
+                F.col("rid").cast("long").alias("a"),
+                F.col("sid").cast("long").alias("b"),
+            ),
+            max_iter,
+        )
+        from ..cache import release_on_gc
+
+        # stable star edges point node -> component min; roots and isolated
+        # nodes label themselves
+        members = star.select("a", F.col("b").alias("lbl")).unionByName(
+            star.select(F.col("b").alias("a"), F.col("b").alias("lbl"))
+        )
+        nodes = members.select("a")
+        if ids is not None:
+            nodes = nodes.unionByName(
+                ids.select(F.col(id_col).cast("long").alias("a"))
+            )
+        out = (
+            nodes.distinct()
+            .join(members.groupBy("a").agg(F.min("lbl").alias("lbl")), "a", "left")
+            .select(
+                F.col("a").alias("id"),
+                F.coalesce("lbl", F.col("a")).alias("cluster_id"),
+            )
+        )
+        return release_on_gc(out, star)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     # symmetric edges from ONE pass over pairs: a union of two selects would
     # embed the (possibly expensive) upstream pairs plan twice in the same
     # job — with jaccard_pairs upstream that doubles the whole tokenize +
@@ -164,8 +277,12 @@ def dup_clusters(
         nodes = nodes.unionByName(
             ids.select(F.col(id_col).cast("long").alias("a"))
         ).distinct()
-    labels = nodes.select("a", F.col("a").alias("lbl")).persist()
-    labels.count()
+    # localCheckpoint per round (see _star_rounds): round N's plan would
+    # otherwise embed round N-1's, and Catalyst re-analysis of the
+    # compounding tree dominates after ~8 rounds even with the data cached
+    labels = nodes.select("a", F.col("a").alias("lbl")).localCheckpoint(
+        eager=True
+    )
     for _ in range(max_iter):
         # candidate labels flowing across edges this round
         cand = (
@@ -181,7 +298,7 @@ def dup_clusters(
                 "a",
                 F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -189,13 +306,11 @@ def dup_clusters(
             .where(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     else:
         edges.unpersist()
-        labels.unpersist()
         raise RuntimeError(f"dup_clusters did not converge in {max_iter} rounds")
     edges.unpersist()
     from ..cache import release_on_gc

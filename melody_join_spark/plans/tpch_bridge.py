@@ -131,16 +131,23 @@ def lineitem_histograms_2d(
     )
 
 
-def oracle_hist_cte(nationkey: int | None = 1, num_bins: int = NUM_BINS) -> str:
+def oracle_hist_cte(
+    nationkey: int | None = 1, num_bins: int = NUM_BINS, prefix: str = ""
+) -> str:
     """DuckDB CTE producing (id, bucket, c=prefix-sum, total) rows matching
-    :func:`lineitem_histograms` bit-for-bit (integral quantities)."""
+    :func:`lineitem_histograms` bit-for-bit (integral quantities).
+
+    ``prefix`` namespaces the CTE names (``{prefix}cum`` etc.) so two
+    instances — e.g. the two sides of an R x S join oracle — can share one
+    WITH list."""
     width = (PRICE_HI - PRICE_LO) / num_bins
     nation_filter = f"WHERE c_nationkey = {nationkey}" if nationkey is not None else ""
     join_cust = (
         "JOIN customer ON o_custkey = c_custkey" if nationkey is not None else ""
     )
+    p = prefix
     return f"""
-h AS (
+{p}h AS (
   SELECT l_orderkey AS id,
          least({num_bins - 1}, greatest(0,
              cast(floor((l_extendedprice - {PRICE_LO}) / {width}) AS int))) AS bucket,
@@ -151,16 +158,16 @@ h AS (
   {nation_filter}
   GROUP BY 1, 2
 ),
-tot AS (SELECT id, sum(wsum) AS total FROM h GROUP BY 1),
-dense AS (
+{p}tot AS (SELECT id, sum(wsum) AS total FROM {p}h GROUP BY 1),
+{p}dense AS (
   SELECT t.id, gs.bucket, coalesce(h.wsum, 0.0) AS wsum, t.total
-  FROM tot t
+  FROM {p}tot t
   CROSS JOIN (SELECT unnest(generate_series(0, {num_bins - 1})) AS bucket) gs
-  LEFT JOIN h ON h.id = t.id AND h.bucket = gs.bucket
+  LEFT JOIN {p}h h ON h.id = t.id AND h.bucket = gs.bucket
 ),
-cum AS (
+{p}cum AS (
   SELECT id, bucket, sum(wsum) OVER (PARTITION BY id ORDER BY bucket) AS c, total
-  FROM dense
+  FROM {p}dense
 )"""
 
 

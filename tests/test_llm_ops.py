@@ -242,3 +242,41 @@ def test_dup_clusters_matches_union_find(spark):
     assert got == expected
     assert got[99] == 99  # isolated node maps to itself
     assert got[74] == 70  # 5-node chain collapses to its min id
+
+
+def test_dup_clusters_star_equals_label_and_survives_chains(spark):
+    """The default star algorithm == label propagation on random graphs, and
+    converges in O(log n) rounds on an adversarial 120-node chain where
+    label propagation needs diameter rounds (raises at the same max_iter)."""
+    from melody_join_spark.operators.dedup import dup_clusters
+
+    rng = np.random.default_rng(31)
+    edges = sorted(
+        {
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in rng.choice(80, size=(60, 2))
+            if a != b
+        }
+    )
+    pairs = spark.createDataFrame(edges, "rid long, sid long")
+    star = {
+        r.id: r.cluster_id
+        for r in dup_clusters(pairs, algorithm="star").collect()
+    }
+    label = {
+        r.id: r.cluster_id
+        for r in dup_clusters(pairs, algorithm="label").collect()
+    }
+    assert star == label
+
+    # adversarial chain 0-1-2-...-119: diameter 119 >> max_iter
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "rid long, sid long"
+    )
+    got = {
+        r.id: r.cluster_id
+        for r in dup_clusters(chain, max_iter=25, algorithm="star").collect()
+    }
+    assert got == {i: 0 for i in range(120)}
+    with pytest.raises(RuntimeError):
+        dup_clusters(chain, max_iter=10, algorithm="label").collect()
