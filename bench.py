@@ -50,7 +50,15 @@ def main() -> None:
     runs: dict[str, list[float]] = {name: [] for name in qs}
     busy_per_run: list[float] = []
     steal_per_run: list[float | None] = []
+    # degrade gracefully on a pathologically contended host: finish the
+    # current full run, then stop if the budget is spent (min-of-n still
+    # holds over however many runs completed)
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1500"))
+    t_start = time.time()
     for r in range(n_runs):
+        if r > 0 and time.time() - t_start > budget:
+            print(f"# bench budget spent after {r} runs", file=sys.stderr)
+            break
         stat0 = _cpu_stat()
         for name, fn in qs.items():
             t0 = time.time()
@@ -66,7 +74,7 @@ def main() -> None:
         busy_per_run.append(busy)
         steal_per_run.append(steal)
 
-    timings = {name: min(ts) for name, ts in runs.items()}
+    timings = {name: min(ts) for name, ts in runs.items() if ts}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -76,7 +84,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_runs": n_runs,
+                "n_runs": len(busy_per_run),
                 "runs": runs,
                 "host_busy_per_run": busy_per_run,
                 "host_steal_per_run": steal_per_run,
