@@ -606,14 +606,29 @@ def _perm_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingle_hashes(text: str, shingle: int) -> np.ndarray:
+def _shingle_hashes(
+    text: str, shingle: int, memo: dict | None = None
+) -> np.ndarray:
     t = " ".join(text.lower().split())
     if len(t) < shingle:
         grams = {t}
     else:
         grams = {t[i : i + shingle] for i in range(len(t) - shingle + 1)}
-    # crc32: deterministic across processes (unlike Python's str hash)
-    h = np.fromiter((zlib.crc32(g.encode()) for g in grams), dtype=np.int64)
+    # crc32: deterministic across processes (unlike Python's str hash).
+    # ``memo`` (per Arrow batch) dedups the crc across documents — near-dup
+    # corpora share most of their shingle vocabulary, so the hash cost is
+    # ~|distinct grams in batch|, not sum of document lengths.
+    if memo is None:
+        h = np.fromiter((zlib.crc32(g.encode()) for g in grams), dtype=np.int64)
+    else:
+        vals = []
+        for g in grams:
+            v = memo.get(g)
+            if v is None:
+                v = zlib.crc32(g.encode())
+                memo[g] = v
+            vals.append(v)
+        h = np.asarray(vals, dtype=np.int64)
     return h % _MERSENNE
 
 
@@ -625,18 +640,31 @@ def minhash_signatures(
     shingle: int = 5,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig array<long>) — minhash signature per document (pandas UDF,
-    Arrow-batched; numpy broadcast over (shingles x hashes))."""
+    """(id, sig array<long>) — minhash signature per document.
+
+    Batch-vectorized pandas UDF: each Arrow batch hashes every DISTINCT
+    shingle once (crc memo), evaluates the K permutations once per distinct
+    shingle hash ((U, K) matrix — the modulo is the expensive op and U is
+    far below the summed document lengths on real corpora), then takes each
+    document's signature as a gather + column-min over its rows.  Bit-for-
+    bit identical to the per-document formula (min over a superset of
+    duplicated rows is unchanged)."""
     a_params, b_params = _perm_params(num_hashes, seed)
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
+        memo: dict = {}
+        docs_h = [_shingle_hashes(t or "", shingle, memo) for t in texts]
+        if not docs_h:
+            return pd.Series([], dtype=object)
+        uni, inv = np.unique(np.concatenate(docs_h), return_inverse=True)
+        perm = (uni[:, None] * a_params[None, :] + b_params[None, :]) % _MERSENNE
         out = []
-        for t in texts:
-            h = _shingle_hashes(t or "", shingle)
-            # (S, K) permuted hashes mod mersenne prime, min over shingles
-            vals = (h[:, None] * a_params[None, :] + b_params[None, :]) % _MERSENNE
-            out.append(vals.min(axis=0))
+        ofs = 0
+        for h in docs_h:
+            idx = inv[ofs : ofs + h.size]
+            ofs += h.size
+            out.append(perm[idx].min(axis=0))
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
