@@ -7,6 +7,11 @@ UDFs.
 """
 
 from .ground import bins_matrix, ground_distance_matrix
+from .emd_batch import (
+    emd_exact_batch,
+    emd_exact_pairs,
+    emd_exact_pairs_memo,
+)
 from .emd import (
     EPSILON,
     emd_1d,
@@ -47,6 +52,9 @@ __all__ = [
     "emd_1d_pairs",
     "emd_exact",
     "emd_exact_with_duals",
+    "emd_exact_batch",
+    "emd_exact_pairs",
+    "emd_exact_pairs_memo",
     "normalize",
     "prefix_cdf",
     "DualPotentials",
