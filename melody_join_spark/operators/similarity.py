@@ -295,16 +295,31 @@ def lsh_cosine_pairs(
     e = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v")).withColumn(
         "nrm", _norm_expr("v")
     )
-    # sign bits as array<int> via one dot-product expression per plane
-    bit_exprs = []
-    for p in range(num_planes):
-        coeffs = F.array(*[F.lit(float(c)) for c in planes[p]])
-        dot = F.aggregate(
-            F.zip_with("v", coeffs, lambda x, c: x * c), F.lit(0.0), lambda a, x: a + x
-        )
-        bit_exprs.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+
+    # sign bits via an Arrow-batched UDF that replicates the LEFT-FOLD
+    # accumulation order of the SQL `aggregate(zip_with(...))` formulation
+    # bit for bit (elementwise numpy += over the dimension index == per-row
+    # sequential fold), so sketch keys — and the committed spec fixture —
+    # are unchanged.  The pure-expression variant compiled 64 aggregate
+    # trees of 128 terms each into one pathological codegen unit; constant
+    # multi-second compile time dominated the whole query at bench scale.
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def bits_udf(vs: pd.Series) -> pd.Series:
+        V = np.stack(vs.to_numpy()).astype(np.float64)  # (n, dim)
+        n = V.shape[0]
+        bits = np.empty((n, num_planes), dtype=np.int32)
+        for p in range(num_planes):
+            acc = np.zeros(n)
+            pl = planes[p]
+            for j in range(dim):
+                acc += V[:, j] * pl[j]  # == SQL fold order, lane-exact
+            bits[:, p] = acc >= 0
+        return pd.Series(list(bits))
+
     e = e.persist()  # feeds the sketch plus both verify sides
-    sk = e.withColumn("bits", F.array(*bit_exprs))
+    sk = e.withColumn("bits", bits_udf("v"))
     # band join and dedup move only (id, key) — the 128-double vectors join
     # back AFTER dedup, so the widest shuffle carries ids, not arrays
     band_keys = sk.select(
