@@ -53,7 +53,7 @@ def main() -> None:
     # degrade gracefully on a pathologically contended host: finish the
     # current full run, then stop if the budget is spent (min-of-n still
     # holds over however many runs completed)
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1500"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1000"))
     t_start = time.time()
     for r in range(n_runs):
         if r > 0 and time.time() - t_start > budget:
