@@ -143,3 +143,37 @@ def test_memo_wrapper_dedups_group_pairs():
     )
     assert len(memo) == n0
     np.testing.assert_array_equal(out, out2)
+
+
+def test_max_batch_chunking_agrees():
+    """A single support-shape class larger than MAX_BATCH splits across
+    chunked stacked solves; results must equal the scalar solver."""
+    from melody_join_spark.kernel import emd_batch
+
+    rng = np.random.default_rng(17)
+    pts = np.arange(6.0)
+    cost = ground_distance_matrix(pts, dimension=1, ground="l2")
+    W = _sparse_hists(rng, 50, 6, lo=3, hi=4)  # every row support size 3
+    K = 3000
+    li = rng.integers(0, 50, size=K)
+    ri = rng.integers(0, 50, size=K)
+    import unittest.mock as mock
+
+    with mock.patch.object(emd_batch, "MAX_BATCH", 1024):
+        batch = emd_batch.emd_exact_pairs(W, cost, li, ri)
+    sub = rng.choice(K, size=400, replace=False)
+    scal = [emd_exact(W[li[k]], W[ri[k]], cost) for k in sub]
+    np.testing.assert_allclose(batch[sub], scal, atol=1e-9)
+
+
+def test_empty_and_zero_support_pairs():
+    cost = ground_distance_matrix(np.arange(4.0), dimension=1, ground="l2")
+    W = np.zeros((3, 4))
+    W[0, 1] = 1.0
+    # empty index arrays
+    out = emd_exact_pairs(W, cost, np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+    assert out.size == 0
+    # zero-support rows: EMD defined as 0 (matches scalar emd_exact)
+    out = emd_exact_pairs(W, cost, np.array([0, 1]), np.array([2, 2]))
+    np.testing.assert_array_equal(out, [0.0, 0.0])
+    assert emd_exact(W[0], W[2], cost) == 0.0
