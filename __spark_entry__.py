@@ -22,6 +22,8 @@ from melody_join_spark.operators.dedup import (
     jaccard_pairs_oracle_sql,
     minhash_lsh_pairs,
     simhash_pairs,
+    winnow_pairs,
+    winnow_pairs_oracle_sql,
 )
 from melody_join_spark.operators.emd_join import emd_threshold_join, emd_topk_join
 from melody_join_spark.operators.emd_join_nd import emd_join_nd, emd_knn, emd_topk_nd
@@ -311,6 +313,13 @@ def _q_jaccard(spark, sf_dir):
     )
 
 
+def _q_winnow(spark, sf_dir):
+    """Rolling-hash winnowing near-dup pairs (MOSS scheme): codegen k-gram
+    polynomial hash + window-min fingerprints, df-capped fingerprint
+    equi-join, Jaccard over fingerprint sets.  Exact DuckDB twin."""
+    return winnow_pairs(_docs(spark, sf_dir)).orderBy("doc_a", "doc_b")
+
+
 def _q_minhash(spark, sf_dir):
     """MinHash-LSH near-dup pairs.  Deterministic given its seed (crc32
     shingles, seeded Mersenne permutations), so the pipeline hash-checks
@@ -403,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_corpus": _q_dedupe_corpus,
         "emd_knn_2d": _q_emd_knn_2d,
         "dedup_jaccard_ngram": _q_jaccard,
+        "dedup_winnow": _q_winnow,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_minhash_lsh": _q_minhash,
         "dedup_simhash": _q_simhash,
@@ -618,6 +628,7 @@ WHERE rank <= {KNN_K} ORDER BY qid, rank"""
             jaccard_pairs_oracle_sql(JACCARD_THETA, ngram=JACCARD_NGRAM),
             ids_sql="SELECT doc_id AS id FROM documents",
         ),
+        "dedup_winnow": winnow_pairs_oracle_sql(),
         # Every sketch pipeline is deterministic given its seed (simhash,
         # minhash LSH, hyperplane LSH, IVF kmeans), so each hash-checks
         # against a fixture from an independent pure-python re-execution of

@@ -30,7 +30,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-from .text import fingerprint_bow, fingerprint_text
+from .text import (
+    WINNOW_K,
+    WINNOW_W,
+    fingerprint_bow,
+    fingerprint_text,
+    winnow_fingerprints,
+    winnow_fps_sql,
+)
 
 __all__ = [
     "exact_dedup_groups",
@@ -41,6 +48,8 @@ __all__ = [
     "tokenize_char_ngrams",
     "jaccard_pairs",
     "jaccard_pairs_oracle_sql",
+    "winnow_pairs",
+    "winnow_pairs_oracle_sql",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash64",
@@ -586,6 +595,117 @@ FROM inter
 JOIN sizes na ON na.id = rid
 JOIN sizes nb ON nb.id = sid
 WHERE inter / (na.nt + nb.nt - inter) >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# winnowing (rolling-hash fingerprint) near-dup pairs
+# ---------------------------------------------------------------------------
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    threshold: float = 0.5,
+    min_common: int = 3,
+    max_df_frac: float = 0.1,
+) -> DataFrame:
+    """Partial-overlap near-dup pairs over winnowing fingerprints (the MOSS
+    scheme): docs sharing >= ``min_common`` fingerprints with fingerprint-set
+    Jaccard >= ``threshold``.  Output (doc_a, doc_b, n_common, sim).
+
+    Plan shape (all equi-joins, no cross join):
+      1. ``winnow_fingerprints`` — pure codegen scan, no shuffle;
+      2. explode to (id, fp) and drop fingerprints present in more than
+         ``max_df_frac`` of the corpus (MOSS's ubiquitous-fingerprint cull —
+         boilerplate shingles would otherwise create quadratic candidate
+         blowup; this is the skew cap that makes the join 100x-safe).  The
+         corpus size arrives via a broadcast one-row aggregate, not a
+         driver-side collect;
+      3. self-equi-join on fp (reuses the window's hash partitioning),
+         group to common counts, then attach per-doc set sizes from a slim
+         (id, n_fp) aggregate for the Jaccard denominator.
+    """
+    from pyspark.sql import Window
+
+    fp = winnow_fingerprints(df, text_col=text_col, k=k, w=w).select(
+        F.col(id_col).alias("id"), "fps"
+    )
+    ex0 = fp.select("id", F.explode("fps").alias("fp"))
+    total = df.agg(F.count("*").alias("__n_docs"))
+    # persist: ex feeds THREE plan branches (sizes + both self-join sides);
+    # without it the codegen fingerprint scan + fp window re-run per branch
+    ex = (
+        ex0.withColumn("df_", F.count("*").over(Window.partitionBy("fp")))
+        .join(F.broadcast(total))
+        .filter(F.col("df_") <= F.col("__n_docs") * F.lit(max_df_frac))
+        .select("id", "fp")
+        .persist()
+    )
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n_fp"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    res = (
+        inter.join(na, F.col("doc_a") == F.col("na.id"))
+        .join(nb, F.col("doc_b") == F.col("nb.id"))
+        .withColumn(
+            "sim",
+            F.round(
+                F.col("n_common")
+                / (F.col("na.n_fp") + F.col("nb.n_fp") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter((F.col("n_common") >= min_common) & (F.col("sim") >= threshold))
+        .select("doc_a", "doc_b", "n_common", "sim")
+    )
+    from ..cache import release_on_gc
+
+    return release_on_gc(res, ex)
+
+
+def winnow_pairs_oracle_sql(
+    threshold: float = 0.5,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_common: int = 3,
+    max_df_frac: float = 0.1,
+) -> str:
+    """DuckDB twin of :func:`winnow_pairs` (same hash, same caps)."""
+    fps_expr = winnow_fps_sql(text_col, k=k, w=w)
+    return f"""
+WITH fp AS (
+  SELECT {id_col} AS id, {fps_expr} AS fps FROM {table}
+), ex0 AS (
+  SELECT id, unnest(fps) AS fp FROM fp
+), kept AS (
+  SELECT fp FROM ex0 GROUP BY fp
+  HAVING count(*) <= (SELECT count(*) FROM {table}) * {max_df_frac}
+), ex AS (
+  SELECT e.id, e.fp FROM ex0 e JOIN kept USING (fp)
+), sizes AS (
+  SELECT id, count(*) AS n_fp FROM ex GROUP BY 1
+), inter AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.fp = b.fp AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       round(n_common / (na.n_fp + nb.n_fp - n_common), 6) AS sim
+FROM inter
+JOIN sizes na ON na.id = doc_a
+JOIN sizes nb ON nb.id = doc_b
+WHERE n_common >= {min_common}
+  AND round(n_common / (na.n_fp + nb.n_fp - n_common), 6) >= {threshold}"""
 
 
 # ---------------------------------------------------------------------------

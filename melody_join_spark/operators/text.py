@@ -10,7 +10,8 @@ Operators:
 - token counting (whitespace + BPE-ish regex word/number/symbol classes)
 - quality scoring (length / punctuation / stopword ratios)
 - language ID (marker-word scoring heuristic)
-- document fingerprinting (md5 canonical-text + bag-of-words forms)
+- document fingerprinting (md5 canonical-text + bag-of-words forms, plus
+  rolling-hash winnowing fingerprints for partial-overlap detection)
 """
 
 from __future__ import annotations
@@ -28,6 +29,8 @@ __all__ = [
     "lang_id",
     "fingerprint_text",
     "fingerprint_bow",
+    "winnow_fingerprints",
+    "winnow_fps_sql",
     "text_features",
     "text_features_oracle_sql",
 ]
@@ -114,6 +117,94 @@ def fingerprint_bow(text: Column) -> Column:
     catches word-order shuffles and repetition changes)."""
     words = F.array_sort(F.array_distinct(F.split(F.lower(F.trim(text)), _WS)))
     return F.md5(F.array_join(words, " "))
+
+
+WINNOW_K = 7  # k-gram length of the rolling hash
+WINNOW_W = 8  # winnowing window: one fingerprint per w consecutive k-grams
+_WINNOW_BASE = 31  # polynomial hash base
+
+
+def _winnow_hash_terms(text_expr: str, k: int, char_fn: str, substr_fn: str) -> str:
+    """Polynomial k-gram hash at 1-based position ``i`` (a lambda variable in
+    the surrounding transform): sum of codepoint * base^(k-1-j).  Written as a
+    flat integer expression tree identical in Spark SQL and DuckDB so both
+    engines produce bit-identical BIGINT values."""
+    return " + ".join(
+        f"CAST({char_fn}({substr_fn}({text_expr}, i + {j}, 1)) AS BIGINT)"
+        f" * {_WINNOW_BASE ** (k - 1 - j)}"
+        for j in range(k)
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the MOSS scheme): hash every k-char shingle with a polynomial rolling
+    hash, then keep the minimum hash of each window of ``w`` consecutive
+    shingles.  Any shared substring of length >= w + k - 1 between two
+    documents is guaranteed to produce a shared fingerprint, so the sorted
+    distinct fingerprint set supports partial-overlap / near-dup detection
+    at a ~1/w sample of the shingle stream.
+
+    Pure Spark SQL expression tree (JVM-side higher-order functions, no
+    Python, no shuffle) — the scan-side cost is O(len) per document and the
+    output is a compact ``array<bigint>`` column ``fps`` (+ ``n_fp``).
+    Documents shorter than ``k`` chars get an empty set; documents with
+    fewer than ``w`` shingles get their single minimum hash.
+
+    Replaces the reference generator's per-record feature extraction shape
+    (utils/GenerateUtil.java:44-60) for the text modality.
+    """
+    t = f"`{text_col}`"
+    hterms = _winnow_hash_terms(t, k, "ascii", "substring")
+    hs = (
+        f"CASE WHEN length({t}) >= {k} THEN "
+        f"transform(sequence(1, length({t}) - {k} + 1), i -> {hterms}) "
+        f"ELSE CAST(array() AS array<bigint>) END"
+    )
+    # Bind the shingle-hash array ONCE as a lambda variable.  A plain
+    # `withColumn("__hs", ...)` is unusable here: CollapseProject inlines the
+    # full transform into every `__hs` reference, and the reference inside
+    # `slice(__hs, i, w)` then re-evaluates the whole hash array PER WINDOW
+    # POSITION — turning an O(len) scan into O(len²) per document (observed:
+    # a 500-doc table took minutes).  `transform(array(hs), h -> body)`
+    # evaluates hs exactly once and shares it across every use in the body.
+    fps = F.expr(
+        f"element_at(transform(array({hs}), h -> "
+        f"array_sort(array_distinct(CASE WHEN size(h) = 0 THEN h "
+        f"WHEN size(h) <= {w} THEN array(array_min(h)) "
+        f"ELSE transform(sequence(1, size(h) - {w} + 1), "
+        f"i -> array_min(slice(h, i, {w}))) END))), 1)"
+    )
+    return df.withColumn("fps", fps).withColumn("n_fp", F.size("fps"))
+
+
+def winnow_fps_sql(
+    text_expr: str = "text", k: int = WINNOW_K, w: int = WINNOW_W
+) -> str:
+    """DuckDB expression computing exactly the ``fps`` column of
+    :func:`winnow_fingerprints` (same hash constants, same short-document
+    rules), for oracle SQL composition."""
+    hterms = _winnow_hash_terms(text_expr, k, "ascii", "substr")
+    hs = (
+        f"CASE WHEN length({text_expr}) >= {k} THEN "
+        f"list_transform(range(1, length({text_expr}) - {k} + 2), i -> {hterms}) "
+        f"ELSE CAST([] AS BIGINT[]) END"
+    )
+    # same single-evaluation lambda binding as the Spark side (see
+    # winnow_fingerprints): inlining hs into list_slice would re-hash the
+    # whole document per window position
+    return (
+        f"list_transform([{hs}], h -> "
+        f"list_sort(list_distinct(CASE WHEN len(h) = 0 THEN h "
+        f"WHEN len(h) <= {w} THEN [list_min(h)] "
+        f"ELSE list_transform(range(1, len(h) - {w} + 2), "
+        f"i -> list_min(list_slice(h, i, i + {w} - 1))) END)))[1]"
+    )
 
 
 def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:

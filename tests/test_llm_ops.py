@@ -280,3 +280,102 @@ def test_dup_clusters_star_equals_label_and_survives_chains(spark):
     assert got == {i: 0 for i in range(120)}
     with pytest.raises(RuntimeError):
         dup_clusters(chain, max_iter=10, algorithm="label").collect()
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling hash, MOSS scheme)
+# ---------------------------------------------------------------------------
+
+def _python_winnow(text, k=7, w=4, base=31):
+    """Independent pure-python winnowing spec (no shared code with the
+    operator): polynomial k-gram codepoint hash, min per window of w."""
+    if len(text) < k:
+        return []
+    hs = [
+        sum(ord(text[i + j]) * base ** (k - 1 - j) for j in range(k))
+        for i in range(len(text) - k + 1)
+    ]
+    if len(hs) <= w:
+        fps = {min(hs)}
+    else:
+        fps = {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+    return sorted(fps)
+
+
+def test_winnow_fingerprints_vs_python(spark, docs):
+    from melody_join_spark.operators.text import winnow_fingerprints
+
+    got = {
+        r.doc_id: list(r.fps)
+        for r in winnow_fingerprints(docs, k=7, w=4).collect()
+    }
+    for r in docs.collect():
+        assert got[r.doc_id] == _python_winnow(r.text, k=7, w=4), r.doc_id
+
+
+def test_winnow_short_document_edges(spark):
+    from melody_join_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "abc"), (2, "abcdefg"), (3, "abcdefghij")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: list(r.fps) for r in winnow_fingerprints(df, k=7, w=4).collect()}
+    assert rows[0] == [] and rows[1] == []          # shorter than k
+    assert rows[2] == _python_winnow("abcdefg")      # exactly one shingle
+    assert rows[3] == _python_winnow("abcdefghij")   # fewer shingles than w
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing guarantee: any shared substring of length >= w + k - 1
+    yields at least one shared fingerprint."""
+    from melody_join_spark.operators.text import winnow_fingerprints
+
+    rng = np.random.default_rng(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    shared = "".join(rng.choice(list(alpha), size=30))  # >= w + k - 1 = 10
+    rows = []
+    for i in range(20):
+        pre = "".join(rng.choice(list(alpha), size=int(rng.integers(0, 40))))
+        suf = "".join(rng.choice(list(alpha), size=int(rng.integers(0, 40))))
+        rows.append((i, pre + shared + suf))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r.doc_id: set(r.fps) for r in winnow_fingerprints(df, k=7, w=4).collect()}
+    common = set.intersection(*fps.values())
+    assert common, "every doc embeds the same 30-char run; overlap required"
+
+
+def test_winnow_pairs_matches_python_and_plan_is_jvm(spark, docs):
+    from melody_join_spark.operators.dedup import winnow_pairs
+
+    res = winnow_pairs(
+        docs, threshold=0.2, min_common=2, max_df_frac=0.5
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # independent python spec of the whole pipeline (operator default k/w)
+    from melody_join_spark.operators.text import WINNOW_K, WINNOW_W
+
+    n_docs = docs.count()
+    fps = {
+        r.doc_id: _python_winnow(r.text, k=WINNOW_K, w=WINNOW_W)
+        for r in docs.collect()
+    }
+    from collections import Counter
+
+    df_counts = Counter(fp for v in fps.values() for fp in v)
+    kept = {fp for fp, c in df_counts.items() if c <= 0.5 * n_docs}
+    sets = {i: set(v) & kept for i, v in fps.items()}
+    want = {}
+    ids = sorted(sets)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter < 2:
+                continue
+            sim = round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+            if sim >= 0.2:
+                want[(a, b)] = (inter, sim)
+    got = {(r.doc_a, r.doc_b): (r.n_common, r.sim) for r in res.collect()}
+    assert got == want
