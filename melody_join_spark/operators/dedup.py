@@ -57,6 +57,27 @@ __all__ = [
 ]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small-input parallelism guard for heavy per-row stages.
+
+    The tokenize/shingle/hash expressions in this module run inside the
+    SCAN stage, so their parallelism is the scan's: a corpus that arrives
+    as one small parquet file (or a handful) runs the entire per-row CPU on
+    ONE core while 31 idle — measured 13.7 s single-task vs ~0.6 s spread
+    for the winnowing hash at sf0.1.  Repartition only when the input's
+    partition count is clearly below the cluster's parallelism; at real
+    scale (thousands of file splits) this is a no-op and no shuffle is
+    added.  The repartitioned relation carries only the source columns —
+    for document tables that is a few hundred bytes/row, so the guard
+    shuffle is negligible next to the expression work it parallelizes.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -472,7 +493,7 @@ def jaccard_pairs(
     # 64-bit collisions merge two tokens with odds ~|vocab|^2 / 2^65 —
     # negligible below billion-token vocabularies, and can only nudge a
     # jaccard value, never crash.
-    rel = df.select(
+    rel = _spread(df).select(
         F.col(id_col).alias("id"), F.explode(tokens).alias("tok")
     ).select("id", F.xxhash64("tok").alias("th"))
     # document frequency via count() OVER (PARTITION BY th): ONE exchange of
@@ -629,7 +650,7 @@ def winnow_pairs(
     """
     from pyspark.sql import Window
 
-    fp = winnow_fingerprints(df, text_col=text_col, k=k, w=w).select(
+    fp = winnow_fingerprints(_spread(df), text_col=text_col, k=k, w=w).select(
         F.col(id_col).alias("id"), "fps"
     )
     ex0 = fp.select("id", F.explode("fps").alias("fp"))
@@ -787,7 +808,9 @@ def minhash_signatures(
             out.append(perm[idx].min(axis=0))
         return pd.Series(out)
 
-    return df.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
+    return _spread(df).select(
+        F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -872,7 +895,9 @@ def simhash64(
             out[k] = np.array([packed], dtype=np.uint64).view(np.int64)[0]
         return pd.Series(out)
 
-    return df.select(F.col(id_col).alias("id"), sim_udf(F.col(text_col)).alias("simhash"))
+    return _spread(df).select(
+        F.col(id_col).alias("id"), sim_udf(F.col(text_col)).alias("simhash")
+    )
 
 
 def simhash_pairs(
