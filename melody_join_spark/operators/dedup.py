@@ -226,12 +226,54 @@ def _star_rounds(edges: DataFrame, max_iter: int) -> DataFrame:
     raise RuntimeError(f"dup_clusters did not converge in {max_iter} rounds")
 
 
+def _driver_union_find(
+    spark, edge_rows, ids: DataFrame | None, id_col: str
+) -> DataFrame:
+    """Exact connected components of an edge list that fits on the driver:
+    union-find with path halving, labels = component min.  Isolated nodes
+    (from ``ids``) are labeled DISTRIBUTED via a left join against the
+    edge-node labels — only edge endpoints ever cross to the driver, so an
+    ids table of any size stays on executors."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    labels = [(n, comp_min[find(n)]) for n in parent]
+    lbl_df = spark.createDataFrame(labels, "id long, cluster_id long")
+    if ids is None:
+        return lbl_df
+    nodes = ids.select(F.col(id_col).cast("long").alias("id")).unionByName(
+        lbl_df.select("id")
+    ).distinct()
+    return nodes.join(lbl_df, "id", "left").select(
+        "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+    )
+
+
 def dup_clusters(
     pairs: DataFrame,
     ids: DataFrame | None = None,
     id_col: str = "id",
     max_iter: int = 25,
-    algorithm: str = "star",
+    algorithm: str = "auto",
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph ->
     (id, cluster_id), cluster_id = smallest id reachable through dup edges.
@@ -240,8 +282,18 @@ def dup_clusters(
     transitive, but a 100-TB cleaning pipeline wants whole dup CLUSTERS
     (keep one representative per component, audit the rest).
 
-    ``algorithm='star'`` (default): alternating large-star/small-star
-    rounds (`_star_rounds`) — O(log^2 n) rounds on ANY graph shape, the
+    ``algorithm='auto'`` (default): probe the edge list with a
+    ``limit(driver_threshold + 1)`` collect; when it fits, run exact
+    union-find on the driver — one job instead of 3-5 iterative rounds of
+    window-min + checkpoint machinery (measured ~7 s of fixed per-round
+    cost on a 256-edge graph).  Dup graphs are usually tiny relative to
+    their corpus (dup RATE matters, not corpus size), but when the probe
+    overflows the threshold the distributed star path takes over untouched.
+    Only edge endpoints ever reach the driver — an ``ids`` table of any
+    size is labeled by a distributed left join.
+
+    ``algorithm='star'``: alternating large-star/small-star rounds
+    (`_star_rounds`) — O(log^2 n) rounds on ANY graph shape, the
     100-TB-safe choice (an adversarial chain of length L costs ~log L
     rounds, not L).  ``algorithm='label'``: min-label propagation — each
     round every node takes the min of its own and its neighbors' labels;
@@ -253,6 +305,20 @@ def dup_clusters(
     ``ids`` (optional, one ``id_col`` column) adds isolated nodes so every
     input row gets a cluster (itself when it has no dup edge).
     """
+    if algorithm == "auto":
+        probe = (
+            pairs.select(
+                F.col("rid").cast("long").alias("a"),
+                F.col("sid").cast("long").alias("b"),
+            )
+            .limit(driver_threshold + 1)
+            .collect()
+        )
+        if len(probe) <= driver_threshold:
+            return _driver_union_find(
+                pairs.sparkSession, [(r.a, r.b) for r in probe], ids, id_col
+            )
+        algorithm = "star"  # too big for the driver: distributed rounds
     if algorithm == "star":
         star = _star_rounds(
             pairs.select(

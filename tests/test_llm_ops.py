@@ -410,3 +410,40 @@ def test_winnow_pairs_matches_python_and_plan_is_jvm(spark, docs):
                 want[(a, b)] = (inter, sim)
     got = {(r.doc_a, r.doc_b): (r.n_common, r.sim) for r in res.collect()}
     assert got == want
+
+
+def test_dup_clusters_auto_equals_star_and_falls_back(spark):
+    """The size-adaptive driver union-find (algorithm='auto') labels
+    identically to the distributed star rounds, and a tiny driver_threshold
+    forces the distributed fallback."""
+    from melody_join_spark.operators.dedup import dup_clusters
+
+    rng = np.random.default_rng(11)
+    edges = sorted(
+        {
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in rng.choice(300, size=(200, 2))
+            if a != b
+        }
+    )
+    pairs = spark.createDataFrame(edges, "rid long, sid long")
+    ids = spark.range(0, 320).select(F.col("id").alias("doc_id"))
+    auto = {
+        r.id: r.cluster_id
+        for r in dup_clusters(pairs, ids=ids, id_col="doc_id").collect()
+    }
+    star = {
+        r.id: r.cluster_id
+        for r in dup_clusters(
+            pairs, ids=ids, id_col="doc_id", algorithm="star"
+        ).collect()
+    }
+    assert auto == star
+    assert len(auto) == 320  # every id labeled, isolated ones by themselves
+    fb = {
+        r.id: r.cluster_id
+        for r in dup_clusters(
+            pairs, ids=ids, id_col="doc_id", driver_threshold=10
+        ).collect()
+    }
+    assert fb == star
