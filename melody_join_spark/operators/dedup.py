@@ -474,8 +474,15 @@ def tokenize_char_ngrams(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def _verify_jaccard(cand: DataFrame, docs: DataFrame, threshold: float) -> DataFrame:
+def _verify_jaccard(
+    cand: DataFrame,
+    docs: DataFrame,
+    threshold: float,
+    docs_b: DataFrame | None = None,
+) -> DataFrame:
     """Verify candidate (rid, sid) pairs against exact set Jaccard.
+    ``docs_b`` supplies the sid side for cross-corpus candidates (defaults
+    to ``docs`` for self-joins).
 
     ``docs`` = (id, toks array, nt).  Two equi-joins on id pull the token
     arrays onto each candidate row; the size-ratio filter
@@ -496,14 +503,21 @@ def _verify_jaccard(cand: DataFrame, docs: DataFrame, threshold: float) -> DataF
     though the row count looks small.  Above the budget the plan falls back
     to shuffle joins (AQE still re-plans the actual sizes)."""
     # docs is persisted by every caller: one cheap agg sizes the broadcast
+    docs_b = docs if docs_b is None else docs_b
     n_docs, tot_toks = docs.agg(
         F.count("*"), F.coalesce(F.sum("nt"), F.lit(0))
     ).first()
-    est_bytes = int(tot_toks) * 8 + int(n_docs) * 32
+    if docs_b is docs:
+        nb_docs, nb_toks = n_docs, tot_toks
+    else:
+        nb_docs, nb_toks = docs_b.agg(
+            F.count("*"), F.coalesce(F.sum("nt"), F.lit(0))
+        ).first()
+    est_bytes = int(tot_toks + nb_toks) * 8 + int(n_docs + nb_docs) * 32
     a = docs.select(
         F.col("id").alias("rid"), F.col("toks").alias("ta"), F.col("nt").alias("na")
     )
-    b = docs.select(
+    b = docs_b.select(
         F.col("id").alias("sid"), F.col("toks").alias("tb"), F.col("nt").alias("nb")
     )
     if est_bytes <= 128 << 20:
@@ -857,6 +871,16 @@ def minhash_signatures(
     document's signature as a gather + column-min over its rows.  Bit-for-
     bit identical to the per-document formula (min over a superset of
     duplicated rows is unchanged)."""
+    return _spread(df).select(
+        F.col(id_col).alias("id"),
+        _make_sig_udf(num_hashes, shingle, seed)(F.col(text_col)).alias("sig"),
+    )
+
+
+def _make_sig_udf(num_hashes: int, shingle: int, seed: int):
+    """The Arrow-batched minhash-signature UDF (see minhash_signatures) as a
+    reusable column function — also applied directly to streaming relations
+    where a join back to a separate signature table is not possible."""
     a_params, b_params = _perm_params(num_hashes, seed)
 
     @F.pandas_udf(ArrayType(LongType()))
@@ -875,8 +899,40 @@ def minhash_signatures(
             out.append(perm[idx].min(axis=0))
         return pd.Series(out)
 
-    return _spread(df).select(
-        F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig")
+    return sig_udf
+
+
+def _minhash_band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle: int,
+    seed: int,
+) -> DataFrame:
+    """(id, band, key) LSH bucket keys: each band's signature slice hashed
+    to one md5 bucket key."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle, seed)
+    return sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.md5(
+                    F.concat_ws(",", F.slice("sig", bnd * rows + 1, rows))
+                ),
+            )
+        ).alias("band", "key"),
+    )
+
+
+def _jaccard_tokens(df: DataFrame, id_col: str, text_col: str, shingle: int) -> DataFrame:
+    """(id, toks, nt) character-shingle token table for exact verification."""
+    grams = tokenize_char_ngrams(F.col(text_col), shingle)
+    return df.select(F.col(id_col).alias("id"), grams.alias("toks")).withColumn(
+        "nt", F.size("toks")
     )
 
 
@@ -889,6 +945,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle: int = 5,
     seed: int = 42,
+    other: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash LSH, verified with exact shingle
     Jaccard: (rid, sid, jaccard).
@@ -899,39 +956,49 @@ def minhash_lsh_pairs(
     1-(1-j^r)^bands; the 16x8 default gives ~0.95 at j=0.8 and ~1.0 at
     j>=0.9 (the near-dup regime) while keeping the false-candidate rate at
     moderate similarity ~10x below a 32x4 banding — on corpora dense in
-    j~0.5-0.7 pairs the verification volume, not recall, is the cost."""
-    rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle, seed)
-    band_keys = sigs.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bnd: F.md5(
-                    F.concat_ws(",", F.slice("sig", bnd * rows + 1, rows))
-                ),
-            )
-        ).alias("band", "key"),
-    )
-    # both join sides derive from the signature pandas-UDF chain: persist,
-    # or every signature is computed twice
-    band_keys = band_keys.persist()
-    a = band_keys.select(F.col("id").alias("rid"), "band", "key")
-    b = band_keys.select(F.col("id").alias("sid"), "band", "key")
+    j~0.5-0.7 pairs the verification volume, not recall, is the cost.
+
+    ``other`` switches to the CROSS-CORPUS form — rid from ``df``, sid from
+    ``other`` (e.g. dedup a new crawl against the existing corpus): same
+    banded equi-join, no ordering constraint, each side's signatures
+    computed once.  Id namespaces are independent; pairs are (df id,
+    other id)."""
+    band_keys = _minhash_band_keys(
+        df, id_col, text_col, num_hashes, bands, shingle, seed
+    ).persist()  # both join sides derive from the signature pandas-UDF chain
+    from ..cache import release_on_gc
+
+    if other is None:
+        a = band_keys.select(F.col("id").alias("rid"), "band", "key")
+        b = band_keys.select(F.col("id").alias("sid"), "band", "key")
+        cand = (
+            a.join(b, ["band", "key"])
+            .where(F.col("rid") < F.col("sid"))
+            .select("rid", "sid")
+            .distinct()
+        )
+        docs = _jaccard_tokens(df, id_col, text_col, shingle).persist()
+        return release_on_gc(
+            _verify_jaccard(cand, docs, threshold), band_keys, docs
+        )
+    other_keys = _minhash_band_keys(
+        other, id_col, text_col, num_hashes, bands, shingle, seed
+    ).persist()
     cand = (
-        a.join(b, ["band", "key"])
-        .where(F.col("rid") < F.col("sid"))
+        band_keys.select(F.col("id").alias("rid"), "band", "key")
+        .join(other_keys.select(F.col("id").alias("sid"), "band", "key"), ["band", "key"])
         .select("rid", "sid")
         .distinct()
     )
-    # verify candidates with exact character-shingle jaccard
-    grams = tokenize_char_ngrams(F.col(text_col), shingle)
-    docs = df.select(F.col(id_col).alias("id"), grams.alias("toks")).withColumn(
-        "nt", F.size("toks")
-    ).persist()
-    from ..cache import release_on_gc
-
-    return release_on_gc(_verify_jaccard(cand, docs, threshold), band_keys, docs)
+    docs_a = _jaccard_tokens(df, id_col, text_col, shingle).persist()
+    docs_b = _jaccard_tokens(other, id_col, text_col, shingle).persist()
+    return release_on_gc(
+        _verify_jaccard(cand, docs_a, threshold, docs_b=docs_b),
+        band_keys,
+        other_keys,
+        docs_a,
+        docs_b,
+    )
 
 
 # ---------------------------------------------------------------------------

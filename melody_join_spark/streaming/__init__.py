@@ -9,6 +9,9 @@ and streaming results agree (tested in tests/test_streaming.py):
 - ``streaming_window_counts``  tumbling-window agg + watermark for late data
 - ``streaming_dedup``          exact dedup on content fingerprint within the
                                watermark horizon (dropDuplicates)
+- ``streaming_near_dedup``     NEAR-dup matches of a document stream against
+                               a static reference corpus (MinHash-LSH band
+                               equi-join + exact shingle-Jaccard verify)
 - ``streaming_emd_lookup``     stream-static similarity lookup: each incoming
                                histogram joined against a broadcast reference
                                set under an EMD threshold (the reference's
@@ -34,6 +37,7 @@ __all__ = [
     "stream_events",
     "streaming_window_counts",
     "streaming_dedup",
+    "streaming_near_dedup",
     "streaming_emd_lookup",
     "streaming_emd_join_nd",
     "streaming_sessionize",
@@ -202,6 +206,93 @@ def streaming_sessionize(
             "append",
             GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def streaming_near_dedup(
+    stream: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    event_time: str = "ts",
+    watermark: str = "1 hour",
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 16,
+    shingle: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Stream-static NEAR-dup detection: match each incoming document
+    against a static reference corpus by MinHash-LSH band keys, verify with
+    exact character-shingle Jaccard, and emit (rid=stream id, event time,
+    sid=reference id, jaccard) for verified matches — the "dedup the new
+    crawl against the existing corpus" pattern.  The exact-fingerprint twin
+    is :func:`streaming_dedup`; the batch twin is
+    ``minhash_lsh_pairs(new, other=corpus)``.
+
+    Plan per micro-batch (stateless except one bounded dedup):
+    - stream rows get signatures from the same Arrow-batched UDF as batch
+      (bit-identical), band keys exploded alongside the row's own shingle
+      token array — no join back to a signature table (stream-stream joins
+      need dual watermarks; carrying the columns avoids the state);
+    - equi-join on (band, key) against the PERSISTED static band keys
+      (computed once, reused every batch);
+    - a pair colliding in several bands would emit duplicates:
+      ``dropDuplicatesWithinWatermark`` on (rid, sid) bounds that dedup
+      state by the watermark horizon instead of growing forever;
+    - verification joins the static token table and filters on exact
+      Jaccard — the same candidate-stationary array intersect as batch.
+    """
+    from ..operators.dedup import (
+        _jaccard_tokens,
+        _make_sig_udf,
+        _minhash_band_keys,
+        tokenize_char_ngrams,
+    )
+
+    rows = num_hashes // bands
+    ref_keys = (
+        _minhash_band_keys(
+            reference, id_col, text_col, num_hashes, bands, shingle, seed
+        )
+        .select(F.col("id").alias("sid"), "band", "key")
+        .persist()
+    )
+    ref_toks = (
+        _jaccard_tokens(reference, id_col, text_col, shingle)
+        .select(F.col("id").alias("sid"), F.col("toks").alias("tb"), F.col("nt").alias("nb"))
+        .persist()
+    )
+    sig = _make_sig_udf(num_hashes, shingle, seed)(F.col(text_col))
+    band_key = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bnd: F.md5(F.concat_ws(",", F.slice("__sig", bnd * rows + 1, rows))),
+    )
+    toks = tokenize_char_ngrams(F.col(text_col), shingle)
+    s = (
+        stream.withWatermark(event_time, watermark)
+        .withColumn("__sig", sig)
+        .select(
+            F.col(id_col).alias("rid"),
+            F.col(event_time).alias(event_time),
+            toks.alias("ta"),
+            F.posexplode(band_key).alias("band", "key"),
+        )
+        .withColumn("na", F.size("ta"))
+    )
+    cand = s.join(ref_keys, ["band", "key"]).dropDuplicatesWithinWatermark(
+        ["rid", "sid"]
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        cand.join(ref_toks, "sid")
+        .where(
+            F.least("na", "nb")
+            >= F.lit(float(threshold)) * F.greatest("na", "nb") - F.lit(1e-9)
+        )
+        .select("rid", event_time, "sid", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
     )
 
 

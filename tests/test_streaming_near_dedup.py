@@ -1,0 +1,102 @@
+"""Cross-corpus near-dedup: the two-table MinHash-LSH batch variant equals
+exact cross-corpus Jaccard in the near-dup regime, and the stream-static
+operator equals its batch twin micro-batch for micro-batch."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from melody_join_spark.operators.dedup import minhash_lsh_pairs
+from melody_join_spark.streaming import streaming_near_dedup
+
+SF = "/root/testdata/sf0.001"
+THRESHOLD = 0.8
+SHINGLE = 5
+
+
+@pytest.fixture(scope="module")
+def halves(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    mid = docs.count() // 2
+    a = docs.where(F.col("doc_id") < mid).cache()
+    b = docs.where(F.col("doc_id") >= mid).cache()
+    yield a, b
+    a.unpersist()
+    b.unpersist()
+
+
+def _exact_cross_jaccard(rows_a, rows_b, n, threshold):
+    def grams(t):
+        t = t or ""
+        if len(t) < n:
+            return {t}
+        return {t[i : i + n] for i in range(len(t) - n + 1)}
+
+    ga = {r.doc_id: grams(r.text) for r in rows_a}
+    gb = {r.doc_id: grams(r.text) for r in rows_b}
+    out = {}
+    for ra, sa in ga.items():
+        for rb, sb in gb.items():
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                out[(ra, rb)] = j
+    return out
+
+
+def test_cross_corpus_minhash_matches_exact(spark, halves):
+    a, b = halves
+    want = _exact_cross_jaccard(a.collect(), b.collect(), SHINGLE, THRESHOLD)
+    got = {
+        (r.rid, r.sid): r.jaccard
+        for r in minhash_lsh_pairs(
+            a, threshold=THRESHOLD, shingle=SHINGLE, other=b
+        ).collect()
+    }
+    assert want, "fixture should contain cross-half near-dups"
+    # verified output is sound; recall is total in the j >= 0.8 regime
+    assert set(got) == set(want)
+    for p, j in got.items():
+        assert j == pytest.approx(want[p], abs=1e-12)
+
+
+def test_streaming_near_dedup_matches_batch(spark, tmp_path, halves):
+    ref, new = halves
+    # the stream side carries an event-time column for the bounded
+    # (rid, sid) dedup state
+    t0 = datetime.datetime(2026, 1, 1)
+    stream_batch = new.withColumn("ts", F.lit(t0).cast("timestamp"))
+    src = str(tmp_path / "docs_stream")
+    stream_batch.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(src)
+    )
+    q = (
+        streaming_near_dedup(stream, ref, threshold=THRESHOLD, shingle=SHINGLE)
+        .writeStream.format("memory")
+        .queryName("near_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+    got = {
+        (r.rid, r.sid): r.jaccard
+        for r in spark.sql("SELECT * FROM near_dedup_stream").collect()
+    }
+    want = {
+        (r.rid, r.sid): r.jaccard
+        for r in minhash_lsh_pairs(
+            new, threshold=THRESHOLD, shingle=SHINGLE, other=ref
+        ).collect()
+    }
+    assert want, "fixture should contain stream-vs-ref near-dups"
+    assert got == want
