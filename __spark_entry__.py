@@ -44,12 +44,21 @@ from melody_join_spark.operators.events import (
     sessionize_oracle_sql,
     user_value_histograms,
 )
-from melody_join_spark.operators.text import text_features, text_features_oracle_sql
+from melody_join_spark.operators.text import (
+    corpus_stats,
+    corpus_stats_oracle_sql,
+    quality_filter,
+    quality_filter_oracle_sql,
+    text_features,
+    text_features_oracle_sql,
+)
 from melody_join_spark.plans.tpch_bridge import (
     bin_points_2d,
+    bin_points_3d,
     bin_points_line,
     lineitem_histograms,
     lineitem_histograms_2d,
+    lineitem_histograms_3d,
     oracle_pair_emd_sql,
 )
 
@@ -122,6 +131,18 @@ def _q_emd_nd_2d_l1(spark, sf_dir):
     res = emd_join_nd(
         hist, bin_points_2d(), ND_THETA_2D, strategy="grid", grid=12, ground="l1"
     )
+    return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
+
+
+ND_THETA_3D = 0.4  # ~100 qualifying pairs at sf0.01 on the d=3 lattice
+
+
+def _q_emd_nd_3d(spark, sf_dir):
+    """d=3 grid join at the reference's DEFAULT data shape (d=3, 27~30 bins,
+    3 projections — melody-conf.properties:45-64).  Hash-checked against the
+    independent successive-shortest-path fixture like the d=2 queries."""
+    hist = lineitem_histograms_3d(spark, sf_dir)
+    res = emd_join_nd(hist, bin_points_3d(), ND_THETA_3D, strategy="grid", grid=8)
     return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
 
 
@@ -289,6 +310,27 @@ def _q_text_features(spark, sf_dir):
     return text_features(_docs(spark, sf_dir))
 
 
+def _q_quality_filter(spark, sf_dir):
+    """Gopher-style quality gate with auditable violation reasons — pure
+    codegen scan-side projection (no shuffle), hash-checked per document."""
+    return quality_filter(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "digit_ratio",
+        "violations",
+        F.col("kept").cast("long").alias("kept"),
+    )
+
+
+def _q_corpus_stats(spark, sf_dir):
+    """Per-language corpus rollup (doc/kept/token counts, mean quality in
+    exact int64 micro-units) — one partial-agg shuffle on a tiny key."""
+    return corpus_stats(_docs(spark, sf_dir)).orderBy("lang_pred")
+
+
 def _q_exact_dedup(spark, sf_dir):
     return exact_dedup_groups(_docs(spark, sf_dir))
 
@@ -393,6 +435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # warmup (JVM codegen, parquet footer reads) so join timings are honest
     return {
         "text_features": _q_text_features,
+        "quality_filter": _q_quality_filter,
+        "corpus_stats": _q_corpus_stats,
         "emd_threshold_bruteforce": _q_emd_threshold_bf,
         "emd_threshold_cells": _q_emd_threshold_cells,
         "emd_topk": _q_emd_topk,
@@ -400,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_nd_threshold_2d": _q_emd_nd_2d,
         "emd_nd_threshold_2d_l1": _q_emd_nd_2d_l1,
         "emd_nd_topk_2d": _q_emd_nd_topk_2d,
+        "emd_nd_threshold_3d": _q_emd_nd_3d,
         "emd_nd_two_table_line": _q_emd_nd_two_table,
         "emd_nd_threshold_pivot_line": _q_emd_nd_pivot_line,
         "emd_nd_threshold_pivot_2d": _q_emd_nd_pivot_2d,
@@ -561,12 +606,16 @@ SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 10"""
     # hash-grade checks.  round+0 folds round()'s -0.0 back to +0.0.
     fx = "read_parquet('/root/repo/fixtures/emd2d_pairs_sf001.parquet')"
     fx_l1 = "read_parquet('/root/repo/fixtures/emd2d_l1_pairs_sf001.parquet')"
+    fx_3d = "read_parquet('/root/repo/fixtures/emd3d_pairs_sf001.parquet')"
     nd_2d_sql = f"""
 SELECT rid, sid, round(emd, 6) + 0 AS emd FROM {fx}
 WHERE emd <= {ND_THETA_2D} + 1e-4 ORDER BY rid, sid"""
     nd_2d_l1_sql = f"""
 SELECT rid, sid, round(emd, 6) + 0 AS emd FROM {fx_l1}
 WHERE emd <= {ND_THETA_2D} + 1e-4 ORDER BY rid, sid"""
+    nd_3d_sql = f"""
+SELECT rid, sid, round(emd, 6) + 0 AS emd FROM {fx_3d}
+WHERE emd <= {ND_THETA_3D} + 1e-4 ORDER BY rid, sid"""
     nd_topk_2d_sql = f"""
 WITH ranked AS (
   -- rank on ROUNDED emd (ties by rid, sid): raw last-bit doubles differ
@@ -608,6 +657,7 @@ WHERE rank <= {KNN_K} ORDER BY qid, rank"""
         "emd_nd_threshold_2d": nd_2d_sql,
         "emd_nd_threshold_2d_l1": nd_2d_l1_sql,
         "emd_nd_topk_2d": nd_topk_2d_sql,
+        "emd_nd_threshold_3d": nd_3d_sql,
         "emd_nd_two_table_line": two_table_sql,
         "emd_nd_threshold_pivot_line": nd_line_sql,
         "emd_nd_threshold_pivot_2d": nd_2d_sql,
@@ -619,6 +669,12 @@ WHERE rank <= {KNN_K} ORDER BY qid, rank"""
         # cosine_topk is hash-checked.
         "generate_media_emd": _generate_media_oracle_sql(),
         "text_features": text_features_oracle_sql(),
+        "quality_filter": f"""
+WITH qf AS ({quality_filter_oracle_sql()})
+SELECT doc_id, n_words, mean_word_len, punct_ratio, stopword_ratio,
+       digit_ratio, violations, CAST(kept AS BIGINT) AS kept
+FROM qf ORDER BY doc_id""",
+        "corpus_stats": corpus_stats_oracle_sql() + " ORDER BY lang_pred",
         "dedup_exact": exact_dedup_groups_oracle_sql(),
         "dedupe_corpus": dedupe_oracle_sql(),
         "dedup_jaccard_ngram": jaccard_pairs_oracle_sql(

@@ -35,6 +35,10 @@ __all__ = [
     "winnow_fps_sql",
     "text_features",
     "text_features_oracle_sql",
+    "quality_filter",
+    "quality_filter_oracle_sql",
+    "corpus_stats",
+    "corpus_stats_oracle_sql",
 ]
 
 # small fixed stopword inventory (deterministic, mirrored into the oracle SQL)
@@ -255,6 +259,196 @@ def winnow_fps_sql(
         f"ELSE list_transform(range(1, len(h) - {w} + 2), "
         f"i -> list_min(list_slice(h, i, i + {w} - 1))) END)))[1]"
     )
+
+
+# ---------------------------------------------------------------------------
+# quality gating (Gopher-style document filter) + corpus-level statistics
+# ---------------------------------------------------------------------------
+
+# rule constants are part of the operator contract (mirrored in the oracle);
+# the shape follows the published Gopher/C4 heuristics: word-count bounds,
+# mean-word-length band, symbol density, stopword presence, digit density
+QF_MIN_WORDS = 10
+QF_MAX_WORDS = 100_000
+QF_MIN_MEAN_WLEN = 3.0
+QF_MAX_MEAN_WLEN = 12.0
+QF_MAX_PUNCT = 0.20
+QF_MIN_STOP = 0.02
+QF_MAX_DIGIT = 0.30
+
+
+def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality gate: per-document rule metrics, the
+    list of violated rules (comma-joined, stable rule order), and a ``kept``
+    flag.  Pure codegen expressions — at 100 TB this is a single scan-side
+    projection + filter with zero shuffles, and the ``violations`` column
+    makes rejection auditable (the form every production pretrain pipeline
+    needs: why was this document dropped?).
+
+    Rules (names are the contract):
+      n_words        in [QF_MIN_WORDS, QF_MAX_WORDS]
+      mean_word_len  in [QF_MIN_MEAN_WLEN, QF_MAX_MEAN_WLEN]
+      punct_ratio    <= QF_MAX_PUNCT
+      stopword_ratio >= QF_MIN_STOP
+      digit_ratio    <= QF_MAX_DIGIT
+    """
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_words = token_count_ws(t)
+    # integer char-count sum over tokens -> exact, order-independent
+    wlen_sum = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wlen = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        wlen_sum / n_words
+    )
+    pr = punct_ratio(t)
+    sr = stopword_ratio(t)
+    dr = F.regexp_count(t, F.lit("[0-9]")) / F.greatest(F.lit(1), F.length(t))
+
+    rules = [
+        ("words", (n_words >= QF_MIN_WORDS) & (n_words <= QF_MAX_WORDS)),
+        ("word_len", (mean_wlen >= QF_MIN_MEAN_WLEN) & (mean_wlen <= QF_MAX_MEAN_WLEN)),
+        ("punct", pr <= QF_MAX_PUNCT),
+        ("stopwords", sr >= QF_MIN_STOP),
+        ("digits", dr <= QF_MAX_DIGIT),
+    ]
+    viol = F.array_join(
+        F.filter(
+            F.array(*[F.when(~ok, F.lit(name)) for name, ok in rules]),
+            lambda x: x.isNotNull(),
+        ),
+        ",",
+    )
+    return df.select(
+        "*",
+        n_words.cast("long").alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        pr.alias("punct_ratio"),
+        sr.alias("stopword_ratio"),
+        dr.alias("digit_ratio"),
+        viol.alias("violations"),
+        (viol == "").alias("kept"),
+    )
+
+
+def quality_filter_oracle_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`quality_filter` — identical expression trees."""
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    tok = f"string_split_regex(trim(lower({text_col})), '{_WS}')"
+    tok_raw = f"string_split_regex(trim({text_col}), '{_WS}')"
+    n_words = (
+        f"(CASE WHEN length(trim({text_col})) = 0 THEN 0 ELSE len({tok_raw}) END)"
+    )
+    mean_wlen = (
+        f"(CASE WHEN {n_words} = 0 THEN 0.0 ELSE "
+        f"list_sum(list_transform({tok_raw}, x -> length(x))) / {n_words} END)"
+    )
+    pr = f"(len(regexp_extract_all({text_col}, '{_PUNCT}')) / greatest(1, length({text_col})))"
+    sr = f"(len(list_filter({tok}, t -> t IN ({stop_list}))) / greatest(1, len({tok})))"
+    dr = f"(len(regexp_extract_all({text_col}, '[0-9]')) / greatest(1, length({text_col})))"
+    rules = [
+        ("words", f"({n_words} >= {QF_MIN_WORDS} AND {n_words} <= {QF_MAX_WORDS})"),
+        (
+            "word_len",
+            f"({mean_wlen} >= {QF_MIN_MEAN_WLEN} AND {mean_wlen} <= {QF_MAX_MEAN_WLEN})",
+        ),
+        ("punct", f"({pr} <= {QF_MAX_PUNCT})"),
+        ("stopwords", f"({sr} >= {QF_MIN_STOP})"),
+        ("digits", f"({dr} <= {QF_MAX_DIGIT})"),
+    ]
+    # coalesce: DuckDB's array_to_string returns NULL on an empty list where
+    # Spark's array_join returns ''
+    viol = (
+        "coalesce(array_to_string(list_filter(["
+        + ", ".join(f"CASE WHEN NOT {ok} THEN '{name}' END" for name, ok in rules)
+        + "], x -> x IS NOT NULL), ','), '')"
+    )
+    return f"""
+SELECT *,
+  CAST({n_words} AS BIGINT) AS n_words,
+  {mean_wlen} AS mean_word_len,
+  {pr} AS punct_ratio,
+  {sr} AS stopword_ratio,
+  {dr} AS digit_ratio,
+  {viol} AS violations,
+  ({viol} = '') AS kept
+FROM {table}"""
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level statistics by predicted language: document counts,
+    quality-gate pass counts, exact token totals, and mean quality.
+
+    Cross-engine determinism: double sums are order-dependent, so the mean
+    quality is accumulated as ``floor(quality * 1e6)`` int64 micro-units
+    (exact, associative) and divided once at the end — the oracle hash-
+    matches bit-for-bit regardless of partition order.  At scale this is
+    one scan + one partial-agg shuffle on a tiny (per-language) key space.
+    """
+    qf = quality_filter(df, text_col)
+    feats = qf.select(
+        lang_id(F.col(text_col)).alias("lang_pred"),
+        token_count_ws(F.col(text_col)).cast("long").alias("n_tok"),
+        F.floor(quality_score(F.col(text_col)) * F.lit(1e6)).cast("long").alias("q_micro"),
+        F.col("kept").cast("long").alias("kept_i"),
+    )
+    return (
+        feats.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept_i").alias("n_kept"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("q_micro").alias("_qsum"),
+        )
+        .select(
+            "lang_pred",
+            "n_docs",
+            "n_kept",
+            "n_tokens",
+            (
+                F.col("_qsum").cast("double")
+                / F.col("n_docs").cast("double")
+                / F.lit(1e6)
+            ).alias("mean_quality"),
+        )
+    )
+
+
+def corpus_stats_oracle_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`corpus_stats` (same micro-unit accumulation)."""
+    qf = quality_filter_oracle_sql(table, text_col)
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    tok = f"string_split_regex(trim(lower({text_col})), '{_WS}')"
+    n_toks = f"greatest(1, len({tok}))"
+    score_exprs = {
+        lang: (
+            f"len(list_filter({tok}, t -> t IN ({', '.join(repr(m) for m in markers)})))"
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    best = "greatest(" + ", ".join(score_exprs.values()) + ")"
+    lang_case = "'und'"
+    for lang in sorted(score_exprs, reverse=True):
+        lang_case = (
+            f"CASE WHEN {score_exprs[lang]} = {best} THEN '{lang}' ELSE {lang_case} END"
+        )
+    lang_expr = f"CASE WHEN {best} = 0 THEN 'und' ELSE {lang_case} END"
+    quality = (
+        f"(least(length({text_col}) / 500.0, 1.0)"
+        f" + least((len(list_filter({tok}, t -> t IN ({stop_list}))) / {n_toks}) * 4.0, 1.0)"
+        f" + greatest(1.0 - (len(regexp_extract_all({text_col}, '{_PUNCT}')) / greatest(1, length({text_col}))) * 10.0, 0.0)"
+        f") / 3.0"
+    )
+    return f"""
+WITH qf AS ({qf})
+SELECT {lang_expr} AS lang_pred,
+       count(*) AS n_docs,
+       CAST(sum(CAST(kept AS BIGINT)) AS BIGINT) AS n_kept,
+       CAST(sum(n_words) AS BIGINT) AS n_tokens,
+       CAST(sum(CAST(floor({quality} * 1e6) AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) / 1e6 AS mean_quality
+FROM qf GROUP BY 1"""
 
 
 def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -27,11 +27,22 @@ QTY_LO = 1.0
 QTY_HI = 51.0
 GRID_2D = 4
 
+# 3-D histogram grid: extendedprice x quantity x discount — the reference's
+# DEFAULT data shape (melody-conf.properties:45-64: data.dimension=3, ~30
+# bins; here 3^3 = 27 lattice bins).  Discount is 0.00..0.10 in 0.01 steps,
+# so bucket boundaries at 0.11/3 multiples never sit near a data value —
+# bucketing is engine-independent.
+DISC_LO = 0.0
+DISC_HI = 0.11
+GRID_3D = 3
+
 __all__ = [
     "load_tables",
     "lineitem_histograms",
     "lineitem_histograms_2d",
+    "lineitem_histograms_3d",
     "bin_points_2d",
+    "bin_points_3d",
     "bin_points_line",
     "PRICE_LO",
     "PRICE_HI",
@@ -93,6 +104,23 @@ def bin_points_line(num_bins: int = NUM_BINS):
     return np.arange(num_bins, dtype=np.float64).reshape(-1, 1)
 
 
+def _nation_lineitem(t: dict[str, DataFrame], nationkey: int | None) -> DataFrame:
+    """lineitem restricted to one customer nation, reduce-first: customer
+    filter -> qualifying orderkeys -> broadcast semi-join into the fact
+    table (the only shape that survives a 100-TB fact scan)."""
+    if nationkey is None:
+        return t["lineitem"]
+    cust = t["customer"].where(F.col("c_nationkey") == nationkey).select("c_custkey")
+    okeys = (
+        t["orders"]
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey")
+    )
+    return t["lineitem"].join(
+        F.broadcast(okeys), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+
+
 def bin_points_2d(grid: int = GRID_2D):
     """(grid*grid, 2) lattice bin locations for the 2-D histograms; row-major
     (price_bucket, qty_bucket) matching :func:`lineitem_histograms_2d`."""
@@ -128,6 +156,36 @@ def lineitem_histograms_2d(
     qb = bucketize(F.col("l_quantity"), QTY_LO, QTY_HI, grid)
     return build_histograms(
         src, "l_orderkey", pb * grid + qb, F.lit(1.0), grid * grid
+    )
+
+
+def bin_points_3d(grid: int = GRID_3D):
+    """(grid**3, 3) lattice bin locations; row-major (price, qty, discount)
+    matching :func:`lineitem_histograms_3d`."""
+    import numpy as np
+
+    return np.array(
+        [[p, q, d] for p in range(grid) for q in range(grid) for d in range(grid)],
+        dtype=np.float64,
+    )
+
+
+def lineitem_histograms_3d(
+    spark: SparkSession,
+    sf_dir: str,
+    nationkey: int | None = 1,
+    grid: int = GRID_3D,
+) -> DataFrame:
+    """Per-orderkey COUNT histograms over the (extendedprice, quantity,
+    discount) 3-D bucket lattice — the reference's DEFAULT shape (d=3,
+    B~30 bins, melody-conf.properties:45-64).  Bin k = p*g^2 + q*g + d."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer")
+    src = _nation_lineitem(t, nationkey)
+    pb = bucketize(F.col("l_extendedprice"), PRICE_LO, PRICE_HI, grid)
+    qb = bucketize(F.col("l_quantity"), QTY_LO, QTY_HI, grid)
+    db = bucketize(F.col("l_discount"), DISC_LO, DISC_HI, grid)
+    return build_histograms(
+        src, "l_orderkey", (pb * grid + qb) * grid + db, F.lit(1.0), grid**3
     )
 
 

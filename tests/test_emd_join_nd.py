@@ -376,3 +376,30 @@ def test_hot_cell_salting_matches_bruteforce(spark):
     # unsalted (default cap) parity on the same skewed input
     gr2 = _collect_pairs(emd_join_nd(df, bins, theta, strategy="grid", grid=2))
     assert set(gr2) == set(bf)
+
+
+def test_grid_matches_bruteforce_3d(spark):
+    """d=3 at the reference's DEFAULT shape (data.dimension=3,
+    melody-conf.properties:45-64): grid plan == triangle bruteforce on a
+    3x3x3 lattice (27 bins), both strategies and the pivot variant."""
+    bins = np.array(
+        [[i, j, k] for i in range(3) for j in range(3) for k in range(3)],
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(11)
+    base = rng.random((5, 27))
+    rows = [
+        (i + 1, [float(x) for x in base[i % 5] + 0.2 * rng.random(27)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, w array<double>")
+    theta = 0.4
+    bf = _collect_pairs(
+        emd_join_nd(df, bins, theta, strategy="bruteforce", num_blocks=4)
+    )
+    assert bf  # non-trivial result set
+    for strat, kw in (("grid", {"grid": 3}), ("pivot", {})):
+        got = _collect_pairs(emd_join_nd(df, bins, theta, strategy=strat, **kw))
+        assert set(got) == set(bf), strat
+        for k in bf:
+            assert got[k] == pytest.approx(bf[k], abs=1e-9)
