@@ -44,6 +44,14 @@ from melody_join_spark.operators.events import (
     sessionize_oracle_sql,
     user_value_histograms,
 )
+from melody_join_spark.operators.corpus import (
+    chunk_documents,
+    chunk_documents_oracle_sql,
+    redact_pii,
+    redact_pii_oracle_sql,
+    sample_corpus,
+    sample_corpus_oracle_sql,
+)
 from melody_join_spark.operators.text import (
     corpus_stats,
     corpus_stats_oracle_sql,
@@ -331,6 +339,30 @@ def _q_corpus_stats(spark, sf_dir):
     return corpus_stats(_docs(spark, sf_dir)).orderBy("lang_pred")
 
 
+# mixture weights for the sampling query: even sources downweighted, odd kept
+SAMPLE_RATES = {f"src{i}": (0.25 if i % 2 == 0 else 1.0) for i in range(20)}
+
+
+def _q_chunk_documents(spark, sf_dir):
+    """Fixed-token training-window chunking (scan-speed generator explode)."""
+    return chunk_documents(_docs(spark, sf_dir)).orderBy("id", "chunk_id")
+
+
+def _q_redact_pii(spark, sf_dir):
+    """PII scrub with per-type audit counts — codegen regex projection."""
+    return redact_pii(_docs(spark, sf_dir)).orderBy("id")
+
+
+def _q_sample_corpus(spark, sf_dir):
+    """Deterministic md5-keyed mixture sampling by source: the keep set is a
+    pure function of doc_id, identical across engines and partitionings."""
+    return (
+        sample_corpus(_docs(spark, sf_dir), SAMPLE_RATES)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def _q_exact_dedup(spark, sf_dir):
     return exact_dedup_groups(_docs(spark, sf_dir))
 
@@ -437,6 +469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": _q_text_features,
         "quality_filter": _q_quality_filter,
         "corpus_stats": _q_corpus_stats,
+        "chunk_documents": _q_chunk_documents,
+        "redact_pii": _q_redact_pii,
+        "sample_corpus": _q_sample_corpus,
         "emd_threshold_bruteforce": _q_emd_threshold_bf,
         "emd_threshold_cells": _q_emd_threshold_cells,
         "emd_topk": _q_emd_topk,
@@ -675,6 +710,14 @@ SELECT doc_id, n_words, mean_word_len, punct_ratio, stopword_ratio,
        digit_ratio, violations, CAST(kept AS BIGINT) AS kept
 FROM qf ORDER BY doc_id""",
         "corpus_stats": corpus_stats_oracle_sql() + " ORDER BY lang_pred",
+        "chunk_documents": chunk_documents_oracle_sql()
+        + " ORDER BY id, chunk_id",
+        "redact_pii": redact_pii_oracle_sql() + " ORDER BY id",
+        "sample_corpus": (
+            "SELECT doc_id, source FROM ("
+            + sample_corpus_oracle_sql(SAMPLE_RATES)
+            + ") ORDER BY doc_id"
+        ),
         "dedup_exact": exact_dedup_groups_oracle_sql(),
         "dedupe_corpus": dedupe_oracle_sql(),
         "dedup_jaccard_ngram": jaccard_pairs_oracle_sql(

@@ -1,0 +1,231 @@
+"""Corpus-preparation operators for LLM training-data pipelines.
+
+The three ops every pretraining pipeline runs between raw documents and the
+tokenizer — all pure Spark SQL expressions (JVM codegen, zero Python in the
+hot path, zero shuffles except chunking's explode) with DuckDB twins whose
+expression trees match node for node, so the driver's oracle hash-matches
+results exactly:
+
+- :func:`chunk_documents` — split documents into fixed-token-count training
+  windows (one output row per chunk).
+- :func:`redact_pii` — regex PII scrubbing (emails, phone numbers, IPv4)
+  with per-type match counts for auditability.
+- :func:`sample_corpus` — deterministic per-source mixture sampling: the
+  keep decision is a pure function of (doc_id) via an md5-derived uniform,
+  so any worker, any partitioning, any engine reproduces the same subset —
+  the property that makes 100-TB sampling restartable and auditable.
+
+These generalize the reference's ETL surface (Generate.java ingest ->
+features pipeline, SURVEY.md §2.1 S6) to the text modality's real needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "chunk_documents",
+    "chunk_documents_oracle_sql",
+    "redact_pii",
+    "redact_pii_oracle_sql",
+    "sample_corpus",
+    "sample_corpus_oracle_sql",
+    "PII_PATTERNS",
+]
+
+_WS = r"\s+"
+
+CHUNK_TOKENS = 64  # default training-window size (whitespace tokens)
+
+# PII patterns are part of the operator contract (RE2-safe: no lookaround,
+# so the same pattern text runs on Spark's java.util.regex and DuckDB's RE2)
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = CHUNK_TOKENS,
+) -> DataFrame:
+    """Fixed-size training-window chunking: one row per ``chunk_tokens``-token
+    window -> (id, chunk_id, n_tokens, chunk).  Whitespace tokenization (the
+    same split as text_features); empty documents produce no chunks; the last
+    chunk is the short remainder.
+
+    Scale shape: a narrow projection + generator explode — no shuffle, no
+    Python; output rows stream out of the scan stage, so 100 TB of documents
+    chunk at scan speed.
+    """
+    toks = F.split(F.trim(F.col(text_col)), _WS)
+    n = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(toks))
+    c = chunk_tokens
+    out = (
+        df.select(
+            F.col(id_col).alias("id"),
+            toks.alias("_toks"),
+            n.alias("_n"),
+        )
+        .where(F.col("_n") > 0)
+        .select(
+            "id",
+            "_toks",
+            F.explode(
+                F.sequence(F.lit(0), F.floor((F.col("_n") - 1) / c).cast("int"))
+            ).alias("chunk_id"),
+        )
+        .select(
+            "id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.slice(F.col("_toks"), F.col("chunk_id") * c + 1, c).alias("_w"),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            F.size("_w").cast("long").alias("n_tokens"),
+            F.array_join("_w", " ").alias("chunk"),
+        )
+    )
+    return out
+
+
+def chunk_documents_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = CHUNK_TOKENS,
+) -> str:
+    """DuckDB twin of :func:`chunk_documents`."""
+    c = chunk_tokens
+    toks = f"string_split_regex(trim({text_col}), '{_WS}')"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {toks} AS toks,
+         CASE WHEN length(trim({text_col})) = 0 THEN 0
+              ELSE len({toks}) END AS n
+  FROM {table}
+),
+exploded AS (
+  SELECT id, toks, unnest(range((n - 1) // {c} + 1)) AS chunk_id
+  FROM base WHERE n > 0
+)
+SELECT id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, chunk_id * {c} + 1, chunk_id * {c} + {c})) AS BIGINT)
+         AS n_tokens,
+       array_to_string(list_slice(toks, chunk_id * {c} + 1, chunk_id * {c} + {c}), ' ')
+         AS chunk
+FROM exploded"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Scrub emails, phone numbers, and IPv4 addresses; emit the redacted
+    text plus a per-type match count so the scrub is auditable (how much PII
+    did this shard contain?).  Patterns apply in PII_PATTERNS order — the
+    phone pattern runs on email-redacted text, so an address's digits can't
+    double-count.  Pure codegen projection: scan-speed at 100 TB."""
+    redacted: Column = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(redacted, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return df.select(
+        F.col(id_col).alias("id"),
+        *counts,
+        redacted.alias("text_clean"),
+    )
+
+
+def redact_pii_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`redact_pii` (same sequential pattern order)."""
+    redacted = text_col
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({redacted}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    cols = ",\n       ".join(counts)
+    return f"""
+SELECT {id_col} AS id,
+       {cols},
+       {redacted} AS text_clean
+FROM {table}"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic mixture sampling
+# ---------------------------------------------------------------------------
+
+def _uniform_u32(key: Column) -> Column:
+    """Deterministic uniform in [0, 1): the first 8 hex digits of
+    md5(key-as-string) as a 32-bit integer over 2^32.  md5 is identical
+    everywhere, so the keep decision is engine/partitioning-independent —
+    unlike Spark's sample(), whose output depends on partition layout."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 32))
+    )
+
+
+def sample_corpus(
+    df: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Weighted mixture sampling by source: keep each document independently
+    with its source's rate, decided by a pure hash of the id.  This is the
+    data-mixing step of a pretraining pipeline (e.g. 'web at 30%, books at
+    100%') — deterministic, restartable, join-free (the rate table compiles
+    into a CASE expression; at 100 TB this is a scan-side filter)."""
+    u = _uniform_u32(F.col(id_col))
+    rate: Column = F.lit(float(default_rate))
+    for src in sorted(rates, reverse=True):
+        rate = F.when(F.col(source_col) == src, F.lit(float(rates[src]))).otherwise(
+            rate
+        )
+    return df.where(u < rate)
+
+
+def sample_corpus_oracle_sql(
+    rates: dict[str, float],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    default_rate: float = 0.0,
+) -> str:
+    """DuckDB twin of :func:`sample_corpus` (same md5-derived uniform)."""
+    u = (
+        f"(CAST(CAST('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 8) AS UBIGINT)"
+        f" AS DOUBLE) / {float(1 << 32)})"
+    )
+    rate = str(float(default_rate))
+    for src in sorted(rates, reverse=True):
+        rate = (
+            f"CASE WHEN {source_col} = '{src}' THEN {float(rates[src])} "
+            f"ELSE {rate} END"
+        )
+    return f"SELECT * FROM {table} WHERE {u} < {rate}"

@@ -1,0 +1,85 @@
+"""Corpus-prep operators: chunking, PII redaction, mixture sampling.
+
+The driver's sf0.01 gate covers engine==DuckDB at scale; these pin edge-case
+semantics (empty docs, exact-multiple windows, pattern order, sampling
+determinism) on hand-built rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from melody_join_spark.operators.corpus import (
+    chunk_documents,
+    redact_pii,
+    sample_corpus,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),   # 10 tokens
+        (2, " ".join(f"t{i}" for i in range(8))),    # exact multiple of 4
+        (3, "one"),                                   # single short chunk
+        (4, ""),                                      # empty -> no chunks
+        (5, "   "),                                   # blank -> no chunks
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_documents_windows(spark, docs):
+    out = chunk_documents(docs, chunk_tokens=4).collect()
+    got = {(r.id, r.chunk_id): (r.n_tokens, r.chunk) for r in out}
+    assert set(got) == {
+        (1, 0), (1, 1), (1, 2),
+        (2, 0), (2, 1),
+        (3, 0),
+    }
+    assert got[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert got[(1, 2)] == (2, "t8 t9")        # short remainder
+    assert got[(2, 1)] == (4, "t4 t5 t6 t7")  # exact multiple: no empty tail
+    assert got[(3, 0)] == (1, "one")
+
+
+def test_redact_pii_patterns_and_order(spark):
+    rows = [
+        (1, "mail bob@example.com or +1 (555) 123-4567, host 10.0.0.1 ok"),
+        (2, "no pii here at all"),
+        (3, "two mails a@b.co c@d.org"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in redact_pii(df).collect()}
+    assert out[1].n_email == 1 and out[1].n_phone == 1 and out[1].n_ipv4 == 1
+    assert "<EMAIL>" in out[1].text_clean
+    assert "<PHONE>" in out[1].text_clean
+    assert "<IP>" in out[1].text_clean
+    assert "bob@" not in out[1].text_clean
+    assert out[2].n_email == out[2].n_phone == out[2].n_ipv4 == 0
+    assert out[2].text_clean == "no pii here at all"
+    assert out[3].n_email == 2
+    assert out[3].text_clean == "two mails <EMAIL> <EMAIL>"
+
+
+def test_sample_corpus_deterministic_and_rate(spark):
+    n = 4000
+    df = spark.createDataFrame(
+        [(i, "srcA" if i % 2 == 0 else "srcB") for i in range(n)],
+        "doc_id long, source string",
+    )
+    rates = {"srcA": 0.3, "srcB": 1.0}
+    kept1 = {r.doc_id for r in sample_corpus(df, rates).collect()}
+    # determinism: same subset from a different partitioning
+    kept2 = {
+        r.doc_id for r in sample_corpus(df.repartition(13), rates).collect()
+    }
+    assert kept1 == kept2
+    # srcB kept fully; srcA near its rate (md5 uniform, n/2 = 2000 draws)
+    b_ids = {i for i in range(n) if i % 2 == 1}
+    assert b_ids <= kept1
+    a_kept = len(kept1) - len(b_ids)
+    assert 0.25 * n / 2 < a_kept < 0.35 * n / 2
+    # unknown source defaults to rate 0
+    df2 = spark.createDataFrame([(1, "other")], "doc_id long, source string")
+    assert sample_corpus(df2, rates).count() == 0
