@@ -103,3 +103,52 @@ def test_nd_collinear_delegation_is_pure_codegen(spark):
     bins2 = np.array([[float(i), float(j)] for i in range(4) for j in range(4)])
     plan2 = plan_of(emd_join_nd(hist.select("id", "w"), bins2, 0.5, strategy="grid"))
     assert "EvalPython" in plan2 or "FlatMapGroupsInPandas" in plan2
+
+
+def test_quality_filter_scan_shaped(spark):
+    """quality_filter is a pure scan-side projection: no shuffle, no Python."""
+    from melody_join_spark.operators.text import quality_filter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(quality_filter(docs))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_corpus_stats_partial_agg(spark):
+    """corpus_stats: one partial+final aggregation on the tiny lang key."""
+    from melody_join_spark.operators.text import corpus_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(corpus_stats(docs))
+    assert plan.count("HashAggregate") >= 2
+    # exactly one Exchange NODE (formatted output names each node twice:
+    # once in the tree, once in the details section)
+    assert plan.count("Exchange") <= 2
+    assert "EvalPython" not in plan
+
+
+def test_corpus_prep_ops_scan_shaped(spark):
+    """chunk/redact/sample are shuffle-free, Python-free scan projections;
+    sample_corpus' hash filter and redact's column pruning reach the scan."""
+    from melody_join_spark.operators.corpus import (
+        chunk_documents,
+        redact_pii,
+        sample_corpus,
+    )
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (
+        chunk_documents(docs),
+        redact_pii(docs),
+        sample_corpus(docs, {"src0": 0.5}),
+    ):
+        plan = plan_of(df)
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
+    # redact reads only (doc_id, text)
+    plan = plan_of(redact_pii(docs))
+    read_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "doc_id" in read_line and "text" in read_line
+    assert "source" not in read_line
