@@ -45,6 +45,8 @@ from melody_join_spark.operators.events import (
     user_value_histograms,
 )
 from melody_join_spark.operators.corpus import (
+    build_vocab,
+    build_vocab_oracle_sql,
     chunk_documents,
     chunk_documents_oracle_sql,
     redact_pii,
@@ -353,6 +355,12 @@ def _q_redact_pii(spark, sf_dir):
     return redact_pii(_docs(spark, sf_dir)).orderBy("id")
 
 
+def _q_build_vocab(spark, sf_dir):
+    """Top-1000 corpus vocabulary (tf/df) — the pre-tokenizer stats pass;
+    count-distinct via two partial-aggregated shuffles, no expand."""
+    return build_vocab(_docs(spark, sf_dir), top_n=1000)
+
+
 def _q_sample_corpus(spark, sf_dir):
     """Deterministic md5-keyed mixture sampling by source: the keep set is a
     pure function of doc_id, identical across engines and partitionings."""
@@ -472,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "redact_pii": _q_redact_pii,
         "sample_corpus": _q_sample_corpus,
+        "build_vocab": _q_build_vocab,
         "emd_threshold_bruteforce": _q_emd_threshold_bf,
         "emd_threshold_cells": _q_emd_threshold_cells,
         "emd_topk": _q_emd_topk,
@@ -718,6 +727,7 @@ FROM qf ORDER BY doc_id""",
             + sample_corpus_oracle_sql(SAMPLE_RATES)
             + ") ORDER BY doc_id"
         ),
+        "build_vocab": build_vocab_oracle_sql(top_n=1000),
         "dedup_exact": exact_dedup_groups_oracle_sql(),
         "dedupe_corpus": dedupe_oracle_sql(),
         "dedup_jaccard_ngram": jaccard_pairs_oracle_sql(

@@ -31,6 +31,8 @@ __all__ = [
     "redact_pii_oracle_sql",
     "sample_corpus",
     "sample_corpus_oracle_sql",
+    "build_vocab",
+    "build_vocab_oracle_sql",
     "PII_PATTERNS",
 ]
 
@@ -171,6 +173,73 @@ SELECT {id_col} AS id,
        {cols},
        {redacted} AS text_clean
 FROM {table}"""
+
+
+# ---------------------------------------------------------------------------
+# vocabulary building
+# ---------------------------------------------------------------------------
+
+def build_vocab(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Corpus vocabulary table: for each lowercase whitespace token, total
+    term frequency (tf) and document frequency (df), ranked by
+    (tf desc, token asc) and cut at ``top_n`` — the corpus-statistics pass
+    before tokenizer/BPE training.
+
+    Scale shape: explode -> groupBy(token, doc) -> groupBy(token).  Both
+    aggregations partial-aggregate map-side; the second shuffle carries one
+    row per distinct (token, doc) — a count-distinct without the expand that
+    ``countDistinct`` would plan.  The final rank is a TakeOrdered over the
+    (already tiny) distinct-token relation.
+    """
+    from pyspark.sql.window import Window
+
+    t = F.col(text_col)
+    toks = F.split(F.trim(F.lower(t)), _WS)
+    ex = (
+        df.where(F.length(F.trim(t)) > 0)
+        .select(F.col(id_col).alias("id"), F.explode(toks).alias("token"))
+    )
+    per_doc = ex.groupBy("token", "id").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_doc.groupBy("token").agg(
+        F.sum("c").alias("tf"), F.count(F.lit(1)).alias("df")
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_n)
+        .select("rank", "token", "tf", "df")
+    )
+
+
+def build_vocab_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`build_vocab`."""
+    toks = f"string_split_regex(trim(lower({text_col})), '{_WS}')"
+    return f"""
+WITH ex AS (
+  SELECT {id_col} AS id, unnest({toks}) AS token
+  FROM {table} WHERE length(trim({text_col})) > 0
+),
+per_doc AS (SELECT token, id, count(*) AS c FROM ex GROUP BY 1, 2),
+agg AS (
+  SELECT token, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df
+  FROM per_doc GROUP BY 1
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY tf DESC, token ASC) AS rank,
+         token, tf, df
+  FROM agg
+)
+SELECT rank, token, tf, df FROM ranked WHERE rank <= {top_n} ORDER BY rank"""
 
 
 # ---------------------------------------------------------------------------

@@ -83,3 +83,39 @@ def test_sample_corpus_deterministic_and_rate(spark):
     # unknown source defaults to rate 0
     df2 = spark.createDataFrame([(1, "other")], "doc_id long, source string")
     assert sample_corpus(df2, rates).count() == 0
+
+
+def test_build_vocab_counts_and_rank(spark):
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana date"),
+        (3, "apple"),
+        (4, ""),
+    ]
+    from melody_join_spark.operators.corpus import build_vocab
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [
+        (r.rank, r.token, r.tf, r.df)
+        for r in build_vocab(df, top_n=3).collect()
+    ]
+    # apple tf=3 df=2; banana tf=3 df=2 (tie -> lexicographic); cherry/date tf=1
+    assert out[0] == (1, "apple", 3, 2)
+    assert out[1] == (2, "banana", 3, 2)
+    assert out[2][0] == 3 and out[2][2] == 1
+
+
+def test_build_vocab_plan_no_expand(spark):
+    """The df count must come from the (token, doc) pre-distinct, never a
+    count-distinct Expand node; both aggs partial-aggregate."""
+    import contextlib, io
+    from melody_join_spark.operators.corpus import build_vocab
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        build_vocab(df).explain("formatted")
+    plan = buf.getvalue()
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x two aggs
+    assert "EvalPython" not in plan
