@@ -176,3 +176,40 @@ def test_streaming_sessionize_stateful(spark, events, tmp_path):
     assert got, "stream should emit closed sessions"
     for k, v in got.items():
         assert k in batch and batch[k] == v, (k, v, batch.get(k))
+
+
+def test_streaming_quality_pipeline_matches_batch(spark, tmp_path):
+    """The corpus-prep gate composes with Structured Streaming unchanged:
+    quality_filter + redact_pii are stateless codegen projections, so a
+    readStream -> gate -> scrub -> append sink produces exactly the batch
+    result (the shape of a continuously-ingesting pretrain pipeline)."""
+    from melody_join_spark.operators.corpus import redact_pii
+    from melody_join_spark.operators.text import quality_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(3).write.parquet(src)
+
+    def pipe(df):
+        gated = quality_filter(df).where("kept").select("doc_id", "text")
+        return redact_pii(gated)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        pipe(stream)
+        .writeStream.format("memory")
+        .queryName("q_clean")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.id: (r.n_email, r.n_phone, r.n_ipv4, r.text_clean)
+        for r in spark.sql("SELECT * FROM q_clean").collect()
+    }
+    exp = {
+        r.id: (r.n_email, r.n_phone, r.n_ipv4, r.text_clean)
+        for r in pipe(spark.read.parquet(src)).collect()
+    }
+    assert got == exp and len(got) > 0
