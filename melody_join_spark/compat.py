@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 from .operators.emd_join_nd import build_config, emd_join_nd, emd_topk_nd
 from .sources.histogram_text import read_flat_doubles, read_histogram_text
 
-__all__ = ["load_properties", "run_join_from_properties"]
+__all__ = [
+    "load_properties",
+    "run_join_from_properties",
+    "run_generate_from_properties",
+]
 
 _METHOD_TO_STRATEGY = {
     "melody": "grid",
@@ -110,4 +114,70 @@ def run_join_from_properties(
     if write_output and out_path:
         line = F.concat_ws(" ", *[F.col(c).cast("string") for c in out.columns])
         out.select(line.alias("value")).write.mode("overwrite").text(out_path)
+    return out
+
+
+def run_generate_from_properties(
+    spark: SparkSession,
+    properties_path: str,
+    decoder=None,
+    fake: bool = False,
+    write_output: bool = True,
+) -> dict[str, DataFrame]:
+    """Execute the reference's SECOND entry point, ``Generate``
+    (src/com/iojin/melody/Generate.java:27, README.md:60-90), from its own
+    properties file: read the media corpus, extract one histogram dataset
+    per enabled feature, and (optionally) write each in the reference's
+    text format to ``generate.output.hist.dir/<feature>``.
+
+    Input modes (``generate.mr.input``, Generate.java:130-199):
+      local / hdfs -> Spark ``binaryFile`` scan of
+                      ``generate.input.image.dir`` (replaces HIPI bundling —
+                      Spark's source already splits/distributes binary files)
+      http / url   -> ``generate.input.image.dir`` is a URL-list text file;
+                      executor-side fetch via sources/crawl (CrawlReducer
+                      analog), failed fetches dropped like the reference's
+                      error-swallowing crawl loop.
+
+    ``generate.enabled.features`` ('/'-separated Lire feature names,
+    GenerateUtil.java:44-60) selects the extractors.  This container has no
+    codec libraries, so every feature name maps to the REAL byte-histogram
+    extractor unless ``decoder=`` supplies a codec-backed callable
+    ``(bytes, bins) -> np.ndarray`` (or a dict feature->callable) — the one
+    declared stub boundary of the multimodal family.
+
+    Returns {feature: (id, w) DataFrame} — each directly joinable by
+    ``emd_join_nd`` / consumable by a reference deployment.
+    """
+    from .plans.generate import generate_histograms, generate_to_text
+    from .sources.crawl import crawl_media
+
+    props = load_properties(properties_path)
+    mode = props.get("generate.mr.input", "local").lower()
+    in_path = props["generate.input.image.dir"]
+    out_dir = props.get("generate.output.hist.dir", "")
+    bins = int(props.get("data.bin.number", "30") or 30)
+    features = [
+        f for f in props.get("generate.enabled.features", "ch").split("/") if f
+    ] or ["ch"]
+
+    media = None
+    if mode in ("http", "url"):
+        urls = spark.read.text(in_path).select(F.col("value").alias("url"))
+        media = crawl_media(urls).where(F.col("error").isNull()).drop("error")
+
+    out: dict[str, DataFrame] = {}
+    for feat in features:
+        dec = decoder.get(feat) if isinstance(decoder, dict) else decoder
+        hist = generate_histograms(
+            spark,
+            input_path=None if media is not None else in_path,
+            media=media,
+            bins=bins,
+            decoder=dec,
+            fake=fake,
+        )
+        out[feat] = hist
+        if write_output and out_dir:
+            generate_to_text(hist, f"{out_dir.rstrip('/')}/{feat}")
     return out
