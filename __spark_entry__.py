@@ -152,7 +152,7 @@ def _q_emd_nd_3d(spark, sf_dir):
     3 projections — melody-conf.properties:45-64).  Hash-checked against the
     independent successive-shortest-path fixture like the d=2 queries."""
     hist = lineitem_histograms_3d(spark, sf_dir)
-    res = emd_join_nd(hist, bin_points_3d(), ND_THETA_3D, strategy="grid", grid=8)
+    res = emd_join_nd(hist, bin_points_3d(), ND_THETA_3D, strategy="grid", grid=16)
     return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
 
 

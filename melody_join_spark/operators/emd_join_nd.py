@@ -143,7 +143,7 @@ class NdJoinConfig:
 def build_config(
     bin_points: np.ndarray,
     seed_weights: np.ndarray | None = None,
-    n_proj: int = 2,
+    n_proj: int | None = None,
     num_duals: int = 2,
     num_reductions: int = 1,
     reduced_dim: int = 8,
@@ -178,6 +178,11 @@ def build_config(
     rng = np.random.default_rng(seed)
 
     projs = []
+    if n_proj is None:
+        # default: one axis projection per dimension (the reference ships 3
+        # vectors for its default d=3, melody-conf.properties:45-64), capped
+        # at 4 — each projection costs an O(B) cascade stage per candidate
+        n_proj = max(2, min(d, 4))
     if minkowski is None:
         n_proj = 0  # projection contraction needs a Minkowski ground
     elif d == 1:
