@@ -68,10 +68,9 @@ def chunk_documents(
     Python; output rows stream out of the scan stage, so 100 TB of documents
     chunk at scan speed.
     """
-    toks = F.split(F.trim(F.col(text_col)), _WS)
-    n = F.when(
-        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
-    ).otherwise(F.size(toks))
+    t = F.coalesce(F.col(text_col), F.lit(""))  # NULL text -> no chunks
+    toks = F.split(F.trim(t), _WS)
+    n = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(toks))
     c = chunk_tokens
     out = (
         df.select(
@@ -110,11 +109,12 @@ def chunk_documents_oracle_sql(
 ) -> str:
     """DuckDB twin of :func:`chunk_documents`."""
     c = chunk_tokens
-    toks = f"string_split_regex(trim({text_col}), '{_WS}')"
+    tc = f"coalesce({text_col}, '')"
+    toks = f"string_split_regex(trim({tc}), '{_WS}')"
     return f"""
 WITH base AS (
   SELECT {id_col} AS id, {toks} AS toks,
-         CASE WHEN length(trim({text_col})) = 0 THEN 0
+         CASE WHEN length(trim({tc})) = 0 THEN 0
               ELSE len({toks}) END AS n
   FROM {table}
 ),
@@ -142,7 +142,7 @@ def redact_pii(
     did this shard contain?).  Patterns apply in PII_PATTERNS order — the
     phone pattern runs on email-redacted text, so an address's digits can't
     double-count.  Pure codegen projection: scan-speed at 100 TB."""
-    redacted: Column = F.col(text_col)
+    redacted: Column = F.coalesce(F.col(text_col), F.lit(""))
     counts = []
     for name, pat, repl in PII_PATTERNS:
         counts.append(
@@ -160,7 +160,7 @@ def redact_pii_oracle_sql(
     table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
 ) -> str:
     """DuckDB twin of :func:`redact_pii` (same sequential pattern order)."""
-    redacted = text_col
+    redacted = f"coalesce({text_col}, '')"
     counts = []
     for name, pat, repl in PII_PATTERNS:
         counts.append(
@@ -198,7 +198,7 @@ def build_vocab(
     """
     from pyspark.sql.window import Window
 
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.split(F.trim(F.lower(t)), _WS)
     ex = (
         df.where(F.length(F.trim(t)) > 0)
@@ -223,11 +223,12 @@ def build_vocab_oracle_sql(
     top_n: int = 1000,
 ) -> str:
     """DuckDB twin of :func:`build_vocab`."""
-    toks = f"string_split_regex(trim(lower({text_col})), '{_WS}')"
+    tc = f"coalesce({text_col}, '')"
+    toks = f"string_split_regex(trim(lower({tc})), '{_WS}')"
     return f"""
 WITH ex AS (
   SELECT {id_col} AS id, unnest({toks}) AS token
-  FROM {table} WHERE length(trim({text_col})) > 0
+  FROM {table} WHERE length(trim({tc})) > 0
 ),
 per_doc AS (SELECT token, id, count(*) AS c FROM ex GROUP BY 1, 2),
 agg AS (

@@ -291,8 +291,11 @@ def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
       punct_ratio    <= QF_MAX_PUNCT
       stopword_ratio >= QF_MIN_STOP
       digit_ratio    <= QF_MAX_DIGIT
+
+    NULL text is treated as empty (it must FAIL the gate, not slip through
+    three-valued logic with zero violations).
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     toks = _tokens(t)
     n_words = token_count_ws(t)
     # integer char-count sum over tokens -> exact, order-independent
@@ -335,6 +338,7 @@ def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_filter_oracle_sql(table: str = "documents", text_col: str = "text") -> str:
     """DuckDB twin of :func:`quality_filter` — identical expression trees."""
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    text_col = f"coalesce({text_col}, '')"  # NULL text fails the gate
     tok = f"string_split_regex(trim(lower({text_col})), '{_WS}')"
     tok_raw = f"string_split_regex(trim({text_col}), '{_WS}')"
     n_words = (
@@ -387,10 +391,11 @@ def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     one scan + one partial-agg shuffle on a tiny (per-language) key space.
     """
     qf = quality_filter(df, text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     feats = qf.select(
-        lang_id(F.col(text_col)).alias("lang_pred"),
-        token_count_ws(F.col(text_col)).cast("long").alias("n_tok"),
-        F.floor(quality_score(F.col(text_col)) * F.lit(1e6)).cast("long").alias("q_micro"),
+        lang_id(t).alias("lang_pred"),
+        token_count_ws(t).cast("long").alias("n_tok"),
+        F.floor(quality_score(t) * F.lit(1e6)).cast("long").alias("q_micro"),
         F.col("kept").cast("long").alias("kept_i"),
     )
     return (
@@ -419,6 +424,7 @@ def corpus_stats_oracle_sql(table: str = "documents", text_col: str = "text") ->
     """DuckDB twin of :func:`corpus_stats` (same micro-unit accumulation)."""
     qf = quality_filter_oracle_sql(table, text_col)
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    text_col = f"coalesce({text_col}, '')"
     tok = f"string_split_regex(trim(lower({text_col})), '{_WS}')"
     n_toks = f"greatest(1, len({tok}))"
     score_exprs = {

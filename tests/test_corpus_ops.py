@@ -119,3 +119,55 @@ def test_build_vocab_plan_no_expand(spark):
     assert "Expand" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final x two aggs
     assert "EvalPython" not in plan
+
+
+def test_null_text_semantics(spark):
+    """NULL text must not slip through three-valued logic: the quality gate
+    rejects it, chunking/vocab skip it, redaction passes through empty —
+    and the DuckDB twins agree (engine==oracle on a NULL-bearing corpus)."""
+    import duckdb
+
+    from melody_join_spark.operators.corpus import (
+        build_vocab,
+        build_vocab_oracle_sql,
+        chunk_documents,
+        redact_pii,
+    )
+    from melody_join_spark.operators.text import (
+        quality_filter,
+        quality_filter_oracle_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "the quick brown fox jumps over the lazy dog and it "
+                        "runs far away for fun today")],
+        "doc_id long, text string",
+    )
+    qf = {r.doc_id: r for r in quality_filter(df).collect()}
+    assert qf[1].kept is False and qf[1].n_words == 0
+    assert "words" in qf[1].violations
+    assert qf[2].kept is True
+
+    assert chunk_documents(df).where("id = 1").count() == 0
+    assert all(r.token for r in build_vocab(df).collect())
+    [r1] = redact_pii(df).where("id = 1").collect()
+    assert r1.text_clean == "" and r1.n_email == 0
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR);")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        [(1, None), (2, "the quick brown fox jumps over the lazy dog and it "
+                        "runs far away for fun today")],
+    )
+    want = {
+        row[0]: row[1]
+        for row in con.sql(
+            f"WITH qf AS ({quality_filter_oracle_sql()}) "
+            "SELECT doc_id, kept FROM qf"
+        ).fetchall()
+    }
+    assert want == {1: False, 2: True}
+    vocab_spark = [(r.rank, r.token, r.tf, r.df) for r in build_vocab(df).collect()]
+    vocab_duck = con.sql(build_vocab_oracle_sql()).fetchall()
+    assert vocab_spark == [tuple(r) for r in vocab_duck]
