@@ -29,6 +29,10 @@ __all__ = [
     "cosine_topk",
     "lsh_cosine_pairs",
     "ivf_topk",
+    "IvfIndex",
+    "ivf_build",
+    "ivf_load",
+    "ivf_search",
 ]
 
 
@@ -178,32 +182,38 @@ def _spherical_kmeans(X: np.ndarray, nlist: int, iters: int, seed: int) -> np.nd
     return C
 
 
-def ivf_topk(
+class IvfIndex:
+    """A built IVF index: the coarse codebook (unit row centroids) + the
+    inverted-list relation (nid, v, list_id).  Build once with
+    :func:`ivf_build` (optionally persisted), query many times with
+    :func:`ivf_search` — the production ANN lifecycle, vs the one-shot
+    :func:`ivf_topk` convenience wrapper."""
+
+    def __init__(self, codebook: np.ndarray, lists: DataFrame):
+        self.codebook = codebook
+        self.lists = lists
+
+
+def ivf_build(
     emb: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     nlist: int = 64,
-    nprobe: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    q_id_col: str | None = None,
-    q_vec_col: str | None = None,
     kmeans_sample: int = 4096,
     kmeans_iters: int = 5,
     seed: int = 42,
-    round_to: int | None = None,
-) -> DataFrame:
-    """IVF approximate top-k cosine neighbors -> (qid, nid, cosine, rank).
+    path: str | None = None,
+) -> IvfIndex:
+    """Build the IVF index: spherical-kmeans codebook on a driver-side
+    sample (broadcast), then ONE narrow mapInPandas pass assigns every
+    vector to its nearest-centroid inverted list.
 
-    The scale path for ANN over 10^8+ vectors: a coarse spherical-kmeans
-    codebook (driver-side on a sample, broadcast) partitions the database
-    into ``nlist`` inverted lists via one narrow mapInPandas pass; each
-    query probes only its ``nprobe`` nearest lists, so the exact cosine work
-    drops to ~nprobe/nlist of brute force.  Same output shape as
-    ``cosine_topk`` (recall < 1; tested against it).  Excludes self-matches.
+    ``path`` persists the index: the list relation as parquet PARTITIONED
+    BY list_id — so a later :func:`ivf_search` reads only the probed
+    lists' files (partition pruning: ~nprobe/nlist of the bytes, visible
+    as PartitionFilters in the scan) — plus the codebook as a tiny
+    parquet table.  Load with :func:`ivf_load`.
     """
-    q_id_col = q_id_col or id_col
-    q_vec_col = q_vec_col or vec_col
     X = np.array(
         [r[1] for r in emb.select(id_col, vec_col).limit(kmeans_sample).collect()],
         dtype=np.float64,
@@ -227,8 +237,41 @@ def ivf_topk(
             )
 
     db_lists = db.mapInPandas(assign, "nid long, v array<double>, list_id long")
+    if path is None:
+        return IvfIndex(C, db_lists)
+    db_lists.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/lists"
+    )
+    cb = spark.createDataFrame(
+        [(i, [float(x) for x in C[i]]) for i in range(C.shape[0])],
+        "list_id long, center array<double>",
+    )
+    cb.write.mode("overwrite").parquet(f"{path}/codebook")
+    return ivf_load(spark, path)
 
-    # query probes: tiny driver-side computation -> broadcast join
+
+def ivf_load(spark, path: str) -> IvfIndex:
+    """Load an index persisted by :func:`ivf_build(path=...)`."""
+    cb_rows = spark.read.parquet(f"{path}/codebook").orderBy("list_id").collect()
+    C = np.array([r.center for r in cb_rows], dtype=np.float64)
+    return IvfIndex(C, spark.read.parquet(f"{path}/lists"))
+
+
+def ivf_search(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 8,
+    q_id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Query a built index -> (qid, nid, cosine, rank): each query probes
+    its ``nprobe`` nearest lists; the candidate join carries a literal
+    list_id IN (...) filter so a disk-backed index scans only the probed
+    partitions.  Excludes self-matches."""
+    spark = index.lists.sparkSession
+    C = index.codebook
     qrows = queries.select(q_id_col, q_vec_col).collect()
     qids = [r[0] for r in qrows]
     Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
@@ -243,8 +286,11 @@ def ivf_topk(
         probe_rows, "qid long, qv array<double>, qn double, list_id long"
     )
 
-    cand = db_lists.join(F.broadcast(probes), "list_id").where(
-        F.col("qid") != F.col("nid")
+    probe_set = sorted({int(l) for row in probe_lists for l in row})
+    cand = (
+        index.lists.where(F.col("list_id").isin(probe_set))
+        .join(F.broadcast(probes), "list_id")
+        .where(F.col("qid") != F.col("nid"))
     )
     dot = F.aggregate(
         F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
@@ -264,6 +310,51 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("qid", "nid", "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 64,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str | None = None,
+    q_vec_col: str | None = None,
+    kmeans_sample: int = 4096,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+    round_to: int | None = None,
+) -> DataFrame:
+    """IVF approximate top-k cosine neighbors -> (qid, nid, cosine, rank).
+
+    One-shot convenience: :func:`ivf_build` + :func:`ivf_search` in a
+    single call (index discarded).  The scale path for ANN over 10^8+
+    vectors: a coarse spherical-kmeans codebook (driver-side on a sample,
+    broadcast) partitions the database into ``nlist`` inverted lists via
+    one narrow mapInPandas pass; each query probes only its ``nprobe``
+    nearest lists, so the exact cosine work drops to ~nprobe/nlist of
+    brute force.  Same output shape as ``cosine_topk`` (recall < 1;
+    tested against it).  Excludes self-matches."""
+    index = ivf_build(
+        emb,
+        nlist=nlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        kmeans_sample=kmeans_sample,
+        kmeans_iters=kmeans_iters,
+        seed=seed,
+    )
+    return ivf_search(
+        index,
+        queries,
+        k=k,
+        nprobe=nprobe,
+        q_id_col=q_id_col or id_col,
+        q_vec_col=q_vec_col or vec_col,
+        round_to=round_to,
     )
 
 

@@ -447,3 +447,52 @@ def test_dup_clusters_auto_equals_star_and_falls_back(spark):
         ).collect()
     }
     assert fb == star
+
+
+def test_ivf_build_persist_search(spark, tmp_path):
+    """The production ANN lifecycle: build once (persisted, lists
+    partitioned by list_id), load, search many times == the one-shot
+    wrapper; the disk-backed search scans ONLY the probed partitions
+    (PartitionFilters on list_id)."""
+    import contextlib
+    import io
+
+    from melody_join_spark.operators.similarity import (
+        ivf_build,
+        ivf_load,
+        ivf_search,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.orderBy("vec_id").limit(8)
+    path = str(tmp_path / "ivf_index")
+    idx = ivf_build(emb, nlist=16, path=path)
+    got = {
+        (r.qid, r.rank): r.nid
+        for r in ivf_search(idx, qs, k=5, nprobe=4, round_to=6).collect()
+    }
+    exp = {
+        (r.qid, r.rank): r.nid
+        for r in ivf_topk(emb, qs, k=5, nlist=16, nprobe=4, round_to=6).collect()
+    }
+    assert got == exp and len(got) > 0
+
+    # reload from disk -> same result
+    idx2 = ivf_load(spark, path)
+    got2 = {
+        (r.qid, r.rank): r.nid
+        for r in ivf_search(idx2, qs, k=5, nprobe=4, round_to=6).collect()
+    }
+    assert got2 == exp
+
+    # partition pruning: the list_id IN (...) literal reaches the scan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ivf_search(idx2, qs, k=5, nprobe=4).explain("formatted")
+    plan = buf.getvalue()
+    scan_line = next(
+        l for l in plan.splitlines()
+        if "PartitionFilters" in l
+    )
+    assert "list_id" in scan_line
