@@ -36,6 +36,7 @@ from melody_join_spark.operators.similarity import (
 )
 from melody_join_spark.plans.generate import generate_histograms
 from melody_join_spark.operators.events import (
+    asof_join,
     event_window_agg,
     event_window_agg_oracle_sql,
     load_events,
@@ -291,6 +292,27 @@ def _q_events_sessionize(spark, sf_dir):
     )
 
 
+def _q_events_asof(spark, sf_dir):
+    """Point-in-time feature lookup: every event annotated with the user's
+    most recent purchase value as of that event's timestamp (inclusive) —
+    the leakage-free feature-store join, via union + running-last window
+    (one shuffle, no join node).  Oracle: DuckDB's native ASOF JOIN — an
+    INDEPENDENT implementation of the same semantics."""
+    ev = load_events(spark, sf_dir)
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    res = asof_join(ev, purchases, value_cols=("purchase_value",))
+    return res.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("purchase_value_asof").alias("last_purchase_value"),
+    )
+
+
 def _q_emd_user_behavior(spark, sf_dir):
     """Users with similar behavior distributions: the EMD threshold join on
     per-user value histograms (reference's similarity-join core applied to
@@ -494,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_nd_threshold_pivot_2d": _q_emd_nd_pivot_2d,
         "events_window_hourly": _q_events_window,
         "events_sessionize": _q_events_sessionize,
+        "events_asof": _q_events_asof,
         "emd_user_behavior": _q_emd_user_behavior,
         "cosine_topk_ivf": _q_cosine_topk_ivf,
         "generate_media_emd": _q_generate_media_emd,
@@ -708,6 +731,16 @@ WHERE rank <= {KNN_K} ORDER BY qid, rank"""
         "emd_knn_2d": knn_2d_sql,
         "events_window_hourly": events_window_sql,
         "events_sessionize": sessionize_sql,
+        "events_asof": """
+WITH p AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, epoch_us(e.ts::TIMESTAMP) AS ts_us,
+       p.purchase_value AS last_purchase_value
+FROM events e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.ts::TIMESTAMP >= p.ts
+ORDER BY e.event_id""",
         "emd_user_behavior": user_behavior_sql,
         # cosine_topk_ivf: approximate candidate set -> rows-only; exact twin
         # cosine_topk is hash-checked.

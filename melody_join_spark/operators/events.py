@@ -30,6 +30,7 @@ __all__ = [
     "sessionize_oracle_sql",
     "user_value_histograms",
     "oracle_user_hist_cte",
+    "asof_join",
 ]
 
 VALUE_LO = 0.0
@@ -184,3 +185,54 @@ cum AS (
   SELECT id, bucket, sum(wsum) OVER (PARTITION BY id ORDER BY bucket) AS c, total
   FROM dense
 )"""
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Point-in-time (as-of) join: attach to every left row the most recent
+    right row with the same key and ``right.ts <= left.ts`` (inclusive) —
+    the feature-store lookup every training pipeline needs (features as of
+    the label's timestamp, no leakage from the future).
+
+    Spark has no native as-of join; the naive formulations are a range
+    cross-join (quadratic) or a per-key collect.  This is instead a UNION +
+    running ``last(ignorenulls)`` window: right rows interleave into the
+    left timeline (sorting before left rows at equal ts for inclusive
+    semantics), one window pass carries the latest right values forward,
+    and left rows are filtered back out.
+
+    Scale shape: ONE shuffle (the window's partitionBy(on)), codegen
+    window frame, no join node at all — the plan survives any key
+    cardinality, and skewed keys hit AQE like any window, never a
+    replicated range join.  Right rows should be unique per (key, ts);
+    pre-aggregate otherwise (ties would be nondeterministic in any
+    engine's as-of).
+    """
+    from pyspark.sql.window import Window
+
+    lcols = left.columns
+    l = left.withColumn("_side", F.lit(1))
+    r = right.select(
+        F.col(on),
+        F.col(ts_col),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    ).withColumn("_side", F.lit(0))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in value_cols:
+        u = u.withColumn(
+            f"{c}{suffix}", F.last(f"_r_{c}", ignorenulls=True).over(w)
+        )
+    return u.where(F.col("_side") == 1).select(
+        *lcols, *[f"{c}{suffix}" for c in value_cols]
+    )

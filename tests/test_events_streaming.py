@@ -213,3 +213,36 @@ def test_streaming_quality_pipeline_matches_batch(spark, tmp_path):
         for r in pipe(spark.read.parquet(src)).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_asof_join_semantics_and_plan(spark):
+    """Inclusive as-of semantics (right at equal ts matches), NULL when no
+    prior right row, strictly-later right rows never leak backward; the
+    plan is a single window pass — no Join node, one Exchange."""
+    import contextlib
+    import io
+
+    from melody_join_spark.operators.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "2020-01-01 00:05:00"),
+         (2, 10, "2020-01-01 00:10:00"),
+         (3, 10, "2020-01-01 00:01:00"),
+         (4, 20, "2020-01-01 00:30:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(10, "2020-01-01 00:05:00", 7.0),   # equal ts -> inclusive match
+         (10, "2020-01-01 00:02:00", 3.0),
+         (20, "2020-01-01 01:00:00", 9.9)],  # future only -> never matches
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.event_id: r.value_asof for r in asof_join(left, right).collect()}
+    assert got == {1: 7.0, 2: 7.0, 3: None, 4: None}
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        asof_join(left, right).explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan  # union + window, never a join node
+    assert plan.count("Window") >= 1
