@@ -38,6 +38,7 @@ from melody_join_spark.plans.generate import generate_histograms
 from melody_join_spark.operators.events import (
     asof_join,
     event_window_agg,
+    range_join,
     event_window_agg_oracle_sql,
     load_events,
     oracle_user_hist_cte,
@@ -313,6 +314,38 @@ def _q_events_asof(spark, sf_dir):
     )
 
 
+INCIDENT_MIN_ERRORS = 5
+
+
+def _q_events_range(spark, sf_dir):
+    """Range (interval) join: per-incident event counts, where incidents are
+    error-heavy hours.  The bucketized equi-join plan (explode intervals to
+    covered buckets, join on bucket, exact range filter) replaces the
+    BroadcastNestedLoopJoin Spark would plan for a bare inequality join.
+    Oracle: DuckDB's inequality join — an independent evaluation."""
+    ev = load_events(spark, sf_dir)
+    inc = (
+        event_window_agg(ev)
+        .where(
+            (F.col("event_type") == "error")
+            & (F.col("n_events") >= INCIDENT_MIN_ERRORS)
+        )
+        .select(
+            F.col("window_start").alias("start"),
+            (F.col("window_start") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+        )
+    )
+    res = range_join(
+        ev.select("event_id", "ts"), inc, bucket_minutes=60
+    )
+    return (
+        res.groupBy("start")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_micros("start").alias("wstart_us"), "n_events")
+        .orderBy("wstart_us")
+    )
+
+
 def _q_emd_user_behavior(spark, sf_dir):
     """Users with similar behavior distributions: the EMD threshold join on
     per-user value histograms (reference's similarity-join core applied to
@@ -517,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_hourly": _q_events_window,
         "events_sessionize": _q_events_sessionize,
         "events_asof": _q_events_asof,
+        "events_range_incidents": _q_events_range,
         "emd_user_behavior": _q_emd_user_behavior,
         "cosine_topk_ivf": _q_cosine_topk_ivf,
         "generate_media_emd": _q_generate_media_emd,
@@ -741,6 +775,17 @@ SELECT e.event_id, e.user_id, epoch_us(e.ts::TIMESTAMP) AS ts_us,
 FROM events e ASOF LEFT JOIN p
   ON e.user_id = p.user_id AND e.ts::TIMESTAMP >= p.ts
 ORDER BY e.event_id""",
+        "events_range_incidents": f"""
+WITH inc AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS wstart
+  FROM events WHERE event_type = 'error'
+  GROUP BY 1 HAVING count(*) >= {INCIDENT_MIN_ERRORS}
+)
+SELECT epoch_us(i.wstart) AS wstart_us, count(*) AS n_events
+FROM events e JOIN inc i
+  ON e.ts::TIMESTAMP >= i.wstart
+ AND e.ts::TIMESTAMP < i.wstart + INTERVAL 1 HOUR
+GROUP BY 1 ORDER BY 1""",
         "emd_user_behavior": user_behavior_sql,
         # cosine_topk_ivf: approximate candidate set -> rows-only; exact twin
         # cosine_topk is hash-checked.

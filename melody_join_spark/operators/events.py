@@ -31,6 +31,7 @@ __all__ = [
     "user_value_histograms",
     "oracle_user_hist_cte",
     "asof_join",
+    "range_join",
 ]
 
 VALUE_LO = 0.0
@@ -235,4 +236,52 @@ def asof_join(
         )
     return u.where(F.col("_side") == 1).select(
         *lcols, *[f"{c}{suffix}" for c in value_cols]
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_minutes: int = 60,
+) -> DataFrame:
+    """Interval (range) join: left rows matched to right intervals with
+    ``start <= ts < end`` — event-to-window attribution, incident scoping,
+    label windows.
+
+    Spark plans a bare inequality join as BroadcastNestedLoopJoin — a
+    replicated O(|L| x |R|) scan that dies at scale.  This instead
+    bucketizes time: every interval explodes to the fixed-width buckets it
+    covers, every left row computes its single bucket, and the join is an
+    EQUI-join on bucket followed by the exact range filter.  Each (row,
+    interval) pair meets in exactly one bucket (the row's), so no dedup is
+    needed.  Cost: one shuffle on a well-distributed key; replication
+    factor = interval_length / bucket width (pick ``bucket_minutes`` near
+    the typical interval length).
+
+    Intervals with ``end <= start`` are dropped (empty by [start, end)
+    semantics).  Caller owns column-name disjointness between the sides.
+    """
+    w_us = bucket_minutes * 60 * 1_000_000
+    l = left.withColumn("_bkt", F.floor(F.unix_micros(ts_col) / F.lit(w_us)))
+    r = right.where(
+        F.unix_micros(end_col) > F.unix_micros(start_col)
+    ).withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(start_col) / F.lit(w_us)),
+                F.floor((F.unix_micros(end_col) - 1) / F.lit(w_us)),
+            )
+        ),
+    )
+    return (
+        l.join(r, "_bkt")
+        .where(
+            (F.unix_micros(ts_col) >= F.unix_micros(start_col))
+            & (F.unix_micros(ts_col) < F.unix_micros(end_col))
+        )
+        .drop("_bkt")
     )

@@ -246,3 +246,44 @@ def test_asof_join_semantics_and_plan(spark):
     plan = buf.getvalue()
     assert "Join" not in plan  # union + window, never a join node
     assert plan.count("Window") >= 1
+
+
+def test_range_join_bucketized(spark):
+    """Bucketized interval join: boundary semantics [start, end), intervals
+    spanning multiple buckets, empty intervals dropped, no duplicate
+    matches; and the plan is an equi-join (SortMergeJoin/BroadcastHashJoin),
+    never the BroadcastNestedLoopJoin a bare inequality join would plan."""
+    import contextlib
+    import io
+
+    from melody_join_spark.operators.events import range_join
+
+    left = spark.createDataFrame(
+        [(1, "2020-01-01 00:00:00"),   # == start -> in
+         (2, "2020-01-01 00:59:59"),   # inside
+         (3, "2020-01-01 01:00:00"),   # == end -> out of A, == start of B
+         (4, "2020-01-01 05:30:00"),   # inside the 3-bucket interval C
+         (5, "2020-01-02 00:00:00")],  # matches nothing
+        "event_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("A", "2020-01-01 00:00:00", "2020-01-01 01:00:00"),
+         ("B", "2020-01-01 01:00:00", "2020-01-01 02:00:00"),
+         ("C", "2020-01-01 04:30:00", "2020-01-01 06:30:00"),  # spans 3 buckets
+         ("E", "2020-01-01 09:00:00", "2020-01-01 09:00:00")], # empty
+        "name string, start string, end string",
+    ).withColumn("start", F.to_timestamp("start")).withColumn(
+        "end", F.to_timestamp("end")
+    )
+    got = sorted(
+        (r.event_id, r.name)
+        for r in range_join(left, right, bucket_minutes=60).collect()
+    )
+    assert got == [(1, "A"), (2, "A"), (3, "B"), (4, "C")]
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        range_join(left, right).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
