@@ -58,6 +58,8 @@ from melody_join_spark.operators.corpus import (
 )
 from melody_join_spark.operators.text import (
     corpus_stats,
+    corpus_stats_cube,
+    corpus_stats_cube_oracle_sql,
     corpus_stats_oracle_sql,
     quality_filter,
     quality_filter_oracle_sql,
@@ -396,6 +398,12 @@ def _q_corpus_stats(spark, sf_dir):
     return corpus_stats(_docs(spark, sf_dir)).orderBy("lang_pred")
 
 
+def _q_corpus_stats_cube(spark, sf_dir):
+    """Grouping-sets surface: (lang x source) CUBE with both rollups and the
+    grand total in one pass — exact integer metrics, hash-checked."""
+    return corpus_stats_cube(_docs(spark, sf_dir)).orderBy("lang_pred", "source")
+
+
 # mixture weights for the sampling query: even sources downweighted, odd kept
 SAMPLE_RATES = {f"src{i}": (0.25 if i % 2 == 0 else 1.0) for i in range(20)}
 
@@ -532,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": _q_text_features,
         "quality_filter": _q_quality_filter,
         "corpus_stats": _q_corpus_stats,
+        "corpus_stats_cube": _q_corpus_stats_cube,
         "chunk_documents": _q_chunk_documents,
         "redact_pii": _q_redact_pii,
         "sample_corpus": _q_sample_corpus,
@@ -797,6 +806,8 @@ SELECT doc_id, n_words, mean_word_len, punct_ratio, stopword_ratio,
        digit_ratio, violations, CAST(kept AS BIGINT) AS kept
 FROM qf ORDER BY doc_id""",
         "corpus_stats": corpus_stats_oracle_sql() + " ORDER BY lang_pred",
+        "corpus_stats_cube": corpus_stats_cube_oracle_sql()
+        + " ORDER BY lang_pred, source",
         "chunk_documents": chunk_documents_oracle_sql()
         + " ORDER BY id, chunk_id",
         "redact_pii": redact_pii_oracle_sql() + " ORDER BY id",

@@ -39,6 +39,8 @@ __all__ = [
     "quality_filter_oracle_sql",
     "corpus_stats",
     "corpus_stats_oracle_sql",
+    "corpus_stats_cube",
+    "corpus_stats_cube_oracle_sql",
 ]
 
 # small fixed stopword inventory (deterministic, mirrored into the oracle SQL)
@@ -504,3 +506,72 @@ SELECT *,
   md5(lower(regexp_replace(trim({text_col}), '{_WS}', ' ', 'g'))) AS fp_text,
   md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower({text_col})), '{_WS}'))), ' ')) AS fp_bow
 FROM {table}"""
+
+
+def corpus_stats_cube(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus statistics over the full (lang_pred x source) CUBE: every
+    language/source combination plus both one-dimension rollups and the
+    grand total, in one pass — the grouping-sets surface the reference
+    lacks entirely (SURVEY.md §2.4: "No grouping sets / cube / rollup")
+    and Spark provides natively.  NULL grouping labels are coalesced to
+    'ALL' so the output is hash-comparable; metrics are exact integers
+    (same micro-unit trick as corpus_stats)."""
+    qf = quality_filter(df, text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    feats = qf.select(
+        lang_id(t).alias("lang_pred"),
+        F.col("source"),
+        token_count_ws(t).cast("long").alias("n_tok"),
+        F.col("kept").cast("long").alias("kept_i"),
+    )
+    return (
+        feats.cube("lang_pred", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept_i").alias("n_kept"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .select(
+            F.coalesce("lang_pred", F.lit("ALL")).alias("lang_pred"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "n_kept",
+            "n_tokens",
+        )
+    )
+
+
+def corpus_stats_cube_oracle_sql(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`corpus_stats_cube`."""
+    qf = quality_filter_oracle_sql(table, text_col)
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    tc = f"coalesce({text_col}, '')"
+    tok = f"string_split_regex(trim(lower({tc})), '{_WS}')"
+    score_exprs = {
+        lang: (
+            f"len(list_filter({tok}, t -> t IN ({', '.join(repr(m) for m in markers)})))"
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    best = "greatest(" + ", ".join(score_exprs.values()) + ")"
+    lang_case = "'und'"
+    for lang in sorted(score_exprs, reverse=True):
+        lang_case = (
+            f"CASE WHEN {score_exprs[lang]} = {best} THEN '{lang}' ELSE {lang_case} END"
+        )
+    lang_expr = f"CASE WHEN {best} = 0 THEN 'und' ELSE {lang_case} END"
+    return f"""
+WITH qf AS ({qf}),
+feats AS (
+  SELECT {lang_expr} AS lang_pred, source,
+         n_words AS n_tok, CAST(kept AS BIGINT) AS kept_i
+  FROM qf
+)
+SELECT coalesce(lang_pred, 'ALL') AS lang_pred,
+       coalesce(source, 'ALL') AS source,
+       count(*) AS n_docs,
+       CAST(sum(kept_i) AS BIGINT) AS n_kept,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM feats GROUP BY CUBE(lang_pred, source)"""
