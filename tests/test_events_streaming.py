@@ -287,3 +287,48 @@ def test_range_join_bucketized(spark):
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_asof_join_random_cross_validation(spark):
+    """Randomized engine==DuckDB check of as-of semantics: 400 left rows,
+    120 right rows, 6 keys, duplicate timestamps on the left, seeded rng."""
+    import duckdb
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    lts = rng.integers(0, 100_000, size=400)
+    lkey = rng.integers(0, 6, size=400)
+    rts = rng.integers(0, 100_000, size=120)
+    rkey = rng.integers(0, 6, size=120)
+    rval = np.round(rng.random(120), 6)
+    # unique (key, ts) on the right: as-of ties are undefined otherwise
+    seen, rrows = set(), []
+    for k, t, v in zip(rkey, rts, rval):
+        if (int(k), int(t)) not in seen:
+            seen.add((int(k), int(t)))
+            rrows.append((int(k), int(t), float(v)))
+    lrows = [(i, int(k), int(t)) for i, (k, t) in enumerate(zip(lkey, lts))]
+
+    left = spark.createDataFrame(lrows, "event_id long, user_id long, tsu long")
+    right = spark.createDataFrame(rrows, "user_id long, tsu long, value double")
+    l = left.withColumn("ts", F.timestamp_micros(F.col("tsu") * 1_000_000))
+    r = right.withColumn("ts", F.timestamp_micros(F.col("tsu") * 1_000_000))
+    from melody_join_spark.operators.events import asof_join
+
+    got = {
+        row.event_id: row.value_asof
+        for row in asof_join(l.drop("tsu"), r.drop("tsu")).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(event_id BIGINT, user_id BIGINT, tsu BIGINT)")
+    con.execute("CREATE TABLE r(user_id BIGINT, tsu BIGINT, value DOUBLE)")
+    con.executemany("INSERT INTO l VALUES (?,?,?)", lrows)
+    con.executemany("INSERT INTO r VALUES (?,?,?)", rrows)
+    want = dict(
+        con.sql(
+            "SELECT l.event_id, r.value FROM l ASOF LEFT JOIN r "
+            "ON l.user_id = r.user_id AND l.tsu >= r.tsu"
+        ).fetchall()
+    )
+    assert got == want
