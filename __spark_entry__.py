@@ -398,6 +398,39 @@ def _q_corpus_stats(spark, sf_dir):
     return corpus_stats(_docs(spark, sf_dir)).orderBy("lang_pred")
 
 
+def _q_pipeline_clean(spark, sf_dir):
+    """The composed cleaning pipeline as ONE declarative plan — quality gate
+    -> PII scrub -> exact dedup (min-id survivor per canonical clean text)
+    -> fixed-token chunking -> per-doc chunk/token counts.  Catalyst fuses
+    the gate+scrub into the scan stage; the only shuffles are the dedup
+    window and the final groupBy.  Hash-checked end to end."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    kept = quality_filter(docs).where("kept").select("doc_id", "text")
+    clean = redact_pii(kept)
+    fp = clean.select(
+        "id",
+        F.md5(F.lower(F.trim("text_clean"))).alias("fp"),
+        F.col("text_clean"),
+    )
+    surv = (
+        fp.withColumn("min_id", F.min("id").over(Window.partitionBy("fp")))
+        .where(F.col("id") == F.col("min_id"))
+    )
+    ch = chunk_documents(
+        surv.select(F.col("id").alias("doc_id"), F.col("text_clean").alias("text"))
+    )
+    return (
+        ch.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("id")
+    )
+
+
 def _q_corpus_stats_cube(spark, sf_dir):
     """Grouping-sets surface: (lang x source) CUBE with both rollups and the
     grand total in one pass — exact integer metrics, hash-checked."""
@@ -541,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,
         "corpus_stats": _q_corpus_stats,
         "corpus_stats_cube": _q_corpus_stats_cube,
+        "pipeline_clean_corpus": _q_pipeline_clean,
         "chunk_documents": _q_chunk_documents,
         "redact_pii": _q_redact_pii,
         "sample_corpus": _q_sample_corpus,
@@ -575,6 +609,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs_lsh": _q_lsh_cosine,
         "cosine_topk": _q_cosine_topk,
     }
+
+
+def _pipeline_clean_oracle_sql() -> str:
+    """DuckDB twin of the composed cleaning pipeline.  Chunk counts are
+    derived arithmetically (ceil(n_words / C)) rather than by re-chunking —
+    an independent formulation of the same semantics."""
+    from melody_join_spark.operators.corpus import (
+        CHUNK_TOKENS,
+        PII_PATTERNS,
+    )
+
+    redacted = "coalesce(text, '')"
+    for _name, pat, repl in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    qf = quality_filter_oracle_sql()
+    c = CHUNK_TOKENS
+    return f"""
+WITH qf AS ({qf}),
+clean AS (
+  SELECT doc_id AS id, {redacted} AS text_clean FROM qf WHERE kept
+),
+fp AS (
+  SELECT id, md5(lower(trim(text_clean))) AS fp, text_clean FROM clean
+),
+surv AS (
+  SELECT id, text_clean FROM fp
+  QUALIFY id = min(id) OVER (PARTITION BY fp)
+),
+toks AS (
+  SELECT id,
+         CASE WHEN length(trim(text_clean)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text_clean), '\\s+')) END AS n
+  FROM surv
+)
+SELECT id, CAST((n - 1) // {c} + 1 AS BIGINT) AS n_chunks,
+       CAST(n AS BIGINT) AS n_tokens
+FROM toks WHERE n > 0 ORDER BY id"""
 
 
 def _generate_media_oracle_sql() -> str:
@@ -808,6 +879,7 @@ FROM qf ORDER BY doc_id""",
         "corpus_stats": corpus_stats_oracle_sql() + " ORDER BY lang_pred",
         "corpus_stats_cube": corpus_stats_cube_oracle_sql()
         + " ORDER BY lang_pred, source",
+        "pipeline_clean_corpus": _pipeline_clean_oracle_sql(),
         "chunk_documents": chunk_documents_oracle_sql()
         + " ORDER BY id, chunk_id",
         "redact_pii": redact_pii_oracle_sql() + " ORDER BY id",
