@@ -28,7 +28,7 @@ from ..kernel import (
     normalize,
 )
 
-__all__ = ["register_sql_functions"]
+__all__ = ["register_sql_functions", "register_text_sql_functions"]
 
 
 def register_sql_functions(
@@ -87,4 +87,73 @@ def register_sql_functions(
         spark.udf.register("emd_lower_rubner", rubner_udf)
         names += ["emd", "emd_lower_rubner"]
 
+    return names
+
+
+def register_text_sql_functions(spark: SparkSession) -> list[str]:
+    """Register the text-analysis scalars as SQL scalar functions (Spark 4
+    ``CREATE TEMPORARY FUNCTION ... RETURN <expr>``): pure expression
+    bodies, so calls inline into codegen exactly like the Column builders
+    in operators/text.py — no UDF boundary, no Python.
+
+        register_text_sql_functions(spark)
+        spark.sql("SELECT doc_id FROM docs WHERE quality_score(text) > 0.5")
+
+    Semantics match operators/text.py exactly (same constants and
+    expression shapes; parity-tested in tests/test_sql_functions.py).
+    """
+    from ..operators.text import LANG_MARKERS, STOPWORDS
+
+    ws = r"\\s+"
+    punct = r"[^A-Za-z0-9\\s]"
+    bpe = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toks = f"split(trim(t), '{ws}')"
+    toks_l = f"split(trim(lower(t)), '{ws}')"
+    n_ws = f"(CASE WHEN length(trim(t)) = 0 THEN 0 ELSE size({toks}) END)"
+    stop_ratio = (
+        f"(size(filter({toks_l}, x -> x IN ({stop_list})))"
+        f" / greatest(1, size({toks_l})))"
+    )
+    punct_ratio = f"(regexp_count(t, '{punct}') / greatest(1, length(t)))"
+    scores = {
+        lang: (
+            f"size(filter({toks_l}, x -> x IN "
+            f"({', '.join(repr(m) for m in markers)})))"
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    lang_case = "'und'"
+    for lang in sorted(scores, reverse=True):
+        lang_case = (
+            f"CASE WHEN {scores[lang]} = {best} THEN '{lang}' ELSE {lang_case} END"
+        )
+    defs = {
+        "token_count_ws": ("BIGINT", f"CAST({n_ws} AS BIGINT)"),
+        "token_count_bpe": ("BIGINT", f"CAST(regexp_count(t, '{bpe}') AS BIGINT)"),
+        "punct_ratio": ("DOUBLE", punct_ratio),
+        "stopword_ratio": ("DOUBLE", stop_ratio),
+        "quality_score": (
+            "DOUBLE",
+            f"(least(length(t) / 500.0, 1.0)"
+            f" + least({stop_ratio} * 4.0, 1.0)"
+            f" + greatest(1.0 - {punct_ratio} * 10.0, 0.0)) / 3.0",
+        ),
+        "lang_id": (
+            "STRING",
+            f"CASE WHEN {best} = 0 THEN 'und' ELSE {lang_case} END",
+        ),
+        "fingerprint_text": (
+            "STRING",
+            f"md5(lower(regexp_replace(trim(t), '{ws}', ' ')))",
+        ),
+    }
+    names = []
+    for name, (rtype, body) in defs.items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(t STRING) "
+            f"RETURNS {rtype} RETURN {body}"
+        )
+        names.append(name)
     return names

@@ -38,3 +38,49 @@ def test_registered_functions(spark):
         ca, cb = centroids(a[None, :], bins), centroids(b[None, :], bins)
         assert r.rb_ == pytest.approx(float(rubner_bound(ca, cb)[0]), abs=1e-9)
         assert r.rb_ <= r.e + 1e-9  # lower bound invariant
+
+
+def test_text_sql_functions_match_column_builders(spark):
+    """The SQL scalar functions (CREATE FUNCTION ... RETURN expr) produce
+    exactly the Column-builder results of operators/text.py, and calls
+    inline into codegen (no Python evaluation)."""
+    import contextlib
+    import io
+
+    from melody_join_spark.functions import register_text_sql_functions
+    from melody_join_spark.operators.text import text_features
+
+    names = register_text_sql_functions(spark)
+    assert "quality_score" in names and "lang_id" in names
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("docs_sqlfn")
+    got = {
+        r.doc_id: (
+            r.n_ws, r.n_bpe, r.pr, r.sr, r.q, r.lang, r.fp
+        )
+        for r in spark.sql(
+            """SELECT doc_id,
+                      token_count_ws(text) AS n_ws,
+                      token_count_bpe(text) AS n_bpe,
+                      punct_ratio(text) AS pr,
+                      stopword_ratio(text) AS sr,
+                      quality_score(text) AS q,
+                      lang_id(text) AS lang,
+                      fingerprint_text(text) AS fp
+               FROM docs_sqlfn"""
+        ).collect()
+    }
+    exp = {
+        r.doc_id: (
+            r.n_tokens_ws, r.n_tokens_bpe, r.punct_ratio, r.stopword_ratio,
+            r.quality, r.lang_pred, r.fp_text
+        )
+        for r in text_features(docs).collect()
+    }
+    assert got == exp
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        spark.sql("SELECT quality_score(text) FROM docs_sqlfn").explain("formatted")
+    assert "EvalPython" not in buf.getvalue()
