@@ -171,3 +171,80 @@ def test_null_text_semantics(spark):
     vocab_spark = [(r.rank, r.token, r.tf, r.df) for r in build_vocab(df).collect()]
     vocab_duck = con.sql(build_vocab_oracle_sql()).fetchall()
     assert vocab_spark == [tuple(r) for r in vocab_duck]
+
+
+def test_random_corpus_cross_validation(spark):
+    """Randomized engine==DuckDB check of the quality/chunk/vocab twins on
+    adversarial text: random token lengths, punctuation runs, digits,
+    multi-space separators, empty and whitespace-only docs."""
+    import duckdb
+    import numpy as np
+
+    from melody_join_spark.operators.corpus import (
+        build_vocab,
+        build_vocab_oracle_sql,
+        chunk_documents,
+        chunk_documents_oracle_sql,
+    )
+    from melody_join_spark.operators.text import (
+        quality_filter,
+        quality_filter_oracle_sql,
+    )
+
+    rng = np.random.default_rng(77)
+    alpha = list("abcdefgh")
+    punct = list(".,;!?#@(){}")
+    rows = []
+    for i in range(200):
+        kind = i % 5
+        if kind == 4:
+            rows.append((i, rng.choice(["", "   ", "\t"])))
+            continue
+        toks = []
+        for _ in range(int(rng.integers(1, 40))):
+            r = rng.random()
+            if r < 0.6:
+                toks.append("".join(rng.choice(alpha, size=rng.integers(1, 9))))
+            elif r < 0.75:
+                toks.append(str(rng.integers(0, 10**6)))
+            elif r < 0.9:
+                toks.append("".join(rng.choice(punct, size=rng.integers(1, 4))))
+            else:
+                toks.append("the")
+        sep = [" " * int(rng.integers(1, 3)) for _ in toks]
+        rows.append((i, "".join(t + s for t, s in zip(toks, sep)).rstrip()))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+
+    qf_got = {
+        r.doc_id: (r.n_words, r.violations, bool(r.kept))
+        for r in quality_filter(df).collect()
+    }
+    qf_want = {
+        row[0]: (row[1], row[2], row[3])
+        for row in con.sql(
+            f"WITH qf AS ({quality_filter_oracle_sql()}) "
+            "SELECT doc_id, n_words, violations, kept FROM qf"
+        ).fetchall()
+    }
+    assert qf_got == qf_want
+
+    ch_got = sorted(
+        (r.id, r.chunk_id, r.n_tokens, r.chunk)
+        for r in chunk_documents(df, chunk_tokens=7).collect()
+    )
+    ch_want = sorted(
+        tuple(row)
+        for row in con.sql(chunk_documents_oracle_sql(chunk_tokens=7)).fetchall()
+    )
+    assert ch_got == ch_want
+
+    v_got = [
+        (r.rank, r.token, r.tf, r.df)
+        for r in build_vocab(df, top_n=50).collect()
+    ]
+    v_want = [tuple(r) for r in con.sql(build_vocab_oracle_sql(top_n=50)).fetchall()]
+    assert v_got == v_want
