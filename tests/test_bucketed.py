@@ -82,3 +82,37 @@ def test_bucketed_dedup_join_is_shuffle_free(spark, bucketed_docs):
     plan = _executed_plan(joined)
     # both sides inherit the same bucketing -> no Exchange anywhere
     assert "Exchange" not in plan, plan
+
+
+def test_compact_parquet(spark, tmp_path):
+    """Compaction rewrites a many-small-files dataset into the byte-sized
+    file count, preserves rows exactly, and (with sort_by) produces
+    range-disjoint files so min/max stats can prune."""
+    from melody_join_spark.sources.compact import compact_parquet, dataset_bytes
+
+    src = str(tmp_path / "small")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(40).write.parquet(src)  # the small-files problem
+    assert len(spark.read.parquet(src).inputFiles()) == 40
+    total = dataset_bytes(spark, src)
+    assert total > 0
+
+    dst = str(tmp_path / "compact")
+    target_mb = max(1, int(total / (1 << 20)) or 1)
+    n = compact_parquet(spark, src, dst, target_mb=target_mb, sort_by="doc_id")
+    assert n < 40
+    a = sorted(r.doc_id for r in spark.read.parquet(dst).collect())
+    b = sorted(r.doc_id for r in docs.collect())
+    assert a == b
+    # range-disjoint files: per-file id ranges must not overlap
+    import pyspark.sql.functions as F
+
+    ranges = (
+        spark.read.parquet(dst)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in ranges)
+    for (l1, h1), (l2, _h2) in zip(spans, spans[1:]):
+        assert h1 <= l2
