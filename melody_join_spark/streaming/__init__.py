@@ -21,6 +21,8 @@ and streaming results agree (tested in tests/test_streaming.py):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -41,6 +43,7 @@ __all__ = [
     "streaming_emd_lookup",
     "streaming_emd_join_nd",
     "streaming_sessionize",
+    "streaming_asof_lookup",
 ]
 
 EVENTS_SCHEMA = StructType(
@@ -388,3 +391,66 @@ def streaming_emd_join_nd(
     return stream_hist.select(
         F.col(id_col).alias(id_col), F.col(w_col).alias(w_col)
     ).mapInPandas(part, "rid long, sid long, emd double")
+
+
+def streaming_asof_lookup(
+    stream: DataFrame,
+    features: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Stream-static point-in-time lookup: each streaming row gets the most
+    recent static feature row with the same key and feature.ts <= row.ts
+    (inclusive) — the leakage-free feature-store read on a live stream.
+
+    The batch :func:`~melody_join_spark.operators.events.asof_join` is a
+    union + unbounded window, which streaming cannot run (no unbounded
+    frames over a stream).  Stream-static instead collects the static side
+    into per-key sorted timestamp/value arrays (a broadcast-size feature
+    snapshot), and an Arrow-batched UDF binary-searches each incoming
+    row — O(log n) per row, no shuffle on the stream at all, so the
+    micro-batch plan stays a pure map.  Equal output to the batch join on
+    the same data (tested streaming == batch)."""
+    from pyspark.sql.types import DoubleType
+
+    # exact integer microseconds from the engine (float .timestamp() would
+    # round at the microsecond edge)
+    rows = features.select(
+        F.col(on), F.unix_micros(ts_col).alias("_us"), F.col(value_col)
+    ).collect()
+    snap: dict = {}
+    for r in rows:
+        snap.setdefault(r[0], []).append((r[1], r[2]))
+    table = {
+        k: (
+            np.array([t for t, _ in sorted(v)], dtype=np.int64),
+            np.array([x for _, x in sorted(v)], dtype=np.float64),
+        )
+        for k, v in snap.items()
+    }
+    sc = stream.sparkSession.sparkContext
+    b_table = sc.broadcast(table)
+
+    @F.pandas_udf(DoubleType())
+    def lookup(keys: pd.Series, ts_us: pd.Series) -> pd.Series:
+        tbl = b_table.value
+        out = np.full(len(keys), np.nan)
+        for i, (k, t) in enumerate(zip(keys, ts_us)):
+            ent = tbl.get(k)
+            if ent is None:
+                continue
+            tss, vals = ent
+            j = np.searchsorted(tss, t, side="right") - 1
+            if j >= 0:
+                out[i] = vals[j]
+        return pd.Series(out)
+
+    res = stream.withColumn(
+        f"{value_col}{suffix}",
+        lookup(F.col(on), F.unix_micros(ts_col)),
+    )
+    # NaN -> NULL for parity with the batch join's missing matches
+    c = f"{value_col}{suffix}"
+    return res.withColumn(c, F.when(F.isnan(c), F.lit(None)).otherwise(F.col(c)))

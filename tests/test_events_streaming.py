@@ -332,3 +332,45 @@ def test_asof_join_random_cross_validation(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_streaming_asof_lookup_matches_batch(spark, events, tmp_path):
+    """Stream-static point-in-time lookup == the batch as-of join on the
+    same data: events stream against a static purchase-feature snapshot."""
+    from melody_join_spark.operators.events import asof_join
+    from melody_join_spark.streaming import stream_events, streaming_asof_lookup
+
+    ev = events.limit(800)
+    src = str(tmp_path / "asof_src")
+    ev.repartition(3).write.parquet(src)
+    batch_ev = spark.read.parquet(src)
+    feats = (
+        batch_ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("fv"))
+        .select("user_id", "ts", F.col("fv").alias("value"))
+    )
+
+    stream = stream_events(spark, src)
+    q = (
+        streaming_asof_lookup(stream, feats)
+        .select("event_id", "value_asof")
+        .writeStream.format("memory")
+        .queryName("asof_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id: r.value_asof
+        for r in spark.sql("SELECT * FROM asof_stream").collect()
+    }
+    exp = {
+        r.event_id: r.fv_asof
+        for r in asof_join(
+            batch_ev, feats.select("user_id", "ts", F.col("value").alias("fv")),
+            value_cols=("fv",),
+        ).collect()
+    }
+    assert got == exp and len(got) == 800
