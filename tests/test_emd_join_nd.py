@@ -403,3 +403,29 @@ def test_grid_matches_bruteforce_3d(spark):
         assert set(got) == set(bf), strat
         for k in bf:
             assert got[k] == pytest.approx(bf[k], abs=1e-9)
+
+
+def test_grid_matches_bruteforce_4d(spark):
+    """d=4 breadth check: 2^4-bin lattice, grid plan == bruteforce (the
+    engine is dimension-generic; the reference caps at its conf'd d)."""
+    bins = np.array(
+        [[i, j, k, l] for i in range(2) for j in range(2)
+         for k in range(2) for l in range(2)],
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(13)
+    base = rng.random((4, 16))
+    rows = [
+        (i + 1, [float(x) for x in base[i % 4] + 0.25 * rng.random(16)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, w array<double>")
+    theta = 0.35
+    bf = _collect_pairs(
+        emd_join_nd(df, bins, theta, strategy="bruteforce", num_blocks=4)
+    )
+    assert bf
+    got = _collect_pairs(emd_join_nd(df, bins, theta, strategy="grid", grid=3))
+    assert set(got) == set(bf)
+    for k in bf:
+        assert got[k] == pytest.approx(bf[k], abs=1e-9)
