@@ -413,8 +413,11 @@ def emd_join_nd(
 
     ``hist``/``other``: (id long, w array<double>) — weights need not be
     normalized (normalized per-record in the kernel, HistUtil.normalizeArray
-    parity).  ``strategy``: 'grid' (quantile-cell pruned plan) or
-    'bruteforce' (block join — the J7/BSP-baseline correctness oracle).
+    parity).  ``strategy``: 'grid' (quantile-cell pruned plan), 'pivot'
+    (MRSimJoin), 'bruteforce' (block join — the J7/BSP-baseline correctness
+    oracle), or 'auto' (engine picks: bruteforce for tiny inputs, pivot for
+    arbitrary cost matrices, grid otherwise — declare the query, let the
+    engine choose the physical plan).
 
     ``ground``: 'l1' | 'l2' | 'l3' | explicit (B, B) cost matrix
     (DistanceType parity).  An arbitrary matrix supports 'bruteforce' and
@@ -450,6 +453,32 @@ def emd_join_nd(
                 F.lit(1).alias("side"),
             )
         )
+
+    if strategy == "auto":
+        # physical-strategy pick, Catalyst-style: the caller states WHAT
+        # (threshold join under this ground), the engine picks HOW.
+        # - arbitrary cost matrix: the grid's geometric screens don't apply
+        #   -> pivot (metric-generic) for self-joins, bruteforce otherwise
+        # - tiny input: the grid's stats/boundaries jobs cost more than the
+        #   O(n^2/blocks) block join they would save -> bruteforce
+        # - else: the quantile-grid MELODY plan
+        minkowski_g = (
+            cfg.rubner_ord
+            if cfg is not None
+            else (
+                {"l1": 1.0, "l2": 2.0, "l3": 3.0}.get(ground)
+                if isinstance(ground, str)
+                else None
+            )
+        )
+        small_probe = 512
+        n_probe = rec.limit(small_probe + 1).count()
+        if n_probe <= small_probe:
+            strategy = "bruteforce"
+        elif minkowski_g is None:
+            strategy = "pivot" if not two_table else "bruteforce"
+        else:
+            strategy = "grid"
 
     if strategy == "bruteforce":
         return _block_bruteforce(rec, cfg, theta, num_blocks, two_table)

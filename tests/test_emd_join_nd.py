@@ -429,3 +429,25 @@ def test_grid_matches_bruteforce_4d(spark):
     assert set(got) == set(bf)
     for k in bf:
         assert got[k] == pytest.approx(bf[k], abs=1e-9)
+
+
+def test_auto_strategy_dispatch(spark, hist_df, bins_2d):
+    """strategy='auto': tiny inputs -> bruteforce; arbitrary cost matrix ->
+    pivot; result sets identical to explicit strategies."""
+    theta = 0.35
+    bf = _collect_pairs(
+        emd_join_nd(hist_df, bins_2d, theta, strategy="bruteforce", num_blocks=4)
+    )
+    # 60 rows <= probe threshold -> auto = bruteforce path
+    auto = _collect_pairs(emd_join_nd(hist_df, bins_2d, theta, strategy="auto"))
+    assert set(auto) == set(bf)
+    # arbitrary (non-Minkowski) cost matrix: auto must not hit the grid's
+    # Minkowski requirement
+    from melody_join_spark.kernel import ground_distance_matrix
+
+    C = np.sqrt(ground_distance_matrix(bins_2d.ravel(), dimension=2, ground="l1"))
+    got = _collect_pairs(emd_join_nd(hist_df, bins_2d, theta, strategy="auto", ground=C))
+    exp = _collect_pairs(
+        emd_join_nd(hist_df, bins_2d, theta, strategy="bruteforce", ground=C)
+    )
+    assert set(got) == set(exp)
