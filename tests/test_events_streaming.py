@@ -374,3 +374,45 @@ def test_streaming_asof_lookup_matches_batch(spark, events, tmp_path):
         ).collect()
     }
     assert got == exp and len(got) == 800
+
+
+def test_streaming_range_join_matches_batch(spark, events, tmp_path):
+    """range_join runs UNCHANGED on a stream: bucketization is a stateless
+    projection and the interval side is static, so the micro-batch plan is
+    a stream-static equi-join — no new operator needed."""
+    from melody_join_spark.operators.events import range_join
+    from melody_join_spark.streaming import stream_events
+
+    ev = events.limit(600)
+    src = str(tmp_path / "range_src")
+    ev.repartition(3).write.parquet(src)
+    batch_ev = spark.read.parquet(src)
+    intervals = (
+        batch_ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .count()
+        .where(F.col("count") >= 3)
+        .select(F.col("w.start").alias("start"), F.col("w.end").alias("end"))
+    )
+
+    stream = stream_events(spark, src).select("event_id", "ts")
+    q = (
+        range_join(stream, intervals, bucket_minutes=60)
+        .select("event_id", "start")
+        .writeStream.format("memory")
+        .queryName("range_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.start)
+        for r in spark.sql("SELECT * FROM range_stream").collect()
+    }
+    exp = {
+        (r.event_id, r.start)
+        for r in range_join(
+            batch_ev.select("event_id", "ts"), intervals, bucket_minutes=60
+        ).select("event_id", "start").collect()
+    }
+    assert got == exp and len(got) > 0
