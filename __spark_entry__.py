@@ -132,7 +132,7 @@ def _q_emd_nd_2d(spark, sf_dir):
     table precomputed by the successive-shortest-path solver — a different
     algorithm family from the engine's transportation simplex."""
     hist = lineitem_histograms_2d(spark, sf_dir)
-    res = emd_join_nd(hist, bin_points_2d(), ND_THETA_2D, strategy="grid", grid=12)
+    res = emd_join_nd(hist, bin_points_2d(), ND_THETA_2D, strategy="grid", grid=20)
     return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
 
 
@@ -143,7 +143,7 @@ def _q_emd_nd_2d_l1(spark, sf_dir):
     independent-solver L1 fixture."""
     hist = lineitem_histograms_2d(spark, sf_dir)
     res = emd_join_nd(
-        hist, bin_points_2d(), ND_THETA_2D, strategy="grid", grid=12, ground="l1"
+        hist, bin_points_2d(), ND_THETA_2D, strategy="grid", grid=20, ground="l1"
     )
     return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
 
@@ -169,7 +169,7 @@ def _q_emd_nd_topk_2d(spark, sf_dir):
     from pyspark.sql.window import Window
 
     hist = lineitem_histograms_2d(spark, sf_dir)
-    res = emd_topk_nd(hist, bin_points_2d(), ND_TOPK + 10, strategy="grid", grid=12)
+    res = emd_topk_nd(hist, bin_points_2d(), ND_TOPK + 10, strategy="grid", grid=20)
     w = Window.orderBy(
         F.round("emd", 6).asc(), F.col("rid").asc(), F.col("sid").asc()
     )
