@@ -86,12 +86,50 @@ def emd_threshold_join(
     threshold: float,
     positions: np.ndarray | None = None,
     strategy: str = "cells",
+    other: DataFrame | None = None,
 ) -> DataFrame:
-    """All pairs (rid < sid) with EMD <= threshold.
+    """All pairs with EMD <= threshold.
 
     ``hist`` must carry (id, w, total, cum) per operators/histograms.py.
+    Self-join (``other=None``): unordered pairs, rid < sid.  Two-table
+    (``other`` given): every (r in hist, s in other) qualifying pair —
+    rid is hist's id, sid is other's; ids may overlap between tables.
     Returns DataFrame(rid, sid, emd).
     """
+    if other is not None:
+        # two-table R x S cells plan: cell width = threshold, so a
+        # qualifying partner sits in the R row's cell +-1; R rows probe all
+        # three cells via a 3-way explode, the join is a single equi-join
+        # on cell, and each (r, s) pair meets exactly once (at s's cell).
+        # Pure codegen like the self-join path.
+        cw = float(threshold)
+        # persist each side like the self-join path persists h: without the
+        # materialization boundary, CollapseProject inlines the O(B^2) cum
+        # expression into the per-PAIR emd expression — measured 7x slower
+        hr = with_mean_position(hist, positions).withColumn(
+            "cell", F.floor(F.col("mpos") / F.lit(cw)).cast("long")
+        ).persist()
+        hs = with_mean_position(other, positions).withColumn(
+            "cell", F.floor(F.col("mpos") / F.lit(cw)).cast("long")
+        ).persist()
+        a = _pair_frame(hr, "a")
+        b = _pair_frame(hs, "b")
+        a = a.withColumn(
+            "probe",
+            F.explode(
+                F.array(
+                    F.col("cell_a") - 1, F.col("cell_a"), F.col("cell_a") + 1
+                )
+            ),
+        )
+        pairs = a.join(b, on=[a.probe == b.cell_b]).where(
+            F.abs(F.col("mpos_a") - F.col("mpos_b")) <= F.lit(cw)
+        )
+        from ..cache import release_on_gc
+
+        return release_on_gc(
+            _finish_threshold(pairs, threshold, positions), hr, hs
+        )
     if strategy == "bruteforce":
         h = with_mean_position(hist, positions)
         # spread the cartesian across tasks (a small cached side otherwise

@@ -500,33 +500,51 @@ def emd_join_nd(
             "arbitrary cost matrix"
         )
 
-    if bin_points.shape[1] == 1 and not two_table and stats is None:
+    if bin_points.shape[1] == 1 and stats is None:
         # Collinear bins: 1-D EMD is a closed form over prefix CDFs, fully
         # expressible as JVM codegen — delegate to the cells plan of the 1-D
         # operator (hash-checked emd_threshold_cells machinery) instead of
         # shipping arrays through a Python cascade.  Same semantics: the
         # cells plan filters emd <= passed threshold, so pass theta + slack
         # (cascade parity); every Minkowski p coincides with |x - y| on a
-        # line.  The pandas path remains for two-table joins and when the
-        # caller wants JoinStats instrumentation.
+        # line.  Covers self- AND two-table joins; the pandas path remains
+        # when the caller wants JoinStats instrumentation.
         from .emd_join import emd_threshold_join
         from .histograms import with_cum
 
         pos = bin_points[:, 0]
         order = np.argsort(pos, kind="stable")
-        h = rec.select("id", "w")
-        if not np.array_equal(order, np.arange(pos.size)):
-            h = h.withColumn(
-                "w", F.array(*[F.col("w")[int(i)] for i in order])
+
+        def _prep(side_df):
+            h = side_df.select("id", "w")
+            if not np.array_equal(order, np.arange(pos.size)):
+                h = h.withColumn(
+                    "w", F.array(*[F.col("w")[int(i)] for i in order])
+                )
+            return with_cum(
+                h.withColumn(
+                    "total", F.aggregate("w", F.lit(0.0), lambda a, x: a + x)
+                )
             )
-        h = with_cum(
-            h.withColumn(
-                "total", F.aggregate("w", F.lit(0.0), lambda a, x: a + x)
-            )
-        )
+
         slack = cfg.slack if cfg is not None else 1e-4
+        if two_table:
+            # persist the unioned record table BEFORE the side split: each
+            # .where(side=...) otherwise re-executes BOTH sides' upstream
+            # histogram builds (measured 2x the whole query)
+            from ..cache import release_on_gc
+
+            rec_c = rec.persist()
+            out = emd_threshold_join(
+                _prep(rec_c.where(F.col("side") == 0)),
+                theta + slack,
+                positions=pos[order],
+                strategy="cells",
+                other=_prep(rec_c.where(F.col("side") == 1)),
+            )
+            return release_on_gc(out, rec_c)
         return emd_threshold_join(
-            h, theta + slack, positions=pos[order], strategy="cells"
+            _prep(rec), theta + slack, positions=pos[order], strategy="cells"
         )
 
     ctx = _build_grid_ctx(rec, bin_points, cfg, grid, seed=seed, ground=ground)
