@@ -17,6 +17,9 @@ and streaming results agree (tested in tests/test_streaming.py):
                                set under an EMD threshold (the reference's
                                threshold join as a lookup, SURVEY.md §2.5
                                streaming note)
+- ``streaming_asof_lookup``    stream-static point-in-time feature lookup
+                               (broadcast per-key sorted snapshot + Arrow
+                               binary search; zero stream shuffle)
 """
 
 from __future__ import annotations

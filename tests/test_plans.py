@@ -152,3 +152,25 @@ def test_corpus_prep_ops_scan_shaped(spark):
     read_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "doc_id" in read_line and "text" in read_line
     assert "source" not in read_line
+
+
+def test_two_table_collinear_delegation_python_free(spark):
+    """The R x S collinear join delegates to pure codegen (no Python stage,
+    no nested loop): the two-table analog of the self-join delegation."""
+    import numpy as np
+
+    from melody_join_spark.operators.emd_join_nd import emd_join_nd
+
+    r = spark.createDataFrame(
+        [(i, [float(i % 4 + 1), 2.0, 1.0]) for i in range(30)],
+        "id long, w array<double>",
+    )
+    s = spark.createDataFrame(
+        [(i, [1.0, float(i % 3 + 1), 2.0]) for i in range(30)],
+        "id long, w array<double>",
+    )
+    bins = np.arange(3, dtype=np.float64).reshape(-1, 1)
+    df = emd_join_nd(r, bins, 0.4, other=s, strategy="grid")
+    plan = plan_of(df)
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    assert "NestedLoop" not in plan
