@@ -43,6 +43,8 @@ __all__ = [
     "fake_decode_image",
     "decode_features",
     "frame_sample",
+    "resize_media",
+    "default_byte_resizer",
 ]
 
 # the canonical media-table schema: opaque payload + typed metadata
@@ -180,3 +182,58 @@ def frame_sample(
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.select("media_id", "content").mapInPandas(run, out_schema)
+
+
+def default_byte_resizer(content: bytes, target_bytes: int) -> bytes:
+    """REAL, deterministic, codec-free resizer: evenly-strided byte
+    subsample (or identity when already small enough) — the byte-level
+    analog of nearest-neighbor downscaling.  A production image/audio
+    resizer (PIL thumbnail / librosa resample) plugs into ``resizer=``
+    unchanged."""
+    if len(content) <= target_bytes:
+        return content
+    idx = np.linspace(0, len(content) - 1, num=target_bytes).astype(np.int64)
+    arr = np.frombuffer(content, dtype=np.uint8)
+    return arr[idx].tobytes()
+
+
+def resize_media(
+    df: DataFrame,
+    target_bytes: int = 4096,
+    resizer: Callable[[bytes, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize/downsample media content toward ``target_bytes`` — the
+    storage-normalization step before feature extraction (decode ->
+    RESIZE -> feature in the reference's generator shape,
+    utils/GenerateUtil.java:44-60).  Arrow-batched mapInPandas over the
+    full MEDIA_SCHEMA; ``content_length`` and ``meta`` are updated
+    (original length recorded under ``resized_from``).  The codec-aware
+    transform is the pluggable ``resizer``; the default is the REAL
+    byte-subsample."""
+    import json
+
+    rz = resizer or default_byte_resizer
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            new_content, new_len, new_meta = [], [], []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                content = content or b""
+                out = rz(content, target_bytes)
+                new_content.append(out)
+                new_len.append(len(out))
+                try:
+                    m = json.loads(meta) if meta else {}
+                except (TypeError, ValueError):
+                    m = {}
+                m["resized_from"] = len(content)
+                new_meta.append(json.dumps(m, sort_keys=True))
+            pdf = pdf.copy()
+            pdf["content"] = new_content
+            pdf["content_length"] = new_len
+            pdf["meta"] = new_meta
+            yield pdf
+
+    return df.mapInPandas(run, df.schema)

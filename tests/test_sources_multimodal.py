@@ -148,3 +148,41 @@ def test_custom_decoder_plugs_through_generate_to_join(spark):
     }
     assert pairs[(1, 2)] == 0.0          # identical custom features
     assert (1, 3) not in pairs or pairs[(1, 3)] > 0.5  # 4 buckets apart: pruned
+
+
+def test_resize_media_plumbing(spark):
+    """resize: schema preserved, content downsampled deterministically,
+    meta records the original length, custom resizer plugs in; composes
+    with decode_features downstream."""
+    import json
+
+    from melody_join_spark.operators.multimodal import (
+        decode_features,
+        default_byte_resizer,
+        resize_media,
+    )
+
+    rows = [
+        (1, "p1", "image", bytes(range(256)) * 40, 256 * 40, "{}"),
+        (2, "p2", "image", b"tiny", 4, '{"k": 1}'),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, path string, modality string, content binary, "
+        "content_length long, meta string",
+    )
+    out = {r.media_id: r for r in resize_media(media, target_bytes=128).collect()}
+    assert out[1].content_length == 128
+    assert json.loads(out[1].meta)["resized_from"] == 256 * 40
+    assert bytes(out[2].content) == b"tiny"  # identity below target
+    assert json.loads(out[2].meta)["k"] == 1
+    # deterministic
+    assert default_byte_resizer(bytes(range(256)) * 40, 128) == bytes(out[1].content)
+    # custom resizer hook
+    got = resize_media(
+        media, target_bytes=8, resizer=lambda c, n: c[:n]
+    ).collect()
+    assert all(len(bytes(r.content)) <= 8 for r in got)
+    # composes with the feature extractor
+    feats = decode_features(resize_media(media, target_bytes=128), bins=8)
+    assert feats.count() == 2
