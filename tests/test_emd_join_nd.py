@@ -451,3 +451,23 @@ def test_auto_strategy_dispatch(spark, hist_df, bins_2d):
         emd_join_nd(hist_df, bins_2d, theta, strategy="bruteforce", ground=C)
     )
     assert set(got) == set(exp)
+
+
+def test_seed_invariance_of_result_sets(spark, hist_df, bins_2d):
+    """SURVEY §5 determinism: the random elements (dual seed pairs,
+    reduction groupings, pivot samples) affect only pruning POWER — the
+    result set is identical across seeds for every strategy."""
+    theta = 0.35
+    base = {}
+    for strat in ("grid", "pivot"):
+        for seed in (1, 42, 1337):
+            got = _collect_pairs(
+                emd_join_nd(hist_df, bins_2d, theta, strategy=strat, seed=seed)
+            )
+            if strat not in base:
+                base[strat] = got
+            else:
+                assert set(got) == set(base[strat]), (strat, seed)
+                for kk in got:
+                    assert got[kk] == pytest.approx(base[strat][kk], abs=1e-9)
+    assert set(base["grid"]) == set(base["pivot"])
