@@ -160,6 +160,24 @@ def _q_emd_nd_3d(spark, sf_dir):
     return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
 
 
+def _q_emd_nd_topk_3d(spark, sf_dir):
+    """Top-k at the reference's DEFAULT d=3 shape — same rounded-rank
+    protocol as the d=2 variant, oracle from the d=3 SSP fixture."""
+    from pyspark.sql.window import Window
+
+    hist = lineitem_histograms_3d(spark, sf_dir)
+    res = emd_topk_nd(hist, bin_points_3d(), ND_TOPK + 10, strategy="grid", grid=16)
+    w = Window.orderBy(
+        F.round("emd", 6).asc(), F.col("rid").asc(), F.col("sid").asc()
+    )
+    return (
+        res.withColumn("emd", F.round("emd", 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= ND_TOPK)
+        .select("rank", "rid", "sid", "emd")
+    )
+
+
 def _q_emd_nd_topk_2d(spark, sf_dir):
     """Top-k on d=2.  Rank ties: like emd_knn_2d, exactly-tied rational EMDs
     can order differently in the last bit between the engine's simplex and
@@ -587,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_nd_threshold_2d_l1": _q_emd_nd_2d_l1,
         "emd_nd_topk_2d": _q_emd_nd_topk_2d,
         "emd_nd_threshold_3d": _q_emd_nd_3d,
+        "emd_nd_topk_3d": _q_emd_nd_topk_3d,
         "emd_nd_two_table_line": _q_emd_nd_two_table,
         "emd_nd_threshold_pivot_line": _q_emd_nd_pivot_line,
         "emd_nd_threshold_pivot_2d": _q_emd_nd_pivot_2d,
@@ -797,6 +816,14 @@ WHERE emd <= {ND_THETA_2D} + 1e-4 ORDER BY rid, sid"""
     nd_3d_sql = f"""
 SELECT rid, sid, round(emd, 6) + 0 AS emd FROM {fx_3d}
 WHERE emd <= {ND_THETA_3D} + 1e-4 ORDER BY rid, sid"""
+    nd_topk_3d_sql = f"""
+WITH ranked AS (
+  SELECT row_number() OVER (ORDER BY round(emd, 6) + 0, rid, sid) AS rank,
+         rid, sid, round(emd, 6) + 0 AS emd
+  FROM {fx_3d}
+)
+SELECT rank, rid, sid, emd FROM ranked
+WHERE rank <= {ND_TOPK} ORDER BY rank"""
     nd_topk_2d_sql = f"""
 WITH ranked AS (
   -- rank on ROUNDED emd (ties by rid, sid): raw last-bit doubles differ
@@ -839,6 +866,7 @@ WHERE rank <= {KNN_K} ORDER BY qid, rank"""
         "emd_nd_threshold_2d_l1": nd_2d_l1_sql,
         "emd_nd_topk_2d": nd_topk_2d_sql,
         "emd_nd_threshold_3d": nd_3d_sql,
+        "emd_nd_topk_3d": nd_topk_3d_sql,
         "emd_nd_two_table_line": two_table_sql,
         "emd_nd_threshold_pivot_line": nd_line_sql,
         "emd_nd_threshold_pivot_2d": nd_2d_sql,
