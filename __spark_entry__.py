@@ -166,7 +166,10 @@ def _q_emd_nd_topk_3d(spark, sf_dir):
     from pyspark.sql.window import Window
 
     hist = lineitem_histograms_3d(spark, sf_dir)
-    res = emd_topk_nd(hist, bin_points_3d(), ND_TOPK + 10, strategy="grid", grid=16)
+    res = emd_topk_nd(
+        hist, bin_points_3d(), ND_TOPK + 10, strategy="grid", grid=16,
+        sample_size=300,
+    )
     w = Window.orderBy(
         F.round("emd", 6).asc(), F.col("rid").asc(), F.col("sid").asc()
     )
