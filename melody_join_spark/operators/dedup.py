@@ -557,6 +557,7 @@ def jaccard_pairs(
     threshold: float = 0.7,
     ngram: int | None = None,
     max_df: int | None = None,
+    other: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with Jaccard(token sets) >= threshold -> (rid, sid, jaccard).
     EXACT (no approximation) via prefix filtering.
@@ -573,12 +574,31 @@ def jaccard_pairs(
     ``max_df`` drops tokens appearing in more than max_df documents from the
     token sets entirely: kills residual blowup from mid-frequency tokens.
     NOTE: changes semantics (sound only when near-dup pairs share a rare
-    token) — mirrored in the oracle SQL."""
+    token) — mirrored in the oracle SQL.
+
+    ``other``: EXACT cross-corpus form — every (r in df, s in other) pair
+    with jaccard >= threshold (incremental dedup: a new crawl against the
+    existing corpus, with exact verification rather than minhash recall).
+    Ids may overlap between the tables: sides are encoded into the low id
+    bit internally (ids must be < 2^62) and decoded on output; document
+    frequency and the PPJoin global token order are computed over the
+    UNION, so both sides share one prefix order."""
     tokens = (
         tokenize_char_ngrams(F.col(text_col), ngram)
         if ngram
         else tokenize_words(F.col(text_col))
     )
+    two_table = other is not None
+    if two_table:
+        df = df.select(
+            (F.col(id_col).cast("long") * 2).alias(id_col),
+            F.col(text_col),
+        ).unionByName(
+            other.select(
+                (F.col(id_col).cast("long") * 2 + 1).alias(id_col),
+                F.col(text_col),
+            )
+        )
     # tokens leave string-land immediately: every downstream exchange (df
     # agg, df join-back, doc groupBy) moves 16-byte (id, hash) rows instead
     # of strings — measured 35% off the whole corpus-preparation phase at
@@ -638,10 +658,14 @@ def jaccard_pairs(
     docs = docs.withColumn("prefix", F.slice("toks", F.lit(1), prefix_len)).persist()
     from ..cache import release_on_gc
     pr = docs.select("id", "nt", F.posexplode("prefix").alias("p", "tok"))
-    a = pr.select(
+    # cross-corpus: restrict the join SIDES up front (side bit encoded in
+    # the id), so same-side candidate pairs never materialize
+    pr_a = pr.where(F.col("id") % 2 == 0) if two_table else pr
+    pr_b = pr.where(F.col("id") % 2 == 1) if two_table else pr
+    a = pr_a.select(
         F.col("id").alias("rid"), "tok", F.col("nt").alias("na"), F.col("p").alias("pa")
     )
-    b = pr.select(
+    b = pr_b.select(
         F.col("id").alias("sid"), "tok", F.col("nt").alias("nb"), F.col("p").alias("pb")
     )
     # PPJoin positional filter: overlap needed alpha = ceil(t/(1+t)*(na+nb));
@@ -652,9 +676,12 @@ def jaccard_pairs(
         * (F.col("na") + F.col("nb"))
         - F.lit(1e-9)
     )
+    # pair rule: self-join dedups by id order; cross-corpus sides are
+    # already disjoint (pr_a/pr_b), so every joined pair is (df, other)
+    pair_rule = F.lit(True) if two_table else F.col("rid") < F.col("sid")
     cand = (
         a.join(b, "tok")
-        .where(F.col("rid") < F.col("sid"))
+        .where(pair_rule)
         # length filter: jaccard >= t forces |smaller| >= t*|larger|
         .where(
             F.least("na", "nb")
@@ -668,7 +695,14 @@ def jaccard_pairs(
         .select("rid", "sid")
         .distinct()
     )
-    return release_on_gc(_verify_jaccard(cand, docs, threshold), docs)
+    out = _verify_jaccard(cand, docs, threshold)
+    if two_table:
+        out = out.select(
+            (F.col("rid") / 2).cast("long").alias("rid"),
+            ((F.col("sid") - 1) / 2).cast("long").alias("sid"),
+            "jaccard",
+        )
+    return release_on_gc(out, docs)
 
 
 def jaccard_pairs_oracle_sql(

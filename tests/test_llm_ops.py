@@ -496,3 +496,46 @@ def test_ivf_build_persist_search(spark, tmp_path):
         if "PartitionFilters" in l
     )
     assert "list_id" in scan_line
+
+
+def test_jaccard_pairs_cross_corpus(docs, spark):
+    """EXACT cross-corpus jaccard (other=): every (new, corpus) pair with
+    j >= t, verified against a python oracle; overlapping ids between the
+    tables must not collide (side bit encoding)."""
+    rows = docs.collect()
+    mid = len(rows) // 2
+    new_rows = rows[:mid]
+    corpus_rows = rows[mid:]
+    new_df = spark.createDataFrame(
+        [(r.doc_id, r.text) for r in new_rows], "doc_id long, text string"
+    )
+    # REUSE the new side's ids for the corpus side: id overlap on purpose
+    corpus_df = spark.createDataFrame(
+        [(new_rows[i % mid].doc_id, r.text) for i, r in enumerate(corpus_rows)],
+        "doc_id long, text string",
+    )
+
+    def grams(t):
+        t = t.lower()
+        return {t[i : i + 5] for i in range(max(len(t) - 5 + 1, 1))}
+
+    want = {}
+    for rn in new_rows:
+        for i, rc in enumerate(corpus_rows):
+            ga, gb = grams(rn.text), grams(rc.text)
+            inter = len(ga & gb)
+            if not inter:
+                continue
+            j = inter / (len(ga) + len(gb) - inter)
+            if j >= 0.8:
+                key = (rn.doc_id, new_rows[i % mid].doc_id)
+                want[key] = max(want.get(key, 0.0), j)
+
+    got = {}
+    for r in jaccard_pairs(
+        new_df, threshold=0.8, ngram=5, other=corpus_df
+    ).collect():
+        got[(r.rid, r.sid)] = max(got.get((r.rid, r.sid), 0.0), r.jaccard)
+    assert set(got) == set(want)
+    for p, j in got.items():
+        assert j == pytest.approx(want[p], abs=1e-12)
