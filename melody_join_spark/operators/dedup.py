@@ -54,6 +54,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash64",
     "simhash_pairs",
+    "dedupe_incremental",
 ]
 
 
@@ -1120,3 +1121,38 @@ def simhash_pairs(
         F.col("hamming") <= max_hamming
     )
     return release_on_gc(out, keys)
+
+
+def dedupe_incremental(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    ngram: int | None = 5,
+    method: str = "jaccard",
+) -> DataFrame:
+    """Incremental corpus cleaning: return the rows of ``new`` that are NOT
+    near-duplicates of anything already in ``corpus`` — the nightly-crawl
+    admission step of a growing 100-TB corpus.
+
+    ``method='jaccard'`` uses the EXACT cross-corpus PPJoin
+    (:func:`jaccard_pairs` with ``other=``); ``'minhash'`` uses the
+    approximate MinHash-LSH cross form (:func:`minhash_lsh_pairs` with
+    ``other=``) — cheaper at scale, recall < 1.  Either way the decision
+    is one anti-join: new rows with any qualifying partner in the corpus
+    are dropped."""
+    if method == "jaccard":
+        pairs = jaccard_pairs(
+            new, id_col=id_col, text_col=text_col,
+            threshold=threshold, ngram=ngram, other=corpus,
+        )
+    elif method == "minhash":
+        pairs = minhash_lsh_pairs(
+            new, id_col=id_col, text_col=text_col,
+            threshold=threshold, shingle=ngram or 5, other=corpus,
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    dup_ids = pairs.select(F.col("rid").alias(id_col)).distinct()
+    return new.join(dup_ids, id_col, "anti")

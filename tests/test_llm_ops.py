@@ -539,3 +539,33 @@ def test_jaccard_pairs_cross_corpus(docs, spark):
     assert set(got) == set(want)
     for p, j in got.items():
         assert j == pytest.approx(want[p], abs=1e-12)
+
+
+def test_dedupe_incremental(docs, spark):
+    """Incremental admission: new rows near-dup'ing the corpus are dropped,
+    genuinely-new rows survive; exact and minhash methods agree here."""
+    from melody_join_spark.operators.dedup import dedupe_incremental
+
+    rows = docs.collect()
+    corpus = spark.createDataFrame(
+        [(r.doc_id, r.text) for r in rows], "doc_id long, text string"
+    )
+    # new batch: two near-copies of corpus docs + one genuinely novel doc
+    new = spark.createDataFrame(
+        [
+            (10_001, rows[0].text),                      # exact copy
+            (10_002, rows[1].text + " x"),               # near copy
+            (10_003, "zq " * 40 + "entirely novel text payload"),
+        ],
+        "doc_id long, text string",
+    )
+    for method in ("jaccard", "minhash"):
+        kept = {
+            r.doc_id
+            for r in dedupe_incremental(
+                new, corpus, threshold=0.8, ngram=5, method=method
+            ).collect()
+        }
+        assert 10_003 in kept, method
+        assert 10_001 not in kept, method
+        assert 10_002 not in kept, method
