@@ -279,13 +279,26 @@ QF_MIN_STOP = 0.02
 QF_MAX_DIGIT = 0.30
 
 
-def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = QF_MIN_WORDS,
+    max_words: int = QF_MAX_WORDS,
+    min_mean_wlen: float = QF_MIN_MEAN_WLEN,
+    max_mean_wlen: float = QF_MAX_MEAN_WLEN,
+    max_punct: float = QF_MAX_PUNCT,
+    min_stop: float = QF_MIN_STOP,
+    max_digit: float = QF_MAX_DIGIT,
+) -> DataFrame:
     """Gopher-style document quality gate: per-document rule metrics, the
     list of violated rules (comma-joined, stable rule order), and a ``kept``
     flag.  Pure codegen expressions — at 100 TB this is a single scan-side
     projection + filter with zero shuffles, and the ``violations`` column
     makes rejection auditable (the form every production pretrain pipeline
     needs: why was this document dropped?).
+
+    Rule thresholds are per-corpus tunables (keyword arguments); the
+    defaults are the contract the oracle mirrors.
 
     Rules (names are the contract):
       n_words        in [QF_MIN_WORDS, QF_MAX_WORDS]
@@ -312,11 +325,11 @@ def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     dr = F.regexp_count(t, F.lit("[0-9]")) / F.greatest(F.lit(1), F.length(t))
 
     rules = [
-        ("words", (n_words >= QF_MIN_WORDS) & (n_words <= QF_MAX_WORDS)),
-        ("word_len", (mean_wlen >= QF_MIN_MEAN_WLEN) & (mean_wlen <= QF_MAX_MEAN_WLEN)),
-        ("punct", pr <= QF_MAX_PUNCT),
-        ("stopwords", sr >= QF_MIN_STOP),
-        ("digits", dr <= QF_MAX_DIGIT),
+        ("words", (n_words >= min_words) & (n_words <= max_words)),
+        ("word_len", (mean_wlen >= min_mean_wlen) & (mean_wlen <= max_mean_wlen)),
+        ("punct", pr <= max_punct),
+        ("stopwords", sr >= min_stop),
+        ("digits", dr <= max_digit),
     ]
     viol = F.array_join(
         F.filter(
