@@ -58,20 +58,28 @@ def chunk_documents(
     id_col: str = "doc_id",
     text_col: str = "text",
     chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = 0,
 ) -> DataFrame:
     """Fixed-size training-window chunking: one row per ``chunk_tokens``-token
     window -> (id, chunk_id, n_tokens, chunk).  Whitespace tokenization (the
     same split as text_features); empty documents produce no chunks; the last
     chunk is the short remainder.
 
+    ``overlap`` tokens are shared between consecutive windows (sliding
+    windows start every ``chunk_tokens - overlap`` tokens — the standard
+    training-window overlap); 0 = disjoint chunks.
+
     Scale shape: a narrow projection + generator explode — no shuffle, no
     Python; output rows stream out of the scan stage, so 100 TB of documents
     chunk at scan speed.
     """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
     t = F.coalesce(F.col(text_col), F.lit(""))  # NULL text -> no chunks
     toks = F.split(F.trim(t), _WS)
     n = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(toks))
     c = chunk_tokens
+    stride = c - overlap
     out = (
         df.select(
             F.col(id_col).alias("id"),
@@ -83,13 +91,15 @@ def chunk_documents(
             "id",
             "_toks",
             F.explode(
-                F.sequence(F.lit(0), F.floor((F.col("_n") - 1) / c).cast("int"))
+                F.sequence(
+                    F.lit(0), F.floor((F.col("_n") - 1) / stride).cast("int")
+                )
             ).alias("chunk_id"),
         )
         .select(
             "id",
             F.col("chunk_id").cast("long").alias("chunk_id"),
-            F.slice(F.col("_toks"), F.col("chunk_id") * c + 1, c).alias("_w"),
+            F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, c).alias("_w"),
         )
         .select(
             "id",

@@ -248,3 +248,24 @@ def test_random_corpus_cross_validation(spark):
     ]
     v_want = [tuple(r) for r in con.sql(build_vocab_oracle_sql(top_n=50)).fetchall()]
     assert v_got == v_want
+
+
+def test_chunk_documents_overlap(spark):
+    """Sliding windows: stride = chunk - overlap; every window carries the
+    last `overlap` tokens of its predecessor; overlap=0 unchanged."""
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    out = {
+        r.chunk_id: r.chunk
+        for r in chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+    }
+    # stride 2: windows at 0,2,4,6,8
+    assert out[0] == "t0 t1 t2 t3"
+    assert out[1] == "t2 t3 t4 t5"
+    assert out[4] == "t8 t9"
+    assert len(out) == 5
+    with _pt.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
