@@ -38,6 +38,8 @@ from melody_join_spark.plans.generate import generate_histograms
 from melody_join_spark.operators.events import (
     asof_join,
     event_window_agg,
+    hypertable_rollup,
+    hypertable_rollup_oracle_sql,
     range_join,
     event_window_agg_oracle_sql,
     load_events,
@@ -337,6 +339,15 @@ def _q_events_asof(spark, sf_dir):
     )
 
 
+def _q_events_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup: hour -> day -> week, each
+    coarser level re-aggregated from the finer (facts scanned once); exact
+    int64 micro-unit sums make the hierarchy bit-equal to direct
+    aggregation — which is exactly what the oracle computes."""
+    ev = load_events(spark, sf_dir)
+    return hypertable_rollup(ev).orderBy("resolution", "bucket_start_us", "key")
+
+
 INCIDENT_MIN_ERRORS = 5
 
 
@@ -616,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_asof": _q_events_asof,
         "events_range_incidents": _q_events_range,
+        "events_rollup": _q_events_rollup,
         "emd_user_behavior": _q_emd_user_behavior,
         "cosine_topk_ivf": _q_cosine_topk_ivf,
         "generate_media_emd": _q_generate_media_emd,
@@ -897,6 +909,11 @@ FROM events e JOIN inc i
   ON e.ts::TIMESTAMP >= i.wstart
  AND e.ts::TIMESTAMP < i.wstart + INTERVAL 1 HOUR
 GROUP BY 1 ORDER BY 1""",
+        "events_rollup": (
+            "SELECT * FROM ("
+            + hypertable_rollup_oracle_sql()
+            + ") ORDER BY resolution, bucket_start_us, key"
+        ),
         "emd_user_behavior": user_behavior_sql,
         # cosine_topk_ivf: approximate candidate set -> rows-only; exact twin
         # cosine_topk is hash-checked.

@@ -32,6 +32,8 @@ __all__ = [
     "oracle_user_hist_cte",
     "asof_join",
     "range_join",
+    "hypertable_rollup",
+    "hypertable_rollup_oracle_sql",
 ]
 
 VALUE_LO = 0.0
@@ -285,3 +287,96 @@ def range_join(
         )
         .drop("_bkt")
     )
+
+
+ROLLUP_RESOLUTIONS = (("hour", 3_600), ("day", 86_400), ("week", 604_800))
+
+
+def hypertable_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    resolutions: tuple[tuple[str, int], ...] = ROLLUP_RESOLUTIONS,
+) -> DataFrame:
+    """Multi-resolution time rollup (the TimescaleDB continuous-aggregate /
+    hypertable pattern): one aggregate per (resolution, bucket, key), where
+    every COARSER level re-aggregates the level below it — the fact table
+    is scanned exactly once, and each further level shuffles only the
+    (already tiny) finer aggregate.
+
+    Output: (resolution, bucket_start_us, key, n_events, sum_value_micro).
+    ``sum_value_micro`` accumulates floor(value * 1e6) int64 micro-units:
+    exact integer sums are ASSOCIATIVE, so re-aggregating day from hour
+    equals aggregating day from the facts bit-for-bit — the property that
+    makes hierarchical rollups trustworthy (double sums would drift with
+    accumulation order).  ``resolutions`` must be coarsening multiples.
+    """
+    for (_, fine), (_, coarse) in zip(resolutions, resolutions[1:]):
+        if coarse % fine != 0:
+            raise ValueError("each resolution must be a multiple of the previous")
+    name0, secs0 = resolutions[0]
+    us0 = secs0 * 1_000_000
+    level = (
+        events.select(
+            (F.floor(F.unix_micros(ts_col) / us0) * us0).alias("bucket_start_us"),
+            F.col(key_col).alias("key"),
+            F.floor(F.col(value_col) * 1e6).cast("long").alias("_v"),
+        )
+        .groupBy("bucket_start_us", "key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_v").alias("sum_value_micro"),
+        )
+        .withColumn("resolution", F.lit(name0))
+    )
+    out = [level]
+    for name, secs in resolutions[1:]:
+        us = secs * 1_000_000
+        level = (
+            level.select(
+                (F.floor(F.col("bucket_start_us") / us) * us).alias(
+                    "bucket_start_us"
+                ),
+                "key",
+                "n_events",
+                "sum_value_micro",
+            )
+            .groupBy("bucket_start_us", "key")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value_micro").alias("sum_value_micro"),
+            )
+            .withColumn("resolution", F.lit(name))
+        )
+        out.append(level)
+    res = out[0]
+    for lv in out[1:]:
+        res = res.unionByName(lv)
+    return res.select(
+        "resolution", "bucket_start_us", "key", "n_events", "sum_value_micro"
+    )
+
+
+def hypertable_rollup_oracle_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    resolutions: tuple[tuple[str, int], ...] = ROLLUP_RESOLUTIONS,
+) -> str:
+    """DuckDB twin: every resolution aggregated DIRECTLY from the facts —
+    an independent formulation; equality with the engine's hierarchical
+    re-aggregation is exactly the associativity guarantee."""
+    parts = []
+    for name, secs in resolutions:
+        us = secs * 1_000_000
+        parts.append(f"""
+SELECT '{name}' AS resolution,
+       (epoch_us({ts_col}::TIMESTAMP) // {us}) * {us} AS bucket_start_us,
+       {key_col} AS key,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor({value_col} * 1e6) AS BIGINT)) AS BIGINT)
+         AS sum_value_micro
+FROM {table} GROUP BY 2, 3""")
+    return " UNION ALL ".join(parts)

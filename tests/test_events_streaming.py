@@ -416,3 +416,32 @@ def test_streaming_range_join_matches_batch(spark, events, tmp_path):
         ).select("event_id", "start").collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_hypertable_rollup_hierarchy(spark, events):
+    """The hierarchical property itself: day re-aggregated from hour equals
+    day aggregated directly from facts (exact micro-unit sums), and every
+    level's totals reconcile."""
+    from melody_join_spark.operators.events import hypertable_rollup
+
+    ev = events.limit(2000)
+    n_total = ev.count()  # the fixture may cap below the limit
+    roll = hypertable_rollup(ev)
+    by_res = {
+        res: {(r.bucket_start_us, r.key): (r.n_events, r.sum_value_micro)
+              for r in roll.where(F.col("resolution") == res).collect()}
+        for res in ("hour", "day", "week")
+    }
+    # totals reconcile across every level
+    for res, rows in by_res.items():
+        assert sum(n for n, _ in rows.values()) == n_total, res
+    tot_micro = {res: sum(v for _, v in rows.values()) for res, rows in by_res.items()}
+    assert tot_micro["hour"] == tot_micro["day"] == tot_micro["week"]
+    # day buckets = exact sum of their hour buckets
+    day_from_hour: dict = {}
+    DAY_US = 86_400 * 1_000_000
+    for (b, k), (n, v) in by_res["hour"].items():
+        key = ((b // DAY_US) * DAY_US, k)
+        pn, pv = day_from_hour.get(key, (0, 0))
+        day_from_hour[key] = (pn + n, pv + v)
+    assert day_from_hour == by_res["day"]
