@@ -179,6 +179,16 @@ def main() -> None:
             "equi-join on bucket + exact filter.  A bare inequality join "
             "would plan BroadcastNestedLoopJoin (asserted absent).",
         ),
+        (
+            "Hypertable rollup (hour -> day -> week, facts scanned once)",
+            __import__(
+                "melody_join_spark.operators.events", fromlist=["hypertable_rollup"]
+            ).hypertable_rollup(ev),
+            "Each coarser level aggregates the level below it: the fact "
+            "scan appears once, and the day/week shuffles move only the "
+            "already-aggregated finer relation.  Exact int64 micro-unit "
+            "sums keep the hierarchy bit-equal to direct aggregation.",
+        ),
     ]
 
     out = [
