@@ -246,7 +246,9 @@ def _q_emd_nd_pivot_2d(spark, sf_dir):
     tests/test_emd_join_nd.py); hash-checked against the independent-solver
     fixture like _q_emd_nd_2d."""
     hist = lineitem_histograms_2d(spark, sf_dir)
-    res = emd_join_nd(hist, bin_points_2d(), ND_THETA_2D, strategy="pivot")
+    res = emd_join_nd(
+        hist, bin_points_2d(), ND_THETA_2D, strategy="pivot", num_pivots=24
+    )
     return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
 
 

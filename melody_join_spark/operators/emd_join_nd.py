@@ -402,6 +402,7 @@ def emd_join_nd(
     stats: "JoinStats | None" = None,
     ground: str | np.ndarray = "l2",
     cell_cap: int = 100_000,
+    num_pivots: int = 10,
 ) -> DataFrame:
     """EMD threshold join -> DataFrame(rid, sid, emd).
 
@@ -485,7 +486,7 @@ def emd_join_nd(
     if strategy == "pivot":
         if two_table:
             raise ValueError("pivot strategy supports self-joins only")
-        return _pivot_join(rec, cfg, theta, num_pivots=10, seed=seed)
+        return _pivot_join(rec, cfg, theta, num_pivots=num_pivots, seed=seed)
     if strategy != "grid":
         raise ValueError(f"unknown strategy {strategy!r}")
     minkowski = (
