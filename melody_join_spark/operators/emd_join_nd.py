@@ -486,7 +486,16 @@ def emd_join_nd(
     if strategy == "pivot":
         if two_table:
             raise ValueError("pivot strategy supports self-joins only")
-        return _pivot_join(rec, cfg, theta, num_pivots=num_pivots, seed=seed)
+        # persist: the pivot sample (orderBy+limit collect) and the
+        # assignment mapInPandas each consume rec — without the boundary the
+        # upstream (histogram build at sf-scale) executes twice
+        from ..cache import release_on_gc
+
+        rec_c = rec.persist()
+        return release_on_gc(
+            _pivot_join(rec_c, cfg, theta, num_pivots=num_pivots, seed=seed),
+            rec_c,
+        )
     if strategy != "grid":
         raise ValueError(f"unknown strategy {strategy!r}")
     minkowski = (
