@@ -699,8 +699,8 @@ def jaccard_pairs(
     out = _verify_jaccard(cand, docs, threshold)
     if two_table:
         out = out.select(
-            (F.col("rid") / 2).cast("long").alias("rid"),
-            ((F.col("sid") - 1) / 2).cast("long").alias("sid"),
+            F.shiftright("rid", 1).alias("rid"),
+            F.shiftright(F.col("sid") - 1, 1).alias("sid"),
             "jaccard",
         )
     return release_on_gc(out, docs)

@@ -455,6 +455,13 @@ def emd_join_nd(
             )
         )
 
+    from ..cache import release_on_gc
+
+    _auto_rec = None  # probe-persisted rec, released with the result
+
+    def _auto_wrap(df: DataFrame) -> DataFrame:
+        return release_on_gc(df, _auto_rec) if _auto_rec is not None else df
+
     if strategy == "auto":
         # physical-strategy pick, Catalyst-style: the caller states WHAT
         # (threshold join under this ground), the engine picks HOW.
@@ -473,6 +480,12 @@ def emd_join_nd(
             )
         )
         small_probe = 512
+        # persist BEFORE the sizing probe: partitions the probe scans are
+        # cached, so the chosen strategy reuses them instead of re-running
+        # the upstream histogram build (ADVICE round-3: the same
+        # unpersisted-double-execution class as dup_clusters/pivot)
+        rec = rec.persist()
+        _auto_rec = rec
         n_probe = rec.limit(small_probe + 1).count()
         if n_probe <= small_probe:
             strategy = "bruteforce"
@@ -482,16 +495,14 @@ def emd_join_nd(
             strategy = "grid"
 
     if strategy == "bruteforce":
-        return _block_bruteforce(rec, cfg, theta, num_blocks, two_table)
+        return _auto_wrap(_block_bruteforce(rec, cfg, theta, num_blocks, two_table))
     if strategy == "pivot":
         if two_table:
             raise ValueError("pivot strategy supports self-joins only")
         # persist: the pivot sample (orderBy+limit collect) and the
         # assignment mapInPandas each consume rec — without the boundary the
         # upstream (histogram build at sf-scale) executes twice
-        from ..cache import release_on_gc
-
-        rec_c = rec.persist()
+        rec_c = rec if _auto_rec is not None else rec.persist()
         return release_on_gc(
             _pivot_join(rec_c, cfg, theta, num_pivots=num_pivots, seed=seed),
             rec_c,
@@ -542,9 +553,7 @@ def emd_join_nd(
             # persist the unioned record table BEFORE the side split: each
             # .where(side=...) otherwise re-executes BOTH sides' upstream
             # histogram builds (measured 2x the whole query)
-            from ..cache import release_on_gc
-
-            rec_c = rec.persist()
+            rec_c = rec if _auto_rec is not None else rec.persist()
             out = emd_threshold_join(
                 _prep(rec_c.where(F.col("side") == 0)),
                 theta + slack,
@@ -553,15 +562,15 @@ def emd_join_nd(
                 other=_prep(rec_c.where(F.col("side") == 1)),
             )
             return release_on_gc(out, rec_c)
-        return emd_threshold_join(
-            _prep(rec), theta + slack, positions=pos[order], strategy="cells"
+        return _auto_wrap(
+            emd_threshold_join(
+                _prep(rec), theta + slack, positions=pos[order], strategy="cells"
+            )
         )
 
     ctx = _build_grid_ctx(rec, bin_points, cfg, grid, seed=seed, ground=ground)
-    from ..cache import release_on_gc
-
     out = _grid_join(ctx, theta, stats=stats, two_table=two_table, cell_cap=cell_cap)
-    return release_on_gc(out, ctx.rec1)
+    return _auto_wrap(release_on_gc(out, ctx.rec1))
 
 
 @dataclass

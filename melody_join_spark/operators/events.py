@@ -216,6 +216,11 @@ def asof_join(
     replicated range join.  Right rows should be unique per (key, ts);
     pre-aggregate otherwise (ties would be nondeterministic in any
     engine's as-of).
+
+    NULL values in ``value_cols`` are preserved: the carried payload is a
+    per-row STRUCT (never null on right rows), so a matched row whose value
+    is genuinely NULL yields NULL — matching DuckDB ASOF — instead of
+    skipping back to an older non-null value.
     """
     from pyspark.sql.window import Window
 
@@ -224,7 +229,8 @@ def asof_join(
     r = right.select(
         F.col(on),
         F.col(ts_col),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        # one struct per right row: non-null wrapper, inner NULLs intact
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_r_vals"),
     ).withColumn("_side", F.lit(0))
     u = l.unionByName(r, allowMissingColumns=True)
     w = (
@@ -232,12 +238,10 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in value_cols:
-        u = u.withColumn(
-            f"{c}{suffix}", F.last(f"_r_{c}", ignorenulls=True).over(w)
-        )
+    u = u.withColumn("_last", F.last("_r_vals", ignorenulls=True).over(w))
     return u.where(F.col("_side") == 1).select(
-        *lcols, *[f"{c}{suffix}" for c in value_cols]
+        *lcols,
+        *[F.col(f"_last.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
 
 

@@ -526,9 +526,11 @@ def corpus_stats_cube(df: DataFrame, text_col: str = "text") -> DataFrame:
     language/source combination plus both one-dimension rollups and the
     grand total, in one pass — the grouping-sets surface the reference
     lacks entirely (SURVEY.md §2.4: "No grouping sets / cube / rollup")
-    and Spark provides natively.  NULL grouping labels are coalesced to
-    'ALL' so the output is hash-comparable; metrics are exact integers
-    (same micro-unit trick as corpus_stats)."""
+    and Spark provides natively.  Rollup rows are labelled 'ALL' via
+    GROUPING() — distinct from a genuine NULL data value, which prints
+    'NULL' — so a null ``source`` never collides with the cube's own
+    aggregate rows; metrics are exact integers (same micro-unit trick as
+    corpus_stats)."""
     qf = quality_filter(df, text_col)
     t = F.coalesce(F.col(text_col), F.lit(""))
     feats = qf.select(
@@ -543,10 +545,16 @@ def corpus_stats_cube(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("kept_i").alias("n_kept"),
             F.sum("n_tok").alias("n_tokens"),
+            F.grouping("lang_pred").alias("_gl"),
+            F.grouping("source").alias("_gs"),
         )
         .select(
-            F.coalesce("lang_pred", F.lit("ALL")).alias("lang_pred"),
-            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.when(F.col("_gl") == 1, F.lit("ALL"))
+            .otherwise(F.coalesce("lang_pred", F.lit("NULL")))
+            .alias("lang_pred"),
+            F.when(F.col("_gs") == 1, F.lit("ALL"))
+            .otherwise(F.coalesce("source", F.lit("NULL")))
+            .alias("source"),
             "n_docs",
             "n_kept",
             "n_tokens",
@@ -582,8 +590,10 @@ feats AS (
          n_words AS n_tok, CAST(kept AS BIGINT) AS kept_i
   FROM qf
 )
-SELECT coalesce(lang_pred, 'ALL') AS lang_pred,
-       coalesce(source, 'ALL') AS source,
+SELECT CASE WHEN GROUPING(lang_pred) = 1 THEN 'ALL'
+            ELSE coalesce(lang_pred, 'NULL') END AS lang_pred,
+       CASE WHEN GROUPING(source) = 1 THEN 'ALL'
+            ELSE coalesce(source, 'NULL') END AS source,
        count(*) AS n_docs,
        CAST(sum(kept_i) AS BIGINT) AS n_kept,
        CAST(sum(n_tok) AS BIGINT) AS n_tokens
