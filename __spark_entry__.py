@@ -600,6 +600,47 @@ def _q_cosine_topk(spark, sf_dir):
     return res.select("qid", "nid", "cosine", F.col("rank").cast("long").alias("rank"))
 
 
+BIG_SHIFTS = 20  # 500 base vectors * 20 cyclic shifts = 10k queries at sf0.01
+BIG_QID_BASE = 1_000_000  # keeps synthetic qids disjoint from db nids
+
+
+def _q_cosine_topk_big(spark, sf_dir):
+    """Large-query-set exact top-k: NO driver collect anywhere in the plan
+    (round-3 VERDICT item 1).  The 10k-query workload is synthesized
+    deterministically from the embeddings table — each vector crossed with
+    BIG_SHIFTS cyclic rotations (a pure permutation, reproducible in SQL) —
+    and runs through cosine_topk's cogrouped block-matrix path.
+    fold_exact=True makes every cosine bit-identical to the DuckDB oracle's
+    list_sum left fold, so the hash compares UNROUNDED doubles; plan
+    asserted collect-free in tests/test_plans.py."""
+    emb = _emb(spark, sf_dir)
+    base = emb.select(
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    j = F.col("j")
+    qs = base.select(
+        "vec_id",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(BIG_SHIFTS - 1))).alias("j"),
+    ).select(
+        (F.lit(BIG_QID_BASE) + F.col("vec_id") * BIG_SHIFTS + j).alias("qid"),
+        F.concat(
+            F.slice("v", j + F.lit(1), F.size("v") - j), F.slice("v", 1, j)
+        ).alias("qv"),
+    )
+    res = cosine_topk(
+        emb,
+        qs,
+        k=10,
+        q_id_col="qid",
+        q_vec_col="qv",
+        distributed=True,
+        fold_exact=True,
+    )
+    return res.select("qid", "nid", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # text_features first: the cheapest query absorbs the one-time session
     # warmup (JVM codegen, parquet footer reads) so join timings are honest
@@ -644,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": _q_cosine_pairs,
         "cosine_pairs_lsh": _q_lsh_cosine,
         "cosine_topk": _q_cosine_topk,
+        "cosine_topk_big": _q_cosine_topk_big,
     }
 
 
@@ -815,6 +857,34 @@ ranked AS (
   FROM scored
 )
 SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 10"""
+    # big variant: UNROUNDED cosines — fold_exact on the Spark side makes
+    # the left-fold dot/norm arithmetic bit-identical to list_sum, so the
+    # hash needs no round() safety net
+    cosine_topk_big_sql = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (
+  SELECT {BIG_QID_BASE} + vec_id * {BIG_SHIFTS} + j AS qid,
+         list_concat(list_slice(v, j + 1, len(v)), list_slice(v, 1, j)) AS qv
+  FROM e CROSS JOIN (SELECT unnest(range(0, {BIG_SHIFTS})) AS j) js
+),
+qn AS (SELECT qid, qv, sqrt(list_sum(list_transform(qv, x -> x * x))) AS nrm FROM q),
+dn AS (SELECT vec_id AS nid, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+scored AS (
+  SELECT qid, nid,
+         list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * d.v[i]))
+           / (q.nrm * d.nrm) AS cosine
+  FROM qn q CROSS JOIN dn d
+  WHERE qid <> nid
+),
+ranked AS (
+  SELECT qid, nid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 10"""
     # d=2 exact EMD is a min-cost-flow LP per pair — not SQL-expressible
     # directly.  The oracle instead reads the committed all-pairs fixture
     # computed by the INDEPENDENT successive-shortest-path solver
@@ -972,4 +1042,5 @@ FROM read_parquet('/root/repo/fixtures/simhash_pairs_sf001.parquet')
 ORDER BY rid, sid""",
         "cosine_pairs": cosine_pairs_oracle_sql(COSINE_THETA, COSINE_DIM),
         "cosine_topk": cosine_topk_sql,
+        "cosine_topk_big": cosine_topk_big_sql,
     }

@@ -99,6 +99,121 @@ WHERE list_sum(list_transform(range(1, {dim + 1}), i -> a.v[i] * b.v[i]))
         / (a.nrm * b.nrm) >= {threshold}"""
 
 
+def _rank_topk(local: DataFrame, k: int, round_to: int | None) -> DataFrame:
+    """Global merge of per-block top-k candidates: optional rounding (de-
+    couples ranking from last-ulp matmul/fold differences), then one ranking
+    window keyed on qid — ties resolve by nid."""
+    from pyspark.sql.window import Window
+
+    if round_to is not None:
+        local = local.withColumn("cosine", F.round("cosine", round_to))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "cosine", "rank")
+    )
+
+
+def _cosine_topk_blocked(
+    emb: DataFrame,
+    q: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    round_to: int | None,
+    q_blocks: int | None = None,
+    db_blocks: int | None = None,
+    fold_exact: bool = False,
+) -> DataFrame:
+    """Distributed exact top-k: block-matrix matmul over a cogroup of
+    (q-block x db-block) pairs.  No driver-side materialization of either
+    side (see :func:`cosine_topk` docstring for the scale argument).
+
+    ``fold_exact`` replaces the blocked matmul with sequential left-fold
+    accumulation over the dimension index — bit-identical to the SQL
+    ``aggregate(zip_with(...)) / (na*nb)`` formulation and the DuckDB
+    ``list_sum`` oracle, so results can be hash-compared WITHOUT rounding;
+    local selection then sorts by (cosine desc, nid asc), the exact global
+    tie order, so exact-duplicate vectors never drop nondeterministically
+    at the block boundary.  ~3x the matmul's constant; same asymptotics."""
+    db = emb.select(F.col(id_col).alias("nid"), _as_double(vec_col).alias("v"))
+    qcN = max(1, q_blocks or q.rdd.getNumPartitions())
+    dcN = max(1, db_blocks or db.rdd.getNumPartitions())
+    # floor the group count at the cluster parallelism: a narrow scan (one
+    # parquet file) would otherwise yield 1x1 blocks — one giant group on
+    # one core.  Scale the QUERY axis (replicating queries across db blocks
+    # is the cheap direction when queries outnumber lists).
+    par = q.sparkSession.sparkContext.defaultParallelism
+    if q_blocks is None and qcN * dcN < par:
+        qcN = -(-par // dcN)
+
+    # NB: both key columns must be LONG on both sides — pmod(xxhash64) is
+    # long, and int-typed exploded literals would silently fail to align in
+    # the cogroup (keys compare by type+value)
+    q2 = q.withColumn("qc", F.pmod(F.xxhash64("qid"), F.lit(qcN))).withColumn(
+        "dc", F.explode(F.array(*[F.lit(i).cast("long") for i in range(dcN)]))
+    )
+    d2 = db.withColumn("dc", F.pmod(F.xxhash64("nid"), F.lit(dcN))).withColumn(
+        "qc", F.explode(F.array(*[F.lit(i).cast("long") for i in range(qcN)]))
+    )
+
+    def block(qpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(dpdf):
+            return pd.DataFrame({"qid": [], "nid": [], "cosine": []}).astype(
+                {"qid": "int64", "nid": "int64", "cosine": "float64"}
+            )
+        qids = qpdf["qid"].to_numpy()
+        Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+        ids = dpdf["nid"].to_numpy()
+        V = np.stack(dpdf["v"].to_numpy()).astype(np.float64)
+        kk = min(k + 1, V.shape[0])  # +1 headroom for self-match removal
+        if fold_exact:
+            dim = Q.shape[1]
+            S = np.zeros((Q.shape[0], V.shape[0]))
+            nq2 = np.zeros(Q.shape[0])
+            nv2 = np.zeros(V.shape[0])
+            for j in range(dim):  # left-fold order == SQL aggregate/list_sum
+                S += Q[:, j : j + 1] * V[None, :, j]
+                nq2 += Q[:, j] * Q[:, j]
+                nv2 += V[:, j] * V[:, j]
+            S = S / (np.sqrt(nq2)[:, None] * np.sqrt(nv2)[None, :])
+            rows_q, rows_n, rows_c = [], [], []
+            for qi in range(Q.shape[0]):
+                row = S[qi]
+                idx = np.lexsort((ids, -row))[:kk]  # global tie order
+                rows_q.append(np.full(idx.size, qids[qi]))
+                rows_n.append(ids[idx])
+                rows_c.append(row[idx])
+            out = pd.DataFrame(
+                {
+                    "qid": np.concatenate(rows_q),
+                    "nid": np.concatenate(rows_n),
+                    "cosine": np.concatenate(rows_c),
+                }
+            )
+            return out[out.qid != out.nid]
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        S = Qn @ Vn.T  # (q, n)
+        idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        out = pd.DataFrame(
+            {
+                "qid": np.repeat(qids, kk),
+                "nid": ids[idx].ravel(),
+                "cosine": np.take_along_axis(S, idx, axis=1).ravel(),
+            }
+        )
+        return out[out.qid != out.nid]
+
+    local = (
+        q2.groupBy("qc", "dc")
+        .cogroup(d2.groupBy("qc", "dc"))
+        .applyInPandas(block, "qid long, nid long, cosine double")
+    )
+    return _rank_topk(local, k, round_to)
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -108,18 +223,55 @@ def cosine_topk(
     q_id_col: str | None = None,
     q_vec_col: str | None = None,
     round_to: int | None = None,
+    distributed: bool | None = None,
+    collect_threshold: int = 8192,
+    fold_exact: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query -> (qid, nid, cosine,
     rank); excludes self-matches (qid == nid).
 
-    The query block is collected (queries are the small side by contract)
-    and broadcast into a ``mapInPandas`` over the database partitions: each
-    partition computes a (q x block) matmul in numpy and emits its local
-    top-k, then a global TakeOrdered + ranking window merges — no shuffle of
-    the database side at all."""
+    Two physical strategies, picked by query-set size (``distributed=None``
+    probes with a cheap ``limit(collect_threshold+1).count()``; pass
+    True/False to force):
+
+    - **lookup** (small query set): the query block is collected and
+      broadcast into a ``mapInPandas`` over the database partitions; each
+      partition computes a (q x block) matmul in numpy and emits its local
+      top-k — no shuffle of the database side at all.
+    - **distributed** (large query set): NO driver collect — the classic
+      block-matrix algorithm via ``cogroup().applyInPandas``: queries hash
+      into ``qcN`` blocks and replicate across ``dcN`` database blocks (and
+      vice versa), every (q-block, db-block) group runs one numpy matmul
+      and emits its local top-k, and the global ranking window merges.
+      Block counts default to each side's scan partition count, so group
+      memory stays ~2 x ``spark.sql.files.maxPartitionBytes`` no matter the
+      total size; shuffle volume is Q*dcN + N*qcN rows — the unavoidable
+      replication of an exact all-pairs top-k, with no driver in the path.
+
+    A query set over ``collect_threshold`` with ``distributed=False`` is
+    rejected with a clear error instead of silently bottlenecking the
+    driver."""
     q_id_col = q_id_col or id_col
     q_vec_col = q_vec_col or vec_col
-    qrows = queries.select(q_id_col, q_vec_col).collect()
+    q = queries.select(
+        F.col(q_id_col).alias("qid"), _as_double(q_vec_col).alias("qv")
+    )
+    if distributed is None or distributed is False:
+        n_probe = q.limit(collect_threshold + 1).count()
+        big = n_probe > collect_threshold
+        if big and distributed is False:
+            raise ValueError(
+                f"cosine_topk: query set exceeds collect_threshold="
+                f"{collect_threshold} rows; collecting it would bottleneck "
+                "the driver. Pass distributed=True (block-matrix path) or "
+                "raise collect_threshold explicitly."
+            )
+        distributed = big
+    if distributed:
+        return _cosine_topk_blocked(
+            emb, q, k, id_col, vec_col, round_to, fold_exact=fold_exact
+        )
+    qrows = q.collect()
     qids = np.array([r[0] for r in qrows])
     Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -149,19 +301,7 @@ def cosine_topk(
             yield out[out.qid != out.nid]
 
     local = db.mapInPandas(part, "qid long, nid long, cosine double")
-    from pyspark.sql.window import Window
-
-    # optional rounding decouples the ranking from last-ulp differences
-    # between numpy's blocked matmul and a sequential-dot oracle; ties after
-    # rounding resolve by nid
-    if round_to is not None:
-        local = local.withColumn("cosine", F.round("cosine", round_to))
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("qid", "nid", "cosine", "rank")
-    )
+    return _rank_topk(local, k, round_to)
 
 
 def _spherical_kmeans(X: np.ndarray, nlist: int, iters: int, seed: int) -> np.ndarray:
@@ -265,33 +405,91 @@ def ivf_search(
     q_id_col: str = "vec_id",
     q_vec_col: str = "embedding",
     round_to: int | None = None,
+    distributed: bool | None = None,
+    collect_threshold: int = 8192,
 ) -> DataFrame:
     """Query a built index -> (qid, nid, cosine, rank): each query probes
-    its ``nprobe`` nearest lists; the candidate join carries a literal
-    list_id IN (...) filter so a disk-backed index scans only the probed
-    partitions.  Excludes self-matches."""
+    its ``nprobe`` nearest lists.  Excludes self-matches.
+
+    Small query sets (<= ``collect_threshold``; the lookup contract) are
+    collected: the probe relation is built on the driver, broadcast into
+    the candidate join, and carries a literal list_id IN (...) filter so a
+    disk-backed index scans only the probed partitions (PartitionFilters).
+
+    Large query sets take the NO-collect path (``distributed=None``
+    auto-detects; True forces): probe assignment runs as a ``mapInPandas``
+    over the query partitions against the broadcast codebook (the codebook
+    is nlist x d — tiny by construction), and candidates come from a plain
+    equi-join on list_id, where AQE sizes the exchange; with a disk-backed
+    index, runtime DPP can still prune unprobed list partitions.
+    ``distributed=False`` on an oversized query set raises instead of
+    silently bottlenecking the driver."""
     spark = index.lists.sparkSession
     C = index.codebook
-    qrows = queries.select(q_id_col, q_vec_col).collect()
-    qids = [r[0] for r in qrows]
-    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-    probe_lists = np.argsort(-(Qn @ C.T), axis=1)[:, : min(nprobe, C.shape[0])]
-    probe_rows = [
-        (int(qids[i]), [float(x) for x in Q[i]], float(np.linalg.norm(Q[i])), int(l))
-        for i in range(len(qids))
-        for l in probe_lists[i]
-    ]
-    probes = spark.createDataFrame(
-        probe_rows, "qid long, qv array<double>, qn double, list_id long"
+    q = queries.select(
+        F.col(q_id_col).alias("qid"), _as_double(q_vec_col).alias("qv")
     )
+    if distributed is None or distributed is False:
+        n_probe_rows = q.limit(collect_threshold + 1).count()
+        big = n_probe_rows > collect_threshold
+        if big and distributed is False:
+            raise ValueError(
+                f"ivf_search: query set exceeds collect_threshold="
+                f"{collect_threshold} rows; collecting it would bottleneck "
+                "the driver. Pass distributed=True (mapInPandas probe "
+                "assignment) or raise collect_threshold explicitly."
+            )
+        distributed = big
 
-    probe_set = sorted({int(l) for row in probe_lists for l in row})
-    cand = (
-        index.lists.where(F.col("list_id").isin(probe_set))
-        .join(F.broadcast(probes), "list_id")
-        .where(F.col("qid") != F.col("nid"))
-    )
+    np_eff = min(nprobe, C.shape[0])
+    if distributed:
+        b_c = spark.sparkContext.broadcast(C)
+
+        def assign_probes(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C_ = b_c.value
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                Q = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+                qn = np.linalg.norm(Q, axis=1)
+                Qn = Q / np.maximum(qn[:, None], 1e-12)
+                pl = np.argsort(-(Qn @ C_.T), axis=1)[:, :np_eff]
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(pdf["qid"].to_numpy(), np_eff),
+                        "qv": np.repeat(pdf["qv"].to_numpy(), np_eff),
+                        "qn": np.repeat(qn, np_eff),
+                        "list_id": pl.ravel(),
+                    }
+                )
+
+        probes = q.mapInPandas(
+            assign_probes, "qid long, qv array<double>, qn double, list_id long"
+        )
+        cand = index.lists.join(probes, "list_id").where(
+            F.col("qid") != F.col("nid")
+        )
+    else:
+        qrows = q.collect()
+        qids = [r[0] for r in qrows]
+        Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        probe_lists = np.argsort(-(Qn @ C.T), axis=1)[:, :np_eff]
+        probe_rows = [
+            (int(qids[i]), [float(x) for x in Q[i]], float(np.linalg.norm(Q[i])), int(l))
+            for i in range(len(qids))
+            for l in probe_lists[i]
+        ]
+        probes = spark.createDataFrame(
+            probe_rows, "qid long, qv array<double>, qn double, list_id long"
+        )
+
+        probe_set = sorted({int(l) for row in probe_lists for l in row})
+        cand = (
+            index.lists.where(F.col("list_id").isin(probe_set))
+            .join(F.broadcast(probes), "list_id")
+            .where(F.col("qid") != F.col("nid"))
+        )
     dot = F.aggregate(
         F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
@@ -301,16 +499,7 @@ def ivf_search(
     scored = cand.select(
         "qid", "nid", (dot / (nrm * F.col("qn"))).alias("cosine")
     )
-    if round_to is not None:
-        scored = scored.withColumn("cosine", F.round("cosine", round_to))
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("qid", "nid", "cosine", "rank")
-    )
+    return _rank_topk(scored, k, round_to)
 
 
 def ivf_topk(

@@ -471,3 +471,26 @@ def test_seed_invariance_of_result_sets(spark, hist_df, bins_2d):
                 for kk in got:
                     assert got[kk] == pytest.approx(base[strat][kk], abs=1e-9)
     assert set(base["grid"]) == set(base["pivot"])
+
+
+def test_emd_knn_distributed_matches_collected(spark, hist_df, bins_2d):
+    """The cogrouped no-collect kNN path returns the broadcast path's exact
+    result (same screened loop, different physical distribution)."""
+    from melody_join_spark.operators.emd_join_nd import emd_knn
+
+    rows = [(r.id, r.w) for r in hist_df.collect()]
+    queries = spark.createDataFrame(rows[:6], "id long, w array<double>")
+    ref = {
+        (r.qid, r.rank): (r.nid, round(r.emd, 9))
+        for r in emd_knn(hist_df, queries, bins_2d, k=4,
+                         distributed=False).collect()
+    }
+    got = {
+        (r.qid, r.rank): (r.nid, round(r.emd, 9))
+        for r in emd_knn(hist_df, queries, bins_2d, k=4,
+                         distributed=True).collect()
+    }
+    assert got == ref and len(got) == 6 * 4
+    with pytest.raises(ValueError, match="collect_threshold"):
+        emd_knn(hist_df, queries, bins_2d, k=4, distributed=False,
+                collect_threshold=2)

@@ -569,3 +569,50 @@ def test_dedupe_incremental(docs, spark):
         assert 10_003 in kept, method
         assert 10_001 not in kept, method
         assert 10_002 not in kept, method
+
+
+def test_cosine_topk_distributed_matches_collected(emb):
+    """The cogrouped block path (no driver collect) returns exactly the
+    collected-broadcast path's ranking."""
+    qs = emb.orderBy("vec_id").limit(40)
+    ref = {
+        (r.qid, r.rank): (r.nid, r.cosine)
+        for r in cosine_topk(emb, qs, k=5, round_to=6, distributed=False).collect()
+    }
+    got = {
+        (r.qid, r.rank): (r.nid, r.cosine)
+        for r in cosine_topk(emb, qs, k=5, round_to=6, distributed=True).collect()
+    }
+    assert got == ref and len(got) == 40 * 5
+
+
+def test_cosine_topk_collect_guard(emb):
+    """An oversized query set with distributed=False raises instead of
+    silently collecting it onto the driver."""
+    qs = emb.limit(10)
+    with pytest.raises(ValueError, match="collect_threshold"):
+        cosine_topk(emb, qs, k=3, distributed=False, collect_threshold=4)
+    # auto mode dispatches to the block path instead of raising
+    assert cosine_topk(emb, qs, k=3, collect_threshold=4).count() == 10 * 3
+
+
+def test_ivf_search_distributed_matches_collected(spark, emb):
+    """Distributed probe assignment (mapInPandas vs broadcast codebook)
+    selects the same lists, so the search output is identical."""
+    from melody_join_spark.operators.similarity import ivf_build, ivf_search
+
+    idx = ivf_build(emb, nlist=16)
+    qs = emb.orderBy("vec_id").limit(30)
+    ref = {
+        (r.qid, r.rank): (r.nid, r.cosine)
+        for r in ivf_search(idx, qs, k=5, nprobe=4, round_to=6,
+                            distributed=False).collect()
+    }
+    got = {
+        (r.qid, r.rank): (r.nid, r.cosine)
+        for r in ivf_search(idx, qs, k=5, nprobe=4, round_to=6,
+                            distributed=True).collect()
+    }
+    assert got == ref and len(got) > 0
+    with pytest.raises(ValueError, match="collect_threshold"):
+        ivf_search(idx, qs, k=5, distributed=False, collect_threshold=4)
