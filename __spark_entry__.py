@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from melody_join_spark.operators.dedup import (
     dedupe,
+    dedupe_incremental,
+    dedupe_incremental_oracle_sql,
     dedupe_oracle_sql,
     dup_clusters_oracle_sql,
     exact_dedup_groups,
@@ -248,6 +250,30 @@ def _q_emd_nd_pivot_2d(spark, sf_dir):
     hist = lineitem_histograms_2d(spark, sf_dir)
     res = emd_join_nd(
         hist, bin_points_2d(), ND_THETA_2D, strategy="pivot", num_pivots=24
+    )
+    return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
+
+
+ND_THETA_ARB = 0.5  # sqrt(L1) units; 1310 fixture pairs pass at sf0.01
+
+
+def _q_emd_nd_arbitrary(spark, sf_dir):
+    """DistanceType ARBITRARY end to end (DistanceUtil.java:440-474): the
+    threshold join under an explicit cost MATRIX — sqrt of the L1 lattice
+    distance, a genuine metric that is no Minkowski norm, so none of the
+    centroid-grid geometry applies.  Runs the pivot strategy (metric-generic
+    screens; the grid strategy refuses non-Minkowski grounds by design,
+    test_ground_distances).  Hash-checked against the independent-SSP
+    fixture solved under the SAME matrix
+    (scripts/make_fixtures.py arbitrary)."""
+    import numpy as np
+
+    hist = lineitem_histograms_2d(spark, sf_dir)
+    pts = bin_points_2d()
+    diff = np.abs(pts[:, None, :] - pts[None, :, :])
+    C = np.sqrt(diff.sum(axis=2))
+    res = emd_join_nd(
+        hist, pts, ND_THETA_ARB, strategy="pivot", ground=C, num_pivots=24
     )
     return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
 
@@ -525,6 +551,22 @@ def _q_jaccard(spark, sf_dir):
     )
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """Nightly-crawl admission (round-3 VERDICT item 4): documents split
+    deterministically into an existing corpus (doc_id % 5 != 0) and a new
+    crawl (doc_id % 5 == 0); new docs with an exact n-gram-Jaccard partner
+    >= theta anywhere in the corpus are rejected, survivors admitted.
+    Oracle: the same split + cross-side Jaccard + NOT IN anti-join in
+    DuckDB."""
+    docs = _docs(spark, sf_dir)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    kept = dedupe_incremental(
+        new, corpus, threshold=JACCARD_THETA, ngram=JACCARD_NGRAM
+    )
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 def _q_winnow(spark, sf_dir):
     """Rolling-hash winnowing near-dup pairs (MOSS scheme): codegen k-gram
     polynomial hash + window-min fingerprints, df-capped fingerprint
@@ -666,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_nd_two_table_line": _q_emd_nd_two_table,
         "emd_nd_threshold_pivot_line": _q_emd_nd_pivot_line,
         "emd_nd_threshold_pivot_2d": _q_emd_nd_pivot_2d,
+        "emd_nd_threshold_arbitrary": _q_emd_nd_arbitrary,
         "events_window_hourly": _q_events_window,
         "events_sessionize": _q_events_sessionize,
         "events_asof": _q_events_asof,
@@ -678,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_corpus": _q_dedupe_corpus,
         "emd_knn_2d": _q_emd_knn_2d,
         "dedup_jaccard_ngram": _q_jaccard,
+        "dedup_incremental": _q_dedup_incremental,
         "dedup_winnow": _q_winnow,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_minhash_lsh": _q_minhash,
@@ -894,6 +938,10 @@ SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 10"""
     fx = "read_parquet('/root/repo/fixtures/emd2d_pairs_sf001.parquet')"
     fx_l1 = "read_parquet('/root/repo/fixtures/emd2d_l1_pairs_sf001.parquet')"
     fx_3d = "read_parquet('/root/repo/fixtures/emd3d_pairs_sf001.parquet')"
+    fx_arb = "read_parquet('/root/repo/fixtures/emd2d_sqrtl1_pairs_sf001.parquet')"
+    nd_arb_sql = f"""
+SELECT rid, sid, round(emd, 6) + 0 AS emd FROM {fx_arb}
+WHERE emd <= {ND_THETA_ARB} + 1e-4 ORDER BY rid, sid"""
     nd_2d_sql = f"""
 SELECT rid, sid, round(emd, 6) + 0 AS emd FROM {fx}
 WHERE emd <= {ND_THETA_2D} + 1e-4 ORDER BY rid, sid"""
@@ -957,6 +1005,7 @@ WHERE rank <= {KNN_K} ORDER BY qid, rank"""
         "emd_nd_two_table_line": two_table_sql,
         "emd_nd_threshold_pivot_line": nd_line_sql,
         "emd_nd_threshold_pivot_2d": nd_2d_sql,
+        "emd_nd_threshold_arbitrary": nd_arb_sql,
         "emd_knn_2d": knn_2d_sql,
         "events_window_hourly": events_window_sql,
         "events_sessionize": sessionize_sql,
@@ -1013,6 +1062,9 @@ FROM qf ORDER BY doc_id""",
         "dedupe_corpus": dedupe_oracle_sql(),
         "dedup_jaccard_ngram": jaccard_pairs_oracle_sql(
             JACCARD_THETA, ngram=JACCARD_NGRAM
+        ),
+        "dedup_incremental": dedupe_incremental_oracle_sql(
+            JACCARD_THETA, new_pred="doc_id % 5 = 0", ngram=JACCARD_NGRAM
         ),
         "dedup_clusters": dup_clusters_oracle_sql(
             jaccard_pairs_oracle_sql(JACCARD_THETA, ngram=JACCARD_NGRAM),

@@ -1156,3 +1156,45 @@ def dedupe_incremental(
         raise ValueError(f"unknown method {method!r}")
     dup_ids = pairs.select(F.col("rid").alias(id_col)).distinct()
     return new.join(dup_ids, id_col, "anti")
+
+
+def dedupe_incremental_oracle_sql(
+    threshold: float,
+    new_pred: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int | None = 5,
+) -> str:
+    """DuckDB twin of :func:`dedupe_incremental` (method='jaccard') where
+    the new-crawl side is ``{table} WHERE {new_pred}`` and the corpus is its
+    complement: cross-side token intersection -> Jaccard >= threshold ->
+    NOT-IN anti-join.  Returns admitted ``{id_col}`` rows ordered."""
+    if ngram:
+        tok_expr = (
+            f"list_distinct(list_transform("
+            f"range(1, greatest(length(lower({text_col})) - {ngram - 1}, 1) + 1), "
+            f"i -> substr(lower({text_col}), i, {ngram})))"
+        )
+    else:
+        tok_expr = (
+            f"list_distinct(string_split_regex(trim(lower({text_col})), '\\s+'))"
+        )
+    return f"""
+WITH newd AS (SELECT * FROM {table} WHERE {new_pred}),
+corp AS (SELECT * FROM {table} WHERE NOT ({new_pred})),
+rel_n AS (SELECT {id_col} AS id, unnest({tok_expr}) AS tok FROM newd),
+rel_c AS (SELECT {id_col} AS id, unnest({tok_expr}) AS tok FROM corp),
+sn AS (SELECT id, count(*) AS nt FROM rel_n GROUP BY 1),
+sc AS (SELECT id, count(*) AS nt FROM rel_c GROUP BY 1),
+inter AS (
+  SELECT a.id AS rid, b.id AS sid, count(*) AS i
+  FROM rel_n a JOIN rel_c b ON a.tok = b.tok GROUP BY 1, 2
+),
+dups AS (
+  SELECT DISTINCT rid FROM inter
+  JOIN sn ON sn.id = rid JOIN sc ON sc.id = sid
+  WHERE i / (sn.nt + sc.nt - i) >= {threshold}
+)
+SELECT {id_col} FROM newd WHERE {id_col} NOT IN (SELECT rid FROM dups)
+ORDER BY {id_col}"""

@@ -40,6 +40,7 @@ OUT_MINHASH = os.path.join(_FIXDIR, "minhash_pairs_sf001.parquet")
 OUT_LSHCOS = os.path.join(_FIXDIR, "lsh_cosine_pairs_sf001.parquet")
 OUT_IVF = os.path.join(_FIXDIR, "ivf_topk_sf001.parquet")
 OUT_3D = os.path.join(_FIXDIR, "emd3d_pairs_sf001.parquet")
+OUT_ARB = os.path.join(_FIXDIR, "emd2d_sqrtl1_pairs_sf001.parquet")
 
 _W = None
 _C = None
@@ -404,6 +405,59 @@ def main() -> None:
         print("top-20 boundary gap:", srt[20] - srt[19])
 
 
+def make_arbitrary_fixture() -> None:
+    """All-pairs exact-EMD fixture under an ARBITRARY explicit cost matrix
+    (sqrt of the L1 lattice distance — a genuine metric that is no Minkowski
+    norm, DistanceType ARBITRARY analog).  Oracle for the
+    emd_nd_threshold_arbitrary query; same independent-SSP protocol."""
+    from melody_join_spark.session import get_spark
+    from melody_join_spark.plans.tpch_bridge import (
+        bin_points_2d,
+        lineitem_histograms_2d,
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark = get_spark("make-fixtures-arb")
+    rows = (
+        lineitem_histograms_2d(spark, SF_DIR)
+        .select("id", "w")
+        .orderBy("id")
+        .collect()
+    )
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    W = np.stack([np.asarray(r["w"], dtype=np.float64) for r in rows])
+    pts = bin_points_2d()
+    n = len(ids)
+    diff = np.abs(pts[:, None, :] - pts[None, :, :])
+    C = np.sqrt(diff.sum(axis=2))  # sqrt(L1): metric by sqrt subadditivity
+    os.makedirs(_FIXDIR, exist_ok=True)
+    print(f"{n} histograms -> {n * (n - 1) // 2} pairs ({OUT_ARB})")
+    t0 = time.time()
+    with mp.Pool(16, initializer=_init, initargs=(W, C)) as pool:
+        chunks = pool.map(_pairs_for, range(n))
+    rid, sid, emd = [], [], []
+    for ch in chunks:
+        for i, j, e in ch:
+            rid.append(int(ids[i]))
+            sid.append(int(ids[j]))
+            emd.append(e)
+    print(f"solved in {time.time() - t0:.1f}s")
+    tbl = pa.table(
+        {
+            "rid": pa.array(rid, type=pa.int64()),
+            "sid": pa.array(sid, type=pa.int64()),
+            "emd": pa.array(emd, type=pa.float64()),
+        }
+    )
+    pq.write_table(tbl, OUT_ARB)
+    e = np.array(emd)
+    print(f"wrote {OUT_ARB}: {len(e)} pairs, emd range [{e.min():.6f}, {e.max():.6f}]")
+    for th in (0.3, 0.4, 0.5, 0.6, 0.8):
+        print(f"pairs <= {th}+1e-4: {(e <= th + 1e-4).sum()}")
+
+
 def make_emd3d_fixture() -> None:
     """All-pairs exact-EMD fixture for the d=3 workload — the reference's
     DEFAULT data shape (d=3, B=27~30 bins, melody-conf.properties:45-64).
@@ -467,9 +521,11 @@ if __name__ == "__main__":
         make_ivf_fixture()
         main()
         make_emd3d_fixture()
+        make_arbitrary_fixture()
     else:
         {"simhash": make_simhash_fixture,
          "minhash": make_minhash_fixture,
          "lshcos": make_lsh_cosine_fixture,
          "ivf": make_ivf_fixture,
+         "arbitrary": make_arbitrary_fixture,
          "emd2d": main}[only]()
