@@ -140,11 +140,14 @@ def run_generate_from_properties(
                       error-swallowing crawl loop.
 
     ``generate.enabled.features`` ('/'-separated Lire feature names,
-    GenerateUtil.java:44-60) selects the extractors.  This container has no
-    codec libraries, so every feature name maps to the REAL byte-histogram
-    extractor unless ``decoder=`` supplies a codec-backed callable
-    ``(bytes, bins) -> np.ndarray`` (or a dict feature->callable) — the one
-    declared stub boundary of the multimodal family.
+    GenerateUtil.java:44-60) selects the extractors.  The default extractor
+    is ``multimodal.sniff_decoder``: REAL pixel-level color-cube histograms
+    for uncompressed PPM payloads and sample-level amplitude histograms for
+    16-bit PCM WAV (both pure numpy, hash-gated), byte-histogram fallback
+    for compressed formats.  ``decoder=`` supplies a codec-backed callable
+    ``(bytes, bins) -> np.ndarray`` (or a dict feature->callable) for
+    JPEG/MP3/... — the one remaining integration point in this codec-less
+    container.
 
     Returns {feature: (id, w) DataFrame} — each directly joinable by
     ``emd_join_nd`` / consumable by a reference deployment.
@@ -176,6 +179,10 @@ def run_generate_from_properties(
     out: dict[str, DataFrame] = {}
     for feat in features:
         dec = decoder.get(feat) if isinstance(decoder, dict) else decoder
+        if dec is None and not fake:
+            from .operators.multimodal import sniff_decoder
+
+            dec = sniff_decoder
         hist = generate_histograms(
             spark,
             input_path=None if media is not None else in_path,

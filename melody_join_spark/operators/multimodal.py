@@ -3,12 +3,20 @@
 Media are opaque ``binary`` columns plus typed metadata.  The Spark-side
 plumbing — schemas, `binaryFile` ingestion, Arrow-batched `mapInPandas`
 decode/feature/resize/frame-sample operators, partition sizing — is real and
-tested; the codec step is pluggable behind ``decoder=``: the default is the
-REAL (codec-free, deterministic) ``byte_histogram_decoder`` over the raw
-payload bytes, a production decoder callable (PIL/ffmpeg/librosa) plugs in
-unchanged, and ``fake=True`` selects the deterministic test fake.  Only
-modality-aware pixel/spectrogram decoding is deferred to the injected
-callable — this container has no image/audio libraries.
+tested.  Decoders, all codec-free and deterministic:
+
+- ``ppm_decoder``   — REAL pixel-level RGB color-cube histograms for
+  uncompressed PPM images (P6/P3 header parse, maxval rescale; pure numpy;
+  hash-gated end to end by the generate_media_pixels query)
+- ``wav_pcm_decoder`` — REAL sample-level amplitude histograms for RIFF/WAV
+  16-bit PCM (pure-numpy chunk walk)
+- ``byte_histogram_decoder`` — byte-distribution fallback for any payload
+- ``sniff_decoder`` — magic-byte dispatch across the three above
+- ``fake=True``     — seeded pseudo-histogram stand-in for recall tests
+
+A production codec-backed callable (PIL/ffmpeg/librosa for JPEG/MP3/...)
+plugs into ``decoder=`` unchanged — compressed-format decoding is the one
+remaining integration point in this codec-less container.
 
 This replaces the reference's generator input stack (HIPI bundles / Lire
 feature extractors, SURVEY.md §2.1 S6, src/com/iojin/melody/Generate.java:
@@ -40,6 +48,10 @@ __all__ = [
     "MEDIA_SCHEMA",
     "read_binary_dir",
     "byte_histogram_decoder",
+    "ppm_decoder",
+    "ppm_bin_points",
+    "wav_pcm_decoder",
+    "sniff_decoder",
     "fake_decode_image",
     "decode_features",
     "frame_sample",
@@ -89,6 +101,135 @@ def byte_histogram_decoder(content: bytes, bins: int) -> np.ndarray:
         return np.zeros(bins)
     h = np.bincount((a.astype(np.int64) * bins) >> 8, minlength=bins).astype(np.float64)
     return h / h.sum()
+
+
+def _ppm_tokens(content: bytes, n: int) -> tuple[list[bytes], int]:
+    """Read ``n`` whitespace-separated header tokens (with '#'-to-EOL
+    comments) starting after the magic; returns (tokens, offset past the
+    single whitespace byte that terminates the last token)."""
+    toks: list[bytes] = []
+    i = 2  # past 'P6'/'P3'
+    ln = len(content)
+    while len(toks) < n:
+        while i < ln and content[i : i + 1].isspace():
+            i += 1
+        if i < ln and content[i : i + 1] == b"#":
+            while i < ln and content[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < ln and not content[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        toks.append(content[i:j])
+        i = j
+    return toks, i + 1  # exactly one whitespace byte after maxval
+
+
+def ppm_decoder(content: bytes, bins: int) -> np.ndarray:
+    """REAL pixel-level image feature extractor for the uncompressed PPM
+    format (P6 binary / P3 ascii, maxval <= 255) — pure numpy, no codec
+    library (round-3 VERDICT item 3; the Lire color-histogram analog at
+    actual pixel depth, utils/GenerateUtil.java:44-60).
+
+    Quantizes each pixel into an RGB color cube with L levels per channel
+    (L = largest integer with L^3 <= bins; bins=27 -> the 3x3x3 cube, the
+    reference's DEFAULT d=3/B=27 histogram shape) and returns the
+    L1-normalized bucket histogram of length ``bins``; bucket index =
+    (r*L>>8)*L^2 + (g*L>>8)*L + (b*L>>8), row-major over bin points
+    [[ri, gi, bi]] — integer arithmetic end to end, so the independent
+    fixture re-implementation reproduces it exactly."""
+    if not content or content[:1] != b"P" or content[1:2] not in (b"3", b"6"):
+        raise ValueError("not a PPM payload (P3/P6 magic expected)")
+    binary = content[1:2] == b"6"
+    (wtok, htok, mtok), off = _ppm_tokens(content, 3)
+    w, h, maxval = int(wtok), int(htok), int(mtok)
+    if not (0 < maxval <= 255):
+        raise ValueError(f"unsupported PPM maxval {maxval} (expect <= 255)")
+    npx = w * h
+    if binary:
+        a = np.frombuffer(content, dtype=np.uint8, count=npx * 3, offset=off)
+    else:
+        a = np.array(content[off - 1 :].split()[: npx * 3], dtype=np.int64)
+    px = a.reshape(npx, 3).astype(np.int64)
+    if maxval != 255:
+        px = px * 255 // maxval
+    lvl = int(round(bins ** (1.0 / 3.0)))
+    while lvl**3 > bins:
+        lvl -= 1
+    idx = (px[:, 0] * lvl >> 8) * lvl * lvl + (px[:, 1] * lvl >> 8) * lvl + (
+        px[:, 2] * lvl >> 8
+    )
+    hist = np.bincount(idx, minlength=bins).astype(np.float64)
+    return hist / hist.sum()
+
+
+def ppm_bin_points(bins: int = 27) -> np.ndarray:
+    """(bins, 3) ground positions matching :func:`ppm_decoder`'s bucket
+    order — the (r, g, b) quantization-level lattice (trailing never-hit
+    buckets, when bins is not a perfect cube, sit past the cube corner so
+    they stay valid geometry)."""
+    lvl = int(round(bins ** (1.0 / 3.0)))
+    while lvl**3 > bins:
+        lvl -= 1
+    pts = [[r, g, b] for r in range(lvl) for g in range(lvl) for b in range(lvl)]
+    k = lvl - 1
+    while len(pts) < bins:  # pad (imperfect-cube bins) past the corner
+        pts.append([float(k + 1 + len(pts)), float(k), float(k)])
+    return np.array(pts, dtype=np.float64)
+
+
+def wav_pcm_decoder(content: bytes, bins: int) -> np.ndarray:
+    """REAL sample-level audio feature extractor for uncompressed WAV
+    (RIFF, 16-bit PCM) — pure numpy RIFF chunk walk, no codec library.
+    Returns the L1-normalized amplitude histogram: bucket =
+    (sample + 32768) * bins >> 16 over all channels' samples."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, ln = 12, len(content)
+    fmt_ok = False
+    data = None
+    while i + 8 <= ln:
+        cid = content[i : i + 4]
+        sz = int.from_bytes(content[i + 4 : i + 8], "little")
+        body = content[i + 8 : i + 8 + sz]
+        if cid == b"fmt ":
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (fmt={audio_fmt}, bits={bits}); "
+                    "only 16-bit PCM is codec-free"
+                )
+            fmt_ok = True
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if not fmt_ok or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    s = np.frombuffer(data, dtype="<i2", count=len(data) // 2).astype(np.int64)
+    if s.size == 0:
+        return np.zeros(bins)
+    hist = np.bincount((s + 32768) * bins >> 16, minlength=bins).astype(np.float64)
+    return hist / hist.sum()
+
+
+def sniff_decoder(content: bytes, bins: int) -> np.ndarray:
+    """Magic-byte dispatch to the best codec-free extractor available:
+    PPM (P6/P3) -> pixel color-cube histogram, RIFF/WAVE 16-bit PCM ->
+    amplitude histogram, anything else -> the byte histogram.  The compat
+    Generate entry point's default — pixel/sample depth wherever an
+    uncompressed format allows it without codec libraries."""
+    head = (content or b"")[:4]
+    try:
+        if head[:2] in (b"P3", b"P6"):
+            return ppm_decoder(content, bins)
+        if head == b"RIFF":
+            return wav_pcm_decoder(content, bins)
+    except ValueError:
+        pass  # malformed header: fall through to the byte histogram
+    return byte_histogram_decoder(content, bins)
 
 
 def fake_decode_image(content: bytes, bins: int) -> np.ndarray:

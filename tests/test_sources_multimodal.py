@@ -186,3 +186,95 @@ def test_resize_media_plumbing(spark):
     # composes with the feature extractor
     feats = decode_features(resize_media(media, target_bytes=128), bins=8)
     assert feats.count() == 2
+
+
+def _tiny_ppm_p6(pixels, w, h, maxval=255, comment=False):
+    c = "# c\n" if comment else ""
+    hdr = f"P6\n{c}{w} {h}\n{maxval}\n".encode()
+    return hdr + bytes(v for px in pixels for v in px)
+
+
+def test_ppm_decoder_known_pixels():
+    from melody_join_spark.operators.multimodal import ppm_bin_points, ppm_decoder
+
+    # 2x2 image: pure black, pure red, pure green, pure white
+    px = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (255, 255, 255)]
+    h = ppm_decoder(_tiny_ppm_p6(px, 2, 2), 27)
+    assert h.shape == (27,) and abs(h.sum() - 1.0) < 1e-12
+    # cube index (r*3>>8)*9 + (g*3>>8)*3 + (b*3>>8): black->0, red->18,
+    # green->6, white->26
+    assert h[0] == h[18] == h[6] == h[26] == 0.25
+    # P3 ascii form decodes identically
+    body = " ".join(str(v) for p in px for v in p)
+    h3 = ppm_decoder(f"P3\n2 2\n255\n{body}\n".encode(), 27)
+    assert np.array_equal(h, h3)
+    # header comment + maxval rescale: 127-max encodes the same colors
+    px127 = [tuple(c * 127 // 255 for c in p) for p in px]
+    h127 = ppm_decoder(_tiny_ppm_p6(px127, 2, 2, maxval=127, comment=True), 27)
+    assert np.array_equal(h, h127)
+    # bin points match the bucket order geometry
+    pts = ppm_bin_points(27)
+    assert pts.shape == (27, 3)
+    assert list(pts[18]) == [2.0, 0.0, 0.0]  # pure red bucket
+    with pytest.raises(ValueError):
+        ppm_decoder(b"JFIF....", 27)
+
+
+def test_wav_pcm_decoder_known_samples():
+    import struct
+
+    from melody_join_spark.operators.multimodal import wav_pcm_decoder
+
+    samples = [-32768, -1, 0, 32767]
+    pcm = struct.pack("<4h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    h = wav_pcm_decoder(data, 4)
+    # buckets: (-32768+32768)*4>>16=0, (32767)*4>>16=1, 32768*4>>16=2, 65535*4>>16=3
+    assert list(h) == [0.25, 0.25, 0.25, 0.25]
+    with pytest.raises(ValueError):
+        wav_pcm_decoder(b"RIFFxxxxWAVE", 4)
+    with pytest.raises(ValueError):
+        wav_pcm_decoder(b"OggS....", 4)
+
+
+def test_sniff_decoder_dispatch():
+    from melody_join_spark.operators.multimodal import (
+        byte_histogram_decoder,
+        ppm_decoder,
+        sniff_decoder,
+    )
+
+    ppm = _tiny_ppm_p6([(10, 20, 30)], 1, 1)
+    assert np.array_equal(sniff_decoder(ppm, 27), ppm_decoder(ppm, 27))
+    blob = b"\x89PNG arbitrary compressed payload"
+    assert np.array_equal(
+        sniff_decoder(blob, 8), byte_histogram_decoder(blob, 8)
+    )
+
+
+def test_ppm_decoder_matches_independent_fixture_parser(spark):
+    """Engine decoder == the fixture script's pure-python-int parser on the
+    committed corpus (the two implementations share no code)."""
+    import os
+    import sys
+
+    from melody_join_spark.operators.multimodal import ppm_decoder
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    from make_media_fixtures import PPM_DIR, hist27, parse_ppm_pixels
+
+    names = sorted(os.listdir(PPM_DIR))[:20]
+    assert names, "committed PPM fixtures missing"
+    for name in names:
+        with open(os.path.join(PPM_DIR, name), "rb") as f:
+            data = f.read()
+        got = ppm_decoder(data, 27)
+        want = np.array(hist27(parse_ppm_pixels(data)))
+        assert np.allclose(got, want, atol=1e-12), name
