@@ -97,6 +97,7 @@ class JoinStats:
         "exact_evaluated",
     )
     CELL_FIELDS = (
+        "seed_ceiling_micro",  # emd_topk_nd kth seed ceiling, in 1e-6 EMD units
         "guest_considered",
         "guest_pruned_empty",
         "guest_pruned_rubner",
@@ -771,7 +772,37 @@ def _grid_join(
     # applyInPandas task holds ~cell_cap rows, never the whole cell.  Cold
     # cells keep salt factor 1 — the plan below degenerates to the unsalted
     # one (sub == 0) with no extra replication.
-    salt = _salt_factors(cs.cnt, cell_cap)
+    #
+    # The split factor keys off the cell's LOAD (natives + an upper estimate
+    # of incoming guests), not the native count alone: when theta spans
+    # multiple cells (clustered data, generous radius) guests dominate group
+    # size and native-count salting under-splits — measured 2.4x straggler
+    # residue in scripts/skew_bench.py's cluster shape.  Guests into cell j
+    # are bounded at CELL granularity with the same Rubner bbox screen the
+    # guest UDF applies per record: every higher occupied cell whose
+    # centroid bbox lies within reach contributes its full count.  Driver-
+    # side numpy over <= G^d occupied cells, chunked to stay O(m * 256 * d)
+    # in memory.
+    load = cs.cnt.astype(np.float64).copy()
+    occ = np.flatnonzero(cs.cnt > 0)
+    if occ.size > 1 and cfg.rubner_ord is not None:
+        A_lo, A_hi = cs.cmin[occ], cs.cmax[occ]
+        cnt_occ = cs.cnt[occ].astype(np.float64)
+        guests_into = np.zeros(occ.size)
+        for s0 in range(0, occ.size, 256):
+            s1 = min(s0 + 256, occ.size)
+            gap = np.maximum(
+                A_lo[s0:s1, None, :] - A_hi[None, :, :],
+                A_lo[None, :, :] - A_hi[s0:s1, None, :],
+            )
+            np.maximum(gap, 0.0, out=gap)
+            dist = np.linalg.norm(gap, ord=cfg.rubner_ord, axis=2)  # (b, m)
+            near = dist <= reach
+            # guests into cell j (the chunk axis) come from higher cells i
+            higher = occ[None, :] > occ[s0:s1, None]
+            guests_into[s0:s1] = (near & higher) @ cnt_occ
+        load[occ] += guests_into
+    salt = _salt_factors(load, cell_cap)
     max_s = int(salt.max()) if salt.size else 1
     if max_s > 1:
         hot = {int(c): int(salt[c]) for c in np.flatnonzero(salt > 1)}
@@ -856,6 +887,16 @@ def _grid_join(
             li, ri, emds = casc.run(li, ri, theta, slack=cfg.slack)
         return _emit_pairs(ids, li, ri, emds, ordered=two_table)
 
+    # explicit hash repartition on the group key: the exact stage is
+    # CPU-quadratic per group but tiny in BYTES, so AQE's byte-based
+    # coalescing would pack salted sub-groups back onto one task and
+    # re-serialize the hot cell (measured: scripts/skew_bench.py).  A
+    # user-specified count is exempt from AQE coalescing, and hash
+    # partitioning on "grp" satisfies applyInPandas' clustering requirement,
+    # so this adds NO extra exchange — it just pins the task count.
+    spark = rec1.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    allrows = allrows.repartition(n_part, "grp")
     return allrows.groupBy("grp").applyInPandas(join_cell, _PAIR_SCHEMA)
 
 
@@ -1399,6 +1440,7 @@ def emd_topk_nd(
     w_col: str = "w",
     seed: int = 42,
     ground: str | np.ndarray = "l2",
+    stats: "JoinStats | None" = None,
 ) -> DataFrame:
     """k smallest-EMD pairs -> (rank, rid, sid, emd); ties by (emd, rid, sid)
     (JoinedPair.compareTo order, utils/JoinedPair.java:45-58).
@@ -1474,6 +1516,11 @@ def emd_topk_nd(
         exacts = emd_exact_pairs_memo(SW, cfg.cost, li_s, ri_s, sgrp, {})
         kth = float(np.partition(exacts, k - 1)[k - 1])
         probe = max(kth, 1e-9)
+        if stats is not None:
+            # ceiling tightness is the whole game for the single join pass:
+            # log it (micro-units; accumulators are ints) so seed-sampling
+            # changes are A/B-comparable
+            stats.add("seed_ceiling_micro", round(probe * 1e6))
         scored = None
         if strategy == "grid":
             # the quantile grid + cell screens are theta-independent: built
@@ -1484,11 +1531,11 @@ def emd_topk_nd(
             )
         while True:
             if ctx is not None:
-                cand = _grid_join(ctx, probe).persist()
+                cand = _grid_join(ctx, probe, stats=stats).persist()
             else:
                 cand = emd_join_nd(
                     rec, bin_points, probe, cfg=cfg, strategy=strategy,
-                    grid=grid, num_blocks=num_blocks,
+                    grid=grid, num_blocks=num_blocks, stats=stats,
                 ).persist()
             if cand.count() >= k:
                 scored = cand
