@@ -170,9 +170,13 @@ def _q_emd_nd_topk_3d(spark, sf_dir):
     from pyspark.sql.window import Window
 
     hist = lineitem_histograms_3d(spark, sf_dir)
+    # sample_size 600: deep enough that the seed sample captures the
+    # duplicate-histogram tail at sf0.1 (>= k zero-EMD pairs -> ceiling ==
+    # the true kth == 0, one near-empty grid pass; round-4 tuning, 12 ->
+    # 8.4 s).  The LB-sorted seed solves only ~k LPs regardless.
     res = emd_topk_nd(
         hist, bin_points_3d(), ND_TOPK + 10, strategy="grid", grid=16,
-        sample_size=300,
+        sample_size=600,
     )
     w = Window.orderBy(
         F.round("emd", 6).asc(), F.col("rid").asc(), F.col("sid").asc()

@@ -47,6 +47,10 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        qs = {k: v for k, v in qs.items() if k in keep}
     runs: dict[str, list[float]] = {name: [] for name in qs}
     busy_per_run: list[float] = []
     steal_per_run: list[float | None] = []
