@@ -277,7 +277,7 @@ def _q_emd_nd_arbitrary(spark, sf_dir):
     diff = np.abs(pts[:, None, :] - pts[None, :, :])
     C = np.sqrt(diff.sum(axis=2))
     res = emd_join_nd(
-        hist, pts, ND_THETA_ARB, strategy="pivot", ground=C, num_pivots=24
+        hist, pts, ND_THETA_ARB, strategy="pivot", ground=C, num_pivots=48
     )
     return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
 
