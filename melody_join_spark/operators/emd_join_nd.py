@@ -1192,6 +1192,11 @@ def _pivot_join(
         li, ri, emds = casc.run(li, ri, theta, slack=cfg.slack)
         return _emit_pairs(ids, li, ri, emds)
 
+    # pin the task count: same CPU-quadratic-groups-vs-byte-based-AQE
+    # rationale as _grid_join (see comment there / SCALE.md skew section)
+    spark = rec.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    expanded = expanded.repartition(n_part, "grp")
     return expanded.groupBy("grp").applyInPandas(join_part, _PAIR_SCHEMA)
 
 
