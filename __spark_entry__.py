@@ -233,6 +233,27 @@ def _q_emd_nd_two_table(spark, sf_dir):
     )
 
 
+def _q_emd_nd_two_table_2d(spark, sf_dir):
+    """Two-table R x S at d=2 — the grid machinery's side-tagged record
+    path priced through real LPs (the collinear two-table query delegates
+    to pure SQL; this one cannot).  Tables are the deterministic even/odd
+    id split of the d=2 histograms; the oracle derives the cross-parity
+    pairs from the same all-pairs SSP fixture as the self-join queries
+    (rid always the even side, matching the operator's R-first output)."""
+    hist = lineitem_histograms_2d(spark, sf_dir)
+    r = hist.where(F.col("id") % 2 == 0)
+    s = hist.where(F.col("id") % 2 == 1)
+    res = emd_join_nd(
+        r.select("id", "w"),
+        bin_points_2d(),
+        ND_THETA_2D,
+        other=s.select("id", "w"),
+        strategy="grid",
+        grid=20,
+    )
+    return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
+
+
 def _q_emd_nd_pivot_line(spark, sf_dir):
     """MRSimJoin pivot strategy on the collinear gate — same oracle as the
     grid variant, so both physical plans are hash-checked independently."""
@@ -766,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_nd_threshold_3d": _q_emd_nd_3d,
         "emd_nd_topk_3d": _q_emd_nd_topk_3d,
         "emd_nd_two_table_line": _q_emd_nd_two_table,
+        "emd_nd_two_table_2d": _q_emd_nd_two_table_2d,
         "emd_nd_threshold_pivot_line": _q_emd_nd_pivot_line,
         "emd_nd_threshold_pivot_2d": _q_emd_nd_pivot_2d,
         "emd_nd_threshold_arbitrary": _q_emd_nd_arbitrary,
@@ -1007,6 +1029,14 @@ WHERE emd <= {ND_THETA_ARB} + 1e-4 ORDER BY rid, sid"""
     nd_2d_sql = f"""
 SELECT rid, sid, round(emd, 6) + 0 AS emd FROM {fx}
 WHERE emd <= {ND_THETA_2D} + 1e-4 ORDER BY rid, sid"""
+    nd_two_table_2d_sql = f"""
+WITH bothdir AS (
+  SELECT rid, sid, emd FROM {fx}
+  UNION ALL SELECT sid, rid, emd FROM {fx}
+)
+SELECT rid, sid, round(emd, 6) + 0 AS emd FROM bothdir
+WHERE rid % 2 = 0 AND sid % 2 = 1 AND emd <= {ND_THETA_2D} + 1e-4
+ORDER BY rid, sid"""
     nd_2d_l1_sql = f"""
 SELECT rid, sid, round(emd, 6) + 0 AS emd FROM {fx_l1}
 WHERE emd <= {ND_THETA_2D} + 1e-4 ORDER BY rid, sid"""
@@ -1079,6 +1109,7 @@ WHERE rank <= {KNN_K} ORDER BY qid, rank"""
         "emd_nd_threshold_3d": nd_3d_sql,
         "emd_nd_topk_3d": nd_topk_3d_sql,
         "emd_nd_two_table_line": two_table_sql,
+        "emd_nd_two_table_2d": nd_two_table_2d_sql,
         "emd_nd_threshold_pivot_line": nd_line_sql,
         "emd_nd_threshold_pivot_2d": nd_2d_sql,
         "emd_nd_threshold_arbitrary": nd_arb_sql,
