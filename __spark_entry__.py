@@ -632,6 +632,31 @@ def _q_jaccard(spark, sf_dir):
     )
 
 
+def _q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup dedup over the documents table (the
+    paraphrase-duplicate axis no lexical fingerprint catches).  Threshold
+    0.4 sits above the synthetic embeddings' noise floor (53 drops at
+    sf0.01); the greedy smaller-id-survives rule matches dedupe()."""
+    from melody_join_spark.operators.dedup import dedupe_embeddings
+
+    kept = dedupe_embeddings(
+        _docs(spark, sf_dir), _emb(spark, sf_dir), threshold=0.4
+    )
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _q_split_corpus(spark, sf_dir):
+    """Deterministic train/val/test assignment — pure per-row hash label,
+    zero shuffle (plan-asserted scan shape like the other corpus ops)."""
+    from melody_join_spark.operators.corpus import split_corpus
+
+    out = split_corpus(_docs(spark, sf_dir), SPLIT_FRACTIONS)
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
 def _q_dedup_incremental(spark, sf_dir):
     """Nightly-crawl admission (round-3 VERDICT item 4): documents split
     deterministically into an existing corpus (doc_id % 5 != 0) and a new
@@ -806,6 +831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_knn_big": _q_emd_knn_big,
         "dedup_jaccard_ngram": _q_jaccard,
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_embedding": _q_dedup_embedding,
+        "split_corpus": _q_split_corpus,
         "dedup_winnow": _q_winnow,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_minhash_lsh": _q_minhash,
@@ -852,6 +879,19 @@ toks AS (
 SELECT id, CAST((n - 1) // {c} + 1 AS BIGINT) AS n_chunks,
        CAST(n AS BIGINT) AS n_tokens
 FROM toks WHERE n > 0 ORDER BY id"""
+
+
+def _dedupe_embeddings_oracle() -> str:
+    from melody_join_spark.operators.dedup import dedupe_embeddings_oracle_sql
+
+    return dedupe_embeddings_oracle_sql(0.4, dim=64)
+
+
+def _split_corpus_oracle() -> str:
+    from melody_join_spark.operators.corpus import split_corpus_oracle_sql
+
+    inner = split_corpus_oracle_sql(SPLIT_FRACTIONS)
+    return f"SELECT doc_id, split FROM ({inner}) ORDER BY doc_id"
 
 
 def _generate_media_oracle_sql() -> str:
@@ -1178,6 +1218,8 @@ FROM qf ORDER BY doc_id""",
         "dedup_incremental": dedupe_incremental_oracle_sql(
             JACCARD_THETA, new_pred="doc_id % 5 = 0", ngram=JACCARD_NGRAM
         ),
+        "dedup_embedding": _dedupe_embeddings_oracle(),
+        "split_corpus": _split_corpus_oracle(),
         "dedup_clusters": dup_clusters_oracle_sql(
             jaccard_pairs_oracle_sql(JACCARD_THETA, ngram=JACCARD_NGRAM),
             ids_sql="SELECT doc_id AS id FROM documents",

@@ -309,3 +309,58 @@ def sample_corpus_oracle_sql(
             f"ELSE {rate} END"
         )
     return f"SELECT * FROM {table} WHERE {u} < {rate}"
+
+
+def split_corpus(
+    df: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: one `split` label per row,
+    decided by the same md5-derived uniform as :func:`sample_corpus` —
+    a pure per-row function of the id, so the assignment is reproducible
+    across runs, partitionings and engines, rows never move between splits
+    when the corpus grows, and at 100 TB it is a scan-side projection
+    (zero shuffle, zero join).  ``fractions`` must sum to <= 1; any
+    remainder falls into the LAST split listed (insertion order)."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not fractions or sum(fractions.values()) > 1.0 + 1e-9:
+        raise ValueError("split fractions must be non-empty and sum to <= 1")
+    u = _uniform_u32(F.col(id_col))
+    names = list(fractions)
+    # nested CASE over cumulative boundaries, built from the last split
+    # backwards so the innermost test is the first boundary
+    expr: Column = F.lit(names[-1])
+    lo = 0.0
+    cases = []
+    for name in names[:-1]:
+        cases.append((lo + float(fractions[name]), name))
+        lo += float(fractions[name])
+    for bound, name in reversed(cases):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def split_corpus_oracle_sql(
+    fractions: dict[str, float] | None = None,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> str:
+    """DuckDB twin of :func:`split_corpus`."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    u = (
+        f"(CAST(CAST('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 8) AS UBIGINT)"
+        f" AS DOUBLE) / {float(1 << 32)})"
+    )
+    names = list(fractions)
+    expr = f"'{names[-1]}'"
+    lo = 0.0
+    cases = []
+    for name in names[:-1]:
+        cases.append((lo + float(fractions[name]), name))
+        lo += float(fractions[name])
+    for bound, name in reversed(cases):
+        expr = f"CASE WHEN {u} < {bound} THEN '{name}' ELSE {expr} END"
+    return f"SELECT *, {expr} AS {split_col} FROM {table}"

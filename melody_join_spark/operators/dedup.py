@@ -55,6 +55,9 @@ __all__ = [
     "simhash64",
     "simhash_pairs",
     "dedupe_incremental",
+    "dedupe_incremental_oracle_sql",
+    "dedupe_embeddings",
+    "dedupe_embeddings_oracle_sql",
 ]
 
 
@@ -1197,4 +1200,72 @@ dups AS (
   WHERE i / (sn.nt + sc.nt - i) >= {threshold}
 )
 SELECT {id_col} FROM newd WHERE {id_col} NOT IN (SELECT rid FROM dups)
+ORDER BY {id_col}"""
+
+
+def dedupe_embeddings(
+    docs: DataFrame,
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    num_planes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate REMOVAL over the documents table:
+    a document is dropped when its embedding has cosine >= ``threshold``
+    with a smaller-id document's embedding — the greedy one-pass survivor
+    rule (same contract as :func:`dedupe` mode='minhash', but the
+    similarity signal is the embedding space, which catches paraphrase
+    duplicates no lexical fingerprint sees).
+
+    ``method='exact'`` scores all pairs (:func:`cosine_pairs` — the oracle
+    semantics, fine to ~10^4 vectors); ``'lsh'`` routes candidates through
+    the random-hyperplane sketch (:func:`lsh_cosine_pairs`) — the
+    10^8-vector scale path, recall < 1.  Documents without an embedding
+    row are kept (nothing to compare).  One anti-join either way."""
+    from .similarity import cosine_pairs, lsh_cosine_pairs
+
+    if method == "exact":
+        pairs = cosine_pairs(emb, threshold, id_col=emb_id_col, vec_col=vec_col)
+    elif method == "lsh":
+        pairs = lsh_cosine_pairs(
+            emb, threshold, id_col=emb_id_col, vec_col=vec_col,
+            num_planes=num_planes, bands=bands, seed=seed,
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    # pairs carry rid < sid; the larger id of every qualifying pair drops
+    dropped = pairs.select(F.col("sid").alias(id_col)).distinct()
+    return docs.join(dropped, id_col, "anti")
+
+
+def dedupe_embeddings_oracle_sql(
+    threshold: float,
+    dim: int,
+    docs_table: str = "documents",
+    emb_table: str = "embeddings",
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`dedupe_embeddings` (method='exact')."""
+    return f"""
+WITH e AS (
+  SELECT {emb_id_col} AS id,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {emb_table}
+),
+n AS (SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+dropped AS (
+  SELECT DISTINCT b.id AS id
+  FROM n a JOIN n b ON a.id < b.id
+  WHERE list_sum(list_transform(range(1, {dim + 1}), i -> a.v[i] * b.v[i]))
+          / (a.nrm * b.nrm) >= {threshold}
+)
+SELECT {id_col} FROM {docs_table}
+WHERE {id_col} NOT IN (SELECT id FROM dropped)
 ORDER BY {id_col}"""

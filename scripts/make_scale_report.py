@@ -221,9 +221,25 @@ def main() -> None:
         out.append("```")
         out.append("")
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md")
+    # preserve hand-written MEASURED sections (skew bench, crossover A/B)
+    # appended after the auto-generated plan sections — regeneration must
+    # not clobber evidence that takes real benchmark runs to reproduce
+    manual = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        for marker in (
+            "## Adversarial skew: measured straggler evidence",
+            "## 1-D cells vs bruteforce",
+        ):
+            i = prev.find(marker)
+            if i >= 0:
+                manual = prev[i:]
+                break
     with open(path, "w") as fh:
         fh.write("\n".join(out))
-    print(f"wrote {path}")
+        if manual:
+            fh.write("\n" + manual)
+    print(f"wrote {path}" + (" (manual sections preserved)" if manual else ""))
 
 
 if __name__ == "__main__":

@@ -269,3 +269,32 @@ def test_chunk_documents_overlap(spark):
     assert len(out) == 5
     with _pt.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_split_corpus_deterministic_and_complete(spark):
+    from melody_join_spark.operators.corpus import split_corpus
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = split_corpus(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
+    assert set(rows.values()) <= {"train", "val", "test"}
+    n = len(rows)
+    n_train = sum(1 for v in rows.values() if v == "train")
+    assert 0.7 * n <= n_train <= 0.9 * n  # hash-uniform within tolerance
+    # deterministic across invocations and partitionings
+    rows2 = {
+        r.doc_id: r.split
+        for r in split_corpus(df.repartition(7), {"train": 0.8, "val": 0.1, "test": 0.1})
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert rows2 == rows
+    # growing the corpus never moves existing rows between splits
+    half = {r.doc_id: r.split
+            for r in split_corpus(df.limit(200), {"train": 0.8, "val": 0.1, "test": 0.1})
+            .select("doc_id", "split").collect()}
+    assert all(rows[k] == v for k, v in half.items())
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_corpus(df, {"a": 0.9, "b": 0.2})

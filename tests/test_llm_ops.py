@@ -616,3 +616,19 @@ def test_ivf_search_distributed_matches_collected(spark, emb):
     assert got == ref and len(got) > 0
     with pytest.raises(ValueError, match="collect_threshold"):
         ivf_search(idx, qs, k=5, distributed=False, collect_threshold=4)
+
+
+def test_dedupe_embeddings_greedy_rule(spark, docs, emb):
+    from melody_join_spark.operators.dedup import dedupe_embeddings
+    from melody_join_spark.operators.similarity import cosine_pairs
+
+    kept = {r.doc_id for r in dedupe_embeddings(docs, emb, threshold=0.4).collect()}
+    pairs = cosine_pairs(emb, 0.4).collect()
+    dropped = {r.sid for r in pairs}
+    expect = {r.doc_id for r in docs.collect()} - dropped
+    assert kept == expect
+    # every dropped doc has a kept (or at least smaller-id) partner
+    by_sid = {}
+    for r in pairs:
+        by_sid.setdefault(r.sid, []).append(r.rid)
+    assert all(min(v) < k for k, v in by_sid.items())
