@@ -135,6 +135,7 @@ def test_corpus_prep_ops_scan_shaped(spark):
         chunk_documents,
         redact_pii,
         sample_corpus,
+        split_corpus,
     )
 
     spark.catalog.clearCache()
@@ -143,6 +144,7 @@ def test_corpus_prep_ops_scan_shaped(spark):
         chunk_documents(docs),
         redact_pii(docs),
         sample_corpus(docs, {"src0": 0.5}),
+        split_corpus(docs),
     ):
         plan = plan_of(df)
         assert "Exchange" not in plan
