@@ -157,45 +157,11 @@ def emd_threshold_join(
     h = h.persist()
     a, b = _pair_frame(h, "a"), _pair_frame(h, "b")
 
-    # Two round-4 fixes, both measured (SCALE.md skew section):
-    # 1. pin the join parallelism — the per-PAIR emd expression runs in
-    #    the join stage, so its cost is quadratic in cell population while
-    #    its shuffle BYTES are tiny; AQE's byte-based coalescing packed
-    #    the stage onto 2 tasks (measured 10.8 s wall at sf0.1).  Explicit
-    #    repartition counts are exempt, and hash partitioning on the join
-    #    key is reused by the join — no extra exchange.
-    # 2. salt the cell blocks — theta-wide cells are COARSE (sf0.1: 16
-    #    cells, top cell 773 rows -> one 600k-pair task).  The b side
-    #    hashes into S static blocks and the a side explodes across them,
-    #    splitting every cell's pair block S ways; pure codegen, a-side
-    #    replication is S tiny rows-with-arrays, and each unordered pair
-    #    still appears exactly once (its b-block copy).
-    n_part = int(
-        hist.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    S = 8
-    bp = b.withColumn("blk_b", F.pmod(F.xxhash64("id_b"), F.lit(S))).repartition(
-        n_part, "cell_b", "blk_b"
-    )
-    a_s = a.withColumn(
-        "blk_p", F.explode(F.array(*[F.lit(i).cast("long") for i in range(S)]))
-    )
     # same-cell pairs, dedup by id ordering
-    same = a_s.repartition(n_part, "cell_a", "blk_p").join(
-        bp,
-        on=[
-            F.col("cell_a") == F.col("cell_b"),
-            F.col("blk_p") == F.col("blk_b"),
-            F.col("id_a") < F.col("id_b"),
-        ],
-    )
+    same = a.join(b, on=[a.cell_a == b.cell_b, a.id_a < b.id_b])
     # neighbor-cell pairs: native cell c joined with guests from cell c+1;
     # each cross-cell pair computed exactly once (cell_a < cell_b)
-    an = a_s.withColumn("probe", F.col("cell_a") + F.lit(1))
-    neigh = an.repartition(n_part, "probe", "blk_p").join(
-        bp,
-        on=[F.col("probe") == F.col("cell_b"), F.col("blk_p") == F.col("blk_b")],
-    ).drop("probe")
+    neigh = a.join(b, on=[a.cell_a + F.lit(1) == b.cell_b])
 
     out = []
     for pairs in (same, neigh):
