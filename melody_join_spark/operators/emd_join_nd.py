@@ -1374,20 +1374,15 @@ def emd_knn(
             sup_all, cnt_all = support_table(Wall)
             n_groups = int(grp_all.max()) + 1
             memo: dict = {}
-        for qi in range(nq):
-            if cfg.rubner_ord is not None:
+        if d1:
+            for qi in range(nq):
                 lb = np.linalg.norm(
                     cents - qc_[qi], ord=cfg.rubner_ord, axis=1
                 )  # Rubner
-            else:
-                lb = np.zeros(cents.shape[0])  # arbitrary cost: no screen
-            for wc, dxp, qcp in pcdfs:
-                np.maximum(lb, np.abs(wc - qcp[qi]) @ dxp, out=lb)
-            o = np.argsort(lb, kind="stable")
-            o = o[ids[o] != qids_[qi]]
-            kth = np.inf
-            heap: list[tuple[float, int]] = []
-            if d1:
+                o = np.argsort(lb, kind="stable")
+                o = o[ids[o] != qids_[qi]]
+                kth = np.inf
+                heap: list[tuple[float, int]] = []
                 for j in o:
                     if lb[j] > kth:
                         break  # optimal multi-step stop
@@ -1397,32 +1392,83 @@ def emd_knn(
                         heap.sort()
                         heap = heap[:k]
                         kth = heap[-1][0]
-            else:
-                # chunked multi-step: evaluate candidates in lb order a
-                # CHUNK at a time through the batched simplex, tightening
-                # kth after each chunk — at most one chunk of extra LPs
-                # vs the per-candidate optimal stop, at batch speed
-                CHUNK = max(64, 2 * k)
-                pos_ = 0
-                while pos_ < o.size and lb[o[pos_]] <= kth:
-                    hi_ = np.searchsorted(lb[o[pos_:pos_ + CHUNK]], kth, "right")
-                    j_chunk = o[pos_:pos_ + hi_]
-                    pos_ += hi_
-                    if j_chunk.size == 0:
-                        break
-                    es = emd_exact_pairs_memo(
-                        Wall, cost,
-                        np.full(j_chunk.size, qi, dtype=np.int64),
-                        nq + j_chunk,
-                        grp_all, memo,
-                        sup=sup_all, cnt=cnt_all, n_groups=n_groups,
-                    )
-                    heap.extend(zip(es.tolist(), ids[j_chunk].astype(int).tolist()))
-                    if len(heap) >= k:
-                        heap.sort()
-                        heap = heap[:k]
-                        kth = heap[-1][0]
-            for e, nid in sorted(heap)[:k]:
+                for e, nid in sorted(heap)[:k]:
+                    out_q.append(int(qids_[qi]))
+                    out_n.append(nid)
+                    out_e.append(e)
+            return pd.DataFrame({"qid": out_q, "nid": out_n, "emd": out_e})
+
+        # d >= 2: ROUND-BASED multi-step across ALL queries at once.  The
+        # per-query chunked loop cost ~2 batch-solver calls per query —
+        # each call's fixed overhead (group gather, tableau setup)
+        # dominated emd_knn_big's wall time.  Instead every round collects
+        # each active query's next lb-ordered candidate chunk and solves
+        # ONE stacked batch for the whole block; rounds needed ~ a small
+        # constant, so solver-call count drops from O(queries) to O(1) per
+        # block.  Same optimal stop per query (a query goes inactive when
+        # its next lower bound exceeds its running kth distance).
+        ndb = W.shape[0]
+        LBm = np.zeros((nq, ndb))
+        # query-sliced: the (slice, ndb, B) broadcast intermediates stay
+        # ~tens of MB regardless of block sizes
+        QS = max(1, int(8_000_000 // max(1, ndb * cfg.bin_points.shape[0])))
+        for s0 in range(0, nq, QS):
+            s1 = min(s0 + QS, nq)
+            if cfg.rubner_ord is not None:
+                LBm[s0:s1] = np.linalg.norm(
+                    cents[None, :, :] - qc_[s0:s1, None, :],
+                    ord=cfg.rubner_ord,
+                    axis=2,
+                )
+            for wc, dxp, qcp in pcdfs:
+                pb = np.abs(wc[None, :, :] - qcp[s0:s1, None, :]) @ dxp
+                np.maximum(LBm[s0:s1], pb, out=LBm[s0:s1])
+        LBm[ids[None, :] == qids_[:, None]] = np.inf  # self-matches out
+        orders_q = np.argsort(LBm, axis=1, kind="stable")
+        LBs = np.take_along_axis(LBm, orders_q, axis=1)
+        nvalid = (np.isfinite(LBs)).sum(axis=1)
+        ptr = np.zeros(nq, dtype=np.int64)
+        kth_arr = np.full(nq, np.inf)
+        heaps: list[list[tuple[float, int]]] = [[] for _ in range(nq)]
+        CHUNK = max(64, 2 * k)
+        while True:
+            li_parts: list[np.ndarray] = []
+            ri_parts: list[np.ndarray] = []
+            for qi in range(nq):
+                p0 = ptr[qi]
+                lim = min(nvalid[qi], p0 + CHUNK)
+                if p0 >= lim or LBs[qi, p0] > kth_arr[qi]:
+                    continue
+                hi = p0 + int(
+                    np.searchsorted(LBs[qi, p0:lim], kth_arr[qi], "right")
+                )
+                if hi == p0:
+                    continue
+                li_parts.append(np.full(hi - p0, qi, dtype=np.int64))
+                ri_parts.append(orders_q[qi, p0:hi])
+                ptr[qi] = hi
+            if not li_parts:
+                break
+            liq = np.concatenate(li_parts)
+            rjj = np.concatenate(ri_parts)
+            es = emd_exact_pairs_memo(
+                Wall, cost, liq, nq + rjj, grp_all, memo,
+                sup=sup_all, cnt=cnt_all, n_groups=n_groups,
+            )
+            off = 0
+            for part_q, part_r in zip(li_parts, ri_parts):
+                qi = int(part_q[0])
+                cnt = part_q.size
+                vals = es[off : off + cnt]
+                off += cnt
+                h = heaps[qi]
+                h.extend(zip(vals.tolist(), ids[part_r].astype(int).tolist()))
+                if len(h) >= k:
+                    h.sort()
+                    del h[k:]
+                    kth_arr[qi] = h[-1][0]
+        for qi in range(nq):
+            for e, nid in sorted(heaps[qi])[:k]:
                 out_q.append(int(qids_[qi]))
                 out_n.append(nid)
                 out_e.append(e)
