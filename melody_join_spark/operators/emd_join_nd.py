@@ -1477,11 +1477,13 @@ def emd_knn(
     dbr = db.select(F.col(id_col).alias("id"), F.col(w_col).alias("w"))
     if distributed:
         # cogrouped block path: no driver materialization of either side;
-        # floor group count at cluster parallelism (narrow scans would give
-        # 1x1 blocks) by scaling the query axis
+        # floor group count at 4x cluster parallelism (narrow scans would
+        # give 1x1 blocks; CPU-dense groups need slack for balance) by
+        # scaling the query axis — replicating the db side qcN times costs
+        # qcN * |db| small rows, cheap next to the block work it spreads
         qcN = max(1, q.rdd.getNumPartitions())
         dcN = max(1, dbr.rdd.getNumPartitions())
-        par = spark.sparkContext.defaultParallelism
+        par = 4 * spark.sparkContext.defaultParallelism
         if qcN * dcN < par:
             qcN = -(-par // dcN)
         # key columns LONG on both sides — int-typed exploded literals
@@ -1502,9 +1504,17 @@ def emd_knn(
             QW_ = normalize(np.stack(qpdf["w"].to_numpy()).astype(np.float64))
             return knn_block(qids_, QW_, QW_ @ cfg.bin_points, dpdf)
 
+        # pin the cogroup's task count: the block work is LP/CPU-bound
+        # while its shuffle bytes are small, so AQE byte-coalescing packs
+        # the stage onto a few tasks (measured 5 tasks / 9.9 s median on
+        # emd_knn_big).  Hash partitioning both children on the keys with
+        # an explicit count satisfies CoGroup's clustering requirement and
+        # is exempt from coalescing.
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         local = (
-            q2.groupBy("qc", "dc")
-            .cogroup(d2.groupBy("qc", "dc"))
+            q2.repartition(n_part, "qc", "dc")
+            .groupBy("qc", "dc")
+            .cogroup(d2.repartition(n_part, "qc", "dc").groupBy("qc", "dc"))
             .applyInPandas(block, "qid long, nid long, emd double")
         )
     else:

@@ -140,11 +140,12 @@ def _cosine_topk_blocked(
     db = emb.select(F.col(id_col).alias("nid"), _as_double(vec_col).alias("v"))
     qcN = max(1, q_blocks or q.rdd.getNumPartitions())
     dcN = max(1, db_blocks or db.rdd.getNumPartitions())
-    # floor the group count at the cluster parallelism: a narrow scan (one
+    # floor the group count at 4x cluster parallelism: a narrow scan (one
     # parquet file) would otherwise yield 1x1 blocks — one giant group on
-    # one core.  Scale the QUERY axis (replicating queries across db blocks
-    # is the cheap direction when queries outnumber lists).
-    par = q.sparkSession.sparkContext.defaultParallelism
+    # one core — and CPU-dense matmul groups need slack for balance.
+    # Scale the QUERY axis (replicating queries across db blocks is the
+    # cheap direction when queries outnumber lists).
+    par = 4 * q.sparkSession.sparkContext.defaultParallelism
     if q_blocks is None and qcN * dcN < par:
         qcN = -(-par // dcN)
 
@@ -206,9 +207,15 @@ def _cosine_topk_blocked(
         )
         return out[out.qid != out.nid]
 
+    # pin the cogroup's task count against AQE byte-coalescing (matmul work
+    # is CPU-dense per byte; see emd_knn's identical note)
+    n_part = int(
+        q.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     local = (
-        q2.groupBy("qc", "dc")
-        .cogroup(d2.groupBy("qc", "dc"))
+        q2.repartition(n_part, "qc", "dc")
+        .groupBy("qc", "dc")
+        .cogroup(d2.repartition(n_part, "qc", "dc").groupBy("qc", "dc"))
         .applyInPandas(block, "qid long, nid long, cosine double")
     )
     return _rank_topk(local, k, round_to)
