@@ -1101,9 +1101,16 @@ def _pivot_join(
             StructField("dists", ArrayType(DoubleType())),
         ]
     )
-    with_d = rec.select(
-        "id", "w", F.col("side").cast("long").alias("side")
-    ).mapInPandas(dists_part, dist_schema)
+    # spread the assignment stage: its input is usually a persisted frame
+    # whose final AQE stage coalesced to very few partitions, but the
+    # per-record work here is LP-bound (exact EMDs to pivots) — measured
+    # 6.7 s on ONE task at sf0.1.  A round-robin repartition of the tiny
+    # (id, w) rows costs nothing next to the work it parallelizes.
+    par = rec.sparkSession.sparkContext.defaultParallelism
+    rec_in = rec.select("id", "w", F.col("side").cast("long").alias("side"))
+    if rec_in.rdd.getNumPartitions() < par:
+        rec_in = rec_in.repartition(par)
+    with_d = rec_in.mapInPandas(dists_part, dist_schema)
 
     # partition keys: base partition (b, b) always; window (i, j), i<j, when
     # the hyperplane rule admits a cross-boundary match with that pivot
