@@ -227,10 +227,13 @@ def emd_topk_join(
     # three actions consume hist (seed sample, both cell-join sides):
     # persist once
     hist = hist.persist()
-    # deterministic seed sample: smallest `sample_size` ids (stable across
-    # runs/partitionings; the reference samples randomly but seeded —
-    # NEPreMapper.java:130-132 — determinism is what matters for replay)
-    sample = hist.orderBy("id").limit(sample_size)
+    # deterministic seed sample in xxhash64(id) order — stable across
+    # runs/partitionings like the reference's seeded random sample
+    # (NEPreMapper.java:130-132), but unbiased on id-clustered data where
+    # the first ids are near-duplicates and loosen the kth bound (the
+    # round-3 ND top-k lesson applied to the 1-D path; the bound stays
+    # sound either way, only the join radius tightness changes)
+    sample = hist.orderBy(F.xxhash64(F.col("id")), F.col("id")).limit(sample_size)
     sa, sb = _pair_frame(sample, "a"), _pair_frame(sample, "b")
     spairs = (
         sa.crossJoin(sb)

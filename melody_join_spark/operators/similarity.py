@@ -361,8 +361,18 @@ def ivf_build(
     as PartitionFilters in the scan) — plus the codebook as a tiny
     parquet table.  Load with :func:`ivf_load`.
     """
+    # deterministic HASH-ordered sample, not limit()'s partition order: on
+    # id- or time-clustered tables the first rows are correlated, which
+    # skews the codebook (the round-3 top-k seed lesson applied here); md5
+    # keeps the order reproducible in pure python for the spec fixture
     X = np.array(
-        [r[1] for r in emb.select(id_col, vec_col).limit(kmeans_sample).collect()],
+        [
+            r[1]
+            for r in emb.select(id_col, vec_col)
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(kmeans_sample)
+            .collect()
+        ],
         dtype=np.float64,
     )
     C = _spherical_kmeans(X, nlist, kmeans_iters, seed)

@@ -299,20 +299,37 @@ def make_ivf_fixture(
     ids = t["vec_id"].to_pylist()
     vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
 
-    # codebook: same sample (file order, limit >= table size here), same ops
+    # codebook: same sample as the operator — md5(id)-hash order (the
+    # operator's deterministic unbiased sample; limit >= table size here,
+    # so only the ORDER matters for rng.choice's index mapping), same ops
+    import hashlib
+
     rng = np.random.default_rng(seed)
-    X = vecs
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    C = Xn[rng.choice(len(Xn), size=min(nlist, len(Xn)), replace=False)]
+    md5_order = np.argsort(
+        np.array(
+            [
+                (hashlib.md5(str(int(i)).encode()).hexdigest(), int(i))
+                for i in ids
+            ],
+            dtype=[("h", "U32"), ("i", "i8")],
+        ),
+        order=("h", "i"),
+        kind="stable",
+    )
+    Xs = vecs[md5_order]  # the kmeans SAMPLE (hash order)
+    Xsn = Xs / np.maximum(np.linalg.norm(Xs, axis=1, keepdims=True), 1e-12)
+    C = Xsn[rng.choice(len(Xsn), size=min(nlist, len(Xsn)), replace=False)]
     for _ in range(kmeans_iters):
-        assign = (Xn @ C.T).argmax(axis=1)
+        assign = (Xsn @ C.T).argmax(axis=1)
         for c in range(C.shape[0]):
             m = assign == c
             if m.any():
-                v = Xn[m].sum(axis=0)
+                v = Xsn[m].sum(axis=0)
                 n = np.linalg.norm(v)
                 if n > 1e-12:
                     C[c] = v / n
+    # assignment runs over the FULL table in its own order
+    Xn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
     list_id = (Xn @ C.T).argmax(axis=1)
 
     order = np.argsort(np.asarray(ids), kind="stable")[:n_queries]
