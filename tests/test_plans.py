@@ -219,3 +219,26 @@ def test_lookup_family_distributed_plans_collect_free(spark):
     p = plan_of(emd_knn(hist, hist, bins, k=3, distributed=True))
     assert "FlatMapCoGroupsInPandas" in p
     assert "CollectLimit" not in p
+
+
+def test_cogroup_pin_adds_no_extra_exchange(spark):
+    """The explicit repartition(n, keys) on both cogroup children must be
+    REUSED by CoGroup's clustering requirement — exactly one hash exchange
+    per side, none stacked on top (the task-count pin is free)."""
+    import re
+
+    from melody_join_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    plan = plan_of(
+        cosine_topk(emb, qs, k=3, q_id_col="qid", q_vec_col="qv", distributed=True)
+    )
+    tree = plan.split("(1) ")[0]
+    # exchanges feeding the cogroup: count hashpartitioning exchanges in the
+    # whole plan; the ranking window adds one more — so <= 3 total, and no
+    # adjacent Exchange-over-Exchange anywhere
+    n_ex = tree.count("Exchange")
+    assert n_ex <= 3, tree
+    # no exchange stacked directly on another exchange anywhere
+    assert not re.search(r"Exchange[^\n]*\n[^\n]*Exchange[^\n]*\n[^\n]*Exchange", tree)
