@@ -191,6 +191,35 @@ def main() -> None:
         ),
     ]
 
+    # persisted EMD grid index: build to a temp path, show the SEARCH plan
+    # (partition-pruned scan -> mapInPandas verify, zero exchanges)
+    import shutil
+    import tempfile
+
+    from melody_join_spark.operators.emd_index import (
+        emd_index_build,
+        emd_index_search,
+    )
+    from melody_join_spark.plans.tpch_bridge import (
+        bin_points_2d,
+        lineitem_histograms_2d,
+    )
+
+    _td = tempfile.mkdtemp(prefix="scale_emd_index_")
+    hist2 = lineitem_histograms_2d(spark, SF).select("id", "w")
+    idx = emd_index_build(hist2, bin_points_2d(), f"{_td}/ix", grid=6)
+    sections.append(
+        (
+            "EMD index search (partition-pruned range lookup)",
+            emd_index_search(idx, hist2.limit(4), 0.8),
+            "The query batch's reachable-cell union becomes a literal "
+            "cell IN (...) partition filter on the index scan — a "
+            "disk-backed index reads only those partitions (the exact-"
+            "EMD analog of IVF's probed lists).  Candidate verify is "
+            "one mapInPandas over the pruned scan: zero exchanges.",
+        )
+    )
+
     out = [
         "# SCALE — measured plan evidence for the 100-TB design",
         "",
@@ -240,6 +269,7 @@ def main() -> None:
         if manual:
             fh.write("\n" + manual)
     print(f"wrote {path}" + (" (manual sections preserved)" if manual else ""))
+    shutil.rmtree(_td, ignore_errors=True)
 
 
 if __name__ == "__main__":
