@@ -153,3 +153,33 @@ def test_run_generate_custom_decoder_per_feature(spark, tmp_path):
     )
     [r] = out["cedd"].collect()
     assert r.w == [30.0] * 4
+
+
+def test_generate_from_properties_ppm_pixel_features(spark, tmp_path):
+    """The compat Generate entry over the committed PPM corpus: the sniff
+    default must produce PIXEL-level color-cube histograms (== ppm_decoder
+    run directly), not byte histograms."""
+    import numpy as np
+
+    from melody_join_spark.compat import run_generate_from_properties
+    from melody_join_spark.operators.multimodal import ppm_decoder
+
+    conf = tmp_path / "gen.properties"
+    conf.write_text(
+        "generate.mr.input=local\n"
+        "generate.input.image.dir=/root/repo/fixtures/media/ppm\n"
+        "data.bin.number=27\n"
+        "generate.enabled.features=ch\n"
+    )
+    out = run_generate_from_properties(
+        spark, str(conf), write_output=False
+    )
+    hist = {r["id"]: np.array(r["w"]) for r in out["ch"].collect()}
+    assert len(hist) > 50
+    import glob
+
+    f = sorted(glob.glob("/root/repo/fixtures/media/ppm/*.ppm"))[0]
+    with open(f, "rb") as fh:
+        want = ppm_decoder(fh.read(), 27)
+    # find the matching row by value (ids are path hashes here)
+    assert any(np.allclose(v, want, atol=1e-12) for v in hist.values())

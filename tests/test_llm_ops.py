@@ -632,3 +632,30 @@ def test_dedupe_embeddings_greedy_rule(spark, docs, emb):
     for r in pairs:
         by_sid.setdefault(r.sid, []).append(r.rid)
     assert all(min(v) < k for k, v in by_sid.items())
+
+
+def test_dedupe_embeddings_lsh_mode(spark):
+    """The LSH candidate path agrees with exact at a near-dup threshold on
+    a planted-duplicate fixture (hyperplane LSH's high-recall regime)."""
+    import numpy as np
+
+    from melody_join_spark.operators.dedup import dedupe_embeddings
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 32))
+    pert = base + 0.1 * rng.standard_normal((40, 32))  # cos ~0.97 pairs
+    V = np.vstack([base, pert])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(len(V))],
+        "vec_id long, embedding array<double>",
+    )
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", "src") for i in range(len(V))],
+        "doc_id long, text string, source string",
+    )
+    exact = {r.doc_id for r in dedupe_embeddings(docs, emb, 0.9).collect()}
+    lsh = {r.doc_id for r in dedupe_embeddings(docs, emb, 0.9, method="lsh").collect()}
+    # every planted duplicate (ids 40..79) drops in the exact pass
+    assert exact == set(range(40))
+    # LSH keeps a superset (recall < 1) but catches nearly all
+    assert exact <= lsh and len(lsh) <= len(exact) + 2
