@@ -270,13 +270,28 @@ def _q_emd_index_search(spark, sf_dir):
 
     hist = lineitem_histograms_2d(spark, sf_dir).select("id", "w")
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    # build once per (sf, build-version), reuse across runs — the whole
-    # point of a persisted index; the version tag forces a rebuild whenever
-    # the build logic changes
-    path = f"/tmp/spark_graft_emd_index_v2_{sf_tag}"
+    # build once per (sf, code, data), reuse across runs — the whole point
+    # of a persisted index.  The cache key digests (a) the build module's
+    # SOURCE, so any build-logic change forces a rebuild without a manual
+    # tag bump, and (b) the source parquet files' (name, size, mtime), so
+    # regenerated testdata can never be served from a stale index
+    # (round-4 ADVICE, __spark_entry__.py:276).
+    import hashlib
     import os
 
-    if os.path.exists(f"{path}/manifest"):
+    import melody_join_spark.operators.emd_index as _emi
+
+    with open(_emi.__file__, "rb") as fh:
+        h = hashlib.md5(fh.read())
+    lineitem_dir = os.path.join(sf_dir, "lineitem.parquet")
+    stat_src = lineitem_dir if os.path.isdir(lineitem_dir) else sf_dir
+    for name in sorted(os.listdir(stat_src)):
+        if name.endswith(".parquet"):
+            st = os.stat(os.path.join(stat_src, name))
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    path = f"/tmp/spark_graft_emd_index_{sf_tag}_{h.hexdigest()[:12]}"
+
+    if os.path.exists(f"{path}/CURRENT"):
         idx = emd_index_load(spark, path)
     else:
         idx = emd_index_build(hist, bin_points_2d(), path, grid=12)
@@ -403,6 +418,37 @@ def _q_generate_media_pixels(spark, sf_dir):
     hist = generate_histograms(spark, media=media, bins=27, decoder=ppm_decoder)
     res = emd_join_nd(
         hist, ppm_bin_points(27), MEDIA_PIXEL_THETA, strategy="grid", grid=3
+    )
+    return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
+
+
+MEDIA_PNG_THETA = 1.0  # RGB-cube lattice units; 108 fixture pairs pass
+MEDIA_PNG_DIR = "/root/repo/fixtures/media/png"
+
+
+def _q_generate_media_png(spark, sf_dir):
+    """COMPRESSED-image Generate->Join (round-4 VERDICT item 6, closing the
+    last S6 sliver closable without codec libraries): the committed PNG
+    corpus — all five scanline filters, color types 0/2/3/4/6, split IDAT —
+    is read through binaryFile, inflated with stdlib zlib and unfiltered in
+    numpy by png_decoder, quantized into the SAME 3x3x3 RGB cube as the PPM
+    path, and joined under exact d=3 EMD.  Oracle: all-pairs fixture over
+    the KNOWN pre-encode pixels (independent pure-int PNG encoder + SSP
+    solver, scripts/make_png_fixtures.py) — the engine must invert the
+    encoder's filter arithmetic exactly or the hash breaks."""
+    from melody_join_spark.operators.multimodal import (
+        png_decoder,
+        ppm_bin_points,
+        read_binary_dir,
+    )
+
+    media = read_binary_dir(spark, MEDIA_PNG_DIR).withColumn(
+        "media_id",
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.png", 1).cast("long"),
+    )
+    hist = generate_histograms(spark, media=media, bins=27, decoder=png_decoder)
+    res = emd_join_nd(
+        hist, ppm_bin_points(27), MEDIA_PNG_THETA, strategy="grid", grid=3
     )
     return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
 
@@ -857,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_ivf": _q_cosine_topk_ivf,
         "generate_media_emd": _q_generate_media_emd,
         "generate_media_pixels": _q_generate_media_pixels,
+        "generate_media_png": _q_generate_media_png,
         "dedup_exact": _q_exact_dedup,
         "dedupe_corpus": _q_dedupe_corpus,
         "emd_knn_2d": _q_emd_knn_2d,
@@ -1232,6 +1279,10 @@ GROUP BY 1 ORDER BY 1""",
 SELECT rid, sid, round(emd, 6) + 0 AS emd
 FROM read_parquet('/root/repo/fixtures/media_pixels_pairs.parquet')
 WHERE emd <= {MEDIA_PIXEL_THETA} + 1e-4 ORDER BY rid, sid""",
+        "generate_media_png": f"""
+SELECT rid, sid, round(emd, 6) + 0 AS emd
+FROM read_parquet('/root/repo/fixtures/media_png_pairs.parquet')
+WHERE emd <= {MEDIA_PNG_THETA} + 1e-4 ORDER BY rid, sid""",
         "text_features": text_features_oracle_sql(),
         "quality_filter": f"""
 WITH qf AS ({quality_filter_oracle_sql()})

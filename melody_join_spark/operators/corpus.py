@@ -257,13 +257,19 @@ SELECT rank, token, tf, df FROM ranked WHERE rank <= {top_n} ORDER BY rank"""
 # deterministic mixture sampling
 # ---------------------------------------------------------------------------
 
-def _uniform_u32(key: Column) -> Column:
+def _uniform_u32(key: Column, salt: str = "") -> Column:
     """Deterministic uniform in [0, 1): the first 8 hex digits of
-    md5(key-as-string) as a 32-bit integer over 2^32.  md5 is identical
-    everywhere, so the keep decision is engine/partitioning-independent —
-    unlike Spark's sample(), whose output depends on partition layout."""
+    md5(key-as-string + salt) as a 32-bit integer over 2^32.  md5 is
+    identical everywhere, so the keep decision is engine/partitioning-
+    independent — unlike Spark's sample(), whose output depends on
+    partition layout.  ``salt`` decorrelates *purposes*: sample_corpus and
+    split_corpus must not share one uniform, else a corpus kept at rate r
+    has u in [0, r) and every surviving row lands in 'train'."""
+    keyed = key.cast("string")
+    if salt:
+        keyed = F.concat(keyed, F.lit(salt))
     return (
-        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10)
         .cast("double")
         / F.lit(float(1 << 32))
     )
@@ -327,7 +333,9 @@ def split_corpus(
     fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
     if not fractions or sum(fractions.values()) > 1.0 + 1e-9:
         raise ValueError("split fractions must be non-empty and sum to <= 1")
-    u = _uniform_u32(F.col(id_col))
+    # ':split' salt: independent of the sample_corpus uniform, so a corpus
+    # pre-filtered by sample_corpus still splits at the requested fractions
+    u = _uniform_u32(F.col(id_col), salt=":split")
     names = list(fractions)
     # nested CASE over cumulative boundaries, built from the last split
     # backwards so the innermost test is the first boundary
@@ -348,11 +356,11 @@ def split_corpus_oracle_sql(
     id_col: str = "doc_id",
     split_col: str = "split",
 ) -> str:
-    """DuckDB twin of :func:`split_corpus`."""
+    """DuckDB twin of :func:`split_corpus` (same ':split'-salted uniform)."""
     fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
     u = (
-        f"(CAST(CAST('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 8) AS UBIGINT)"
-        f" AS DOUBLE) / {float(1 << 32)})"
+        f"(CAST(CAST('0x' || substr(md5(CAST({id_col} AS VARCHAR) || ':split'), 1, 8)"
+        f" AS UBIGINT) AS DOUBLE) / {float(1 << 32)})"
     )
     names = list(fractions)
     expr = f"'{names[-1]}'"

@@ -28,7 +28,9 @@ stage 1-2 artifacts (NEPreMapper side files) into a reusable on-disk index.
 
 from __future__ import annotations
 
+import hashlib
 import json
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -81,8 +83,9 @@ def emd_index_build(
     ground: str = "l2",
 ) -> EmdIndex:
     """Index ``hist`` under the quantile grid and persist to ``path``:
-    ``<path>/records`` (parquet PARTITIONED BY cell) + ``<path>/manifest``
-    (bin points, boundaries, dual-seed weights, ground, grid).  Minkowski
+    ``<path>/v_<build_id>/records`` (parquet PARTITIONED BY cell) +
+    ``.../manifest`` (bin points, boundaries, dual-seed weights, ground,
+    grid), committed by atomically flipping ``<path>/CURRENT``.  Minkowski
     grounds only (the grid needs centroid geometry, like the join)."""
     if not isinstance(ground, str):
         raise ValueError("emd_index_build requires a Minkowski ground")
@@ -108,10 +111,6 @@ def emd_index_build(
     )
     sw = np.array([r[0] for r in seed_rows], dtype=np.float64)
 
-    out = rec0.withColumn("cell", _cell_expr(bnds, grid))
-    out.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/records")
-    rec0.unpersist()
-
     manifest = {
         "grid": grid,
         "d": d,
@@ -121,18 +120,60 @@ def emd_index_build(
         "bnds": bnds.tolist(),
         "seed_weights": sw.tolist(),
     }
+    # build id = digest of the manifest (params + data-derived boundaries/
+    # seeds): records + manifest land together under a versioned subdir and
+    # become visible only when the CURRENT pointer flips — a crash mid-build
+    # leaves the previous build fully intact instead of pairing new cell
+    # assignments with a stale manifest (round-4 ADVICE, emd_index.py:126).
+    # Same inputs -> same id, so rebuilds are idempotent.
+    build_id = hashlib.md5(
+        json.dumps(manifest, sort_keys=True).encode()
+    ).hexdigest()[:12]
+    manifest["build_id"] = build_id
+    vdir = f"{path}/v_{build_id}"
+
+    out = rec0.withColumn("cell", _cell_expr(bnds, grid))
+    out.write.mode("overwrite").partitionBy("cell").parquet(f"{vdir}/records")
+    rec0.unpersist()
     spark.createDataFrame(
         [(json.dumps(manifest),)], "manifest string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{vdir}/manifest")
+    # atomic commit (POSIX rename; on object stores substitute a conditional
+    # put of the pointer object)
+    root = _local_root(path)
+    tmp = os.path.join(root, ".CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(build_id)
+    os.replace(tmp, os.path.join(root, "CURRENT"))
     return emd_index_load(spark, path)
 
 
+def _local_root(path: str) -> str:
+    return path[len("file:"):] if path.startswith("file:") else path
+
+
 def emd_index_load(spark: SparkSession, path: str) -> EmdIndex:
-    """Load an index persisted by :func:`emd_index_build`; the join config
-    rebuilds deterministically from the manifest."""
+    """Load an index persisted by :func:`emd_index_build`: resolve the
+    CURRENT pointer to the committed versioned subdir, verify the embedded
+    build id, and rebuild the join config deterministically from the
+    manifest.  Falls back to the pre-versioned flat layout if no pointer
+    exists."""
+    cur = os.path.join(_local_root(path), "CURRENT")
+    build_id = None
+    base = path
+    if os.path.exists(cur):
+        with open(cur) as fh:
+            build_id = fh.read().strip()
+        base = f"{path}/v_{build_id}"
     m = json.loads(
-        spark.read.parquet(f"{path}/manifest").first()["manifest"]
+        spark.read.parquet(f"{base}/manifest").first()["manifest"]
     )
+    if build_id is not None and m.get("build_id") != build_id:
+        raise ValueError(
+            f"emd_index_load: CURRENT points at build {build_id} but the "
+            f"manifest there claims {m.get('build_id')!r} — index is "
+            "inconsistent; rebuild."
+        )
     bin_points = np.array(m["bin_points"], dtype=np.float64)
     cfg = build_config(
         bin_points,
@@ -142,7 +183,7 @@ def emd_index_load(spark: SparkSession, path: str) -> EmdIndex:
     )
     bnds = np.array(m["bnds"], dtype=np.float64)
     return EmdIndex(
-        spark.read.parquet(f"{path}/records"), bnds, cfg, int(m["grid"])
+        spark.read.parquet(f"{base}/records"), bnds, cfg, int(m["grid"])
     )
 
 

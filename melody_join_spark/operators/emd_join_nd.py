@@ -1616,6 +1616,7 @@ def emd_topk_nd(
     SW = normalize(np.array([r["w"] for r in sample], dtype=np.float64))
     n = SW.shape[0]
     ctx = None
+    scored = None
     if n * (n - 1) // 2 < k:
         scored = _block_bruteforce(
             rec.withColumn("side", F.lit(0)), cfg, float("inf"), num_blocks
@@ -1662,12 +1663,21 @@ def emd_topk_nd(
                 vals = np.partition(vals, k - 1)[:k]
                 kth = float(vals.max())
         probe = max(float(kth), 1e-9)
+        if not np.isfinite(probe):
+            # degenerate sample (e.g. all-identical or NaN-mass rows) left
+            # the Seidl-Kriegel loop without k finite exact EMDs: there is
+            # no finite ceiling, and round(inf * 1e6) / a radius-inf grid
+            # join would both blow up — fall back to the all-pairs oracle,
+            # which needs no radius (round-4 ADVICE, emd_join_nd.py:1669)
+            scored = _block_bruteforce(
+                rec.withColumn("side", F.lit(0)), cfg, float("inf"), num_blocks
+            )
+    if scored is None:
         if stats is not None:
             # ceiling tightness is the whole game for the single join pass:
             # log it (micro-units; accumulators are ints) so seed-sampling
             # changes are A/B-comparable
             stats.add("seed_ceiling_micro", round(probe * 1e6))
-        scored = None
         if strategy == "grid":
             # the quantile grid + cell screens are theta-independent: built
             # once; the (defensive) re-probe loop below reuses them

@@ -298,3 +298,23 @@ def test_split_corpus_deterministic_and_complete(spark):
 
     with pytest.raises(ValueError):
         split_corpus(df, {"a": 0.9, "b": 0.2})
+
+
+def test_split_after_sample_keeps_all_splits(spark):
+    """sample_corpus and split_corpus use PURPOSE-SALTED uniforms: a corpus
+    pre-filtered by sample_corpus must still split near the requested
+    fractions (round-4 ADVICE — with a shared hash every survivor of a
+    rate-r sample has u < r and lands in 'train')."""
+    from collections import Counter
+
+    from melody_join_spark.operators.corpus import sample_corpus, split_corpus
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rates = {s: 0.2 for s in [r.source for r in df.select("source").distinct().collect()]}
+    kept = sample_corpus(df, rates)
+    out = split_corpus(kept, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = Counter(r.split for r in out.select("split").collect())
+    n = sum(counts.values())
+    assert n > 50
+    assert counts["val"] > 0 and counts["test"] > 0
+    assert 0.65 * n <= counts["train"] <= 0.92 * n

@@ -62,3 +62,43 @@ def test_index_build_search_matches_join(spark, tmp_path):
     # oversized query sets are rejected, not collected
     with pytest.raises(ValueError, match="collect_threshold"):
         emd_index_search(idx2, hist, theta, collect_threshold=4)
+
+
+def test_index_versioned_commit_and_staleness_detection(spark, tmp_path):
+    """Build commits records+manifest under a versioned subdir and flips
+    <path>/CURRENT atomically; a pointer/manifest mismatch is refused at
+    load (round-4 ADVICE, emd_index.py:126)."""
+    import os
+
+    hist = lineitem_histograms_2d(spark, SF).select("id", "w")
+    path = str(tmp_path / "emd_index")
+    emd_index_build(hist, bin_points_2d(), path, grid=5)
+    with open(os.path.join(path, "CURRENT")) as fh:
+        build_id = fh.read().strip()
+    assert os.path.isdir(os.path.join(path, f"v_{build_id}", "records"))
+    # idempotent rebuild from the same inputs: same build id, same pointer
+    emd_index_build(hist, bin_points_2d(), path, grid=5)
+    with open(os.path.join(path, "CURRENT")) as fh:
+        assert fh.read().strip() == build_id
+    # a second build with different params commits a NEW version and
+    # leaves the old one intact on disk (crash-safe history)
+    emd_index_build(hist, bin_points_2d(), path, grid=6)
+    with open(os.path.join(path, "CURRENT")) as fh:
+        build_id2 = fh.read().strip()
+    assert build_id2 != build_id
+    assert os.path.isdir(os.path.join(path, f"v_{build_id}", "records"))
+    idx = emd_index_load(spark, path)
+    assert idx.grid == 6
+    # corrupt the pointer -> loud inconsistency error, not silent serving
+    with open(os.path.join(path, "CURRENT"), "w") as fh:
+        fh.write(build_id)
+    os.rename(
+        os.path.join(path, f"v_{build_id}"),
+        os.path.join(path, f"v_{build_id}.bak"),
+    )
+    os.rename(
+        os.path.join(path, f"v_{build_id2}"),
+        os.path.join(path, f"v_{build_id}"),
+    )
+    with pytest.raises(ValueError, match="inconsistent"):
+        emd_index_load(spark, path)

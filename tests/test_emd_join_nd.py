@@ -494,3 +494,31 @@ def test_emd_knn_distributed_matches_collected(spark, hist_df, bins_2d):
     with pytest.raises(ValueError, match="collect_threshold"):
         emd_knn(hist_df, queries, bins_2d, k=4, distributed=False,
                 collect_threshold=2)
+
+
+def test_topk_degenerate_seed_falls_back_to_bruteforce(
+    spark, hist_df, bins_2d, monkeypatch
+):
+    """If the seed sample cannot realize k finite exact EMDs (degenerate
+    sample), the Seidl-Kriegel loop leaves kth non-finite; the operator
+    must fall back to the all-pairs oracle instead of raising on
+    round(inf * 1e6) or launching a radius-inf grid join (round-4 ADVICE,
+    emd_join_nd.py:1669).  Forced here by NaN-ing the seed solver; the
+    fallback must still return the TRUE top-k over the real data."""
+    import numpy as _np
+
+    import melody_join_spark.kernel.emd_batch as eb
+
+    def nan_solver(SW, cost, li, ri, sgrp, memo):
+        return _np.full(len(li), _np.nan)
+
+    monkeypatch.setattr(eb, "emd_exact_pairs_memo", nan_solver)
+    k = 5
+    top = emd_topk_nd(hist_df, bins_2d, k, strategy="grid", grid=3).collect()
+    assert len(top) == k
+    rows = [(r.id, r.w) for r in hist_df.collect()]
+    allp = sorted(
+        ((v, a, b) for (a, b), v in _kernel_oracle(rows, bins_2d, float("inf")).items())
+    )
+    for i, r in enumerate(top):
+        assert r.emd == pytest.approx(allp[i][0], abs=1e-9)

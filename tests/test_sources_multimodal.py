@@ -278,3 +278,128 @@ def test_ppm_decoder_matches_independent_fixture_parser(spark):
         got = ppm_decoder(data, 27)
         want = np.array(hist27(parse_ppm_pixels(data)))
         assert np.allclose(got, want, atol=1e-12), name
+
+
+def test_png_decoder_known_pixels():
+    """Hand-built PNGs with known pixels, every filter type, every
+    supported color type."""
+    import os
+    import sys
+
+    from melody_join_spark.operators.multimodal import (
+        UnsupportedMediaFormatError,
+        png_decoder,
+        ppm_decoder,
+    )
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    from make_png_fixtures import encode_png
+
+    # 2x2 RGB: black, red, green, white — same buckets as the PPM test
+    px = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (255, 255, 255)]
+    rows = [px[:2], px[2:]]
+    h = png_decoder(encode_png(rows, 2), 27)
+    assert h.shape == (27,) and abs(h.sum() - 1.0) < 1e-12
+    assert h[0] == h[18] == h[6] == h[26] == 0.25
+    # identical image as PPM decodes to the identical histogram
+    body = bytes(v for p in px for v in p)
+    assert np.array_equal(h, ppm_decoder(b"P6\n2 2\n255\n" + body, 27))
+    # grayscale replicates to RGB diagonal buckets
+    g = png_decoder(encode_png([[(0,), (255,)], [(0,), (128,)]], 0), 27)
+    assert g[0] == 0.5 and g[26] == 0.25 and g[13] == 0.25  # (1,1,1) bucket
+    # RGBA drops alpha
+    rows_a = [[p + (7,) for p in px[:2]], [p + (200,) for p in px[2:]]]
+    assert np.array_equal(h, png_decoder(encode_png(rows_a, 6), 27))
+    # palette indirects through PLTE
+    pal = list(px)
+    rows_p = [[(0,), (1,)], [(2,), (3,)]]
+    assert np.array_equal(h, png_decoder(encode_png(rows_p, 3, pal), 27))
+    # malformed payloads: plain ValueError
+    with pytest.raises(ValueError):
+        png_decoder(b"\x89PNG\r\n\x1a\njunk", 27)
+    with pytest.raises(ValueError):
+        png_decoder(b"JFIF....", 27)
+    # valid-but-unsupported (16-bit depth): the dedicated signal
+    import struct
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    import zlib as _z
+
+    chunk = (
+        struct.pack(">I", len(ihdr16)) + b"IHDR" + ihdr16
+        + struct.pack(">I", _z.crc32(b"IHDR" + ihdr16))
+    )
+    idat = struct.pack(">I", 1) + b"IDAT" + b"\x00" + struct.pack(">I", 0)
+    with pytest.raises(UnsupportedMediaFormatError):
+        png_decoder(sig + chunk + idat, 27)
+
+
+def test_png_decoder_matches_independent_fixture_oracle():
+    """Engine numpy decoder must invert the fixture script's pure-int
+    encoder (filters applied by independent arithmetic) on the committed
+    corpus: spot-check EMD-0 self-consistency via the pairs fixture."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from melody_join_spark.operators.multimodal import png_decoder
+
+    png_dir = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "fixtures", "media", "png"
+    )
+    names = sorted(os.listdir(png_dir))
+    assert len(names) == 48, "committed PNG fixtures missing"
+    hists = {}
+    for name in names:
+        with open(os.path.join(png_dir, name), "rb") as f:
+            h = png_decoder(f.read(), 27)
+        assert abs(h.sum() - 1.0) < 1e-12
+        hists[int(name[4:7])] = h
+    pairs = pq.read_table(
+        os.path.join(
+            os.path.dirname(os.path.dirname(__file__)),
+            "fixtures",
+            "media_png_pairs.parquet",
+        )
+    ).to_pandas()
+    # fixture EMD == 0 iff decoded histograms identical (oracle pixels ==
+    # decoded pixels); spot-check both directions on the extreme pairs
+    zero = pairs[pairs.emd == 0.0]
+    for _, r in zero.iterrows():
+        assert np.allclose(hists[int(r.rid)], hists[int(r.sid)], atol=1e-12)
+    big = pairs.nlargest(5, "emd")
+    for _, r in big.iterrows():
+        assert not np.allclose(hists[int(r.rid)], hists[int(r.sid)])
+
+
+def test_sniff_decoder_unsupported_format_is_loud():
+    import struct
+
+    from melody_join_spark.operators.multimodal import (
+        UnsupportedMediaFormatError,
+        byte_histogram_decoder,
+        lenient_sniff_decoder,
+        sniff_decoder,
+    )
+
+    # float-WAV (fmt=3): valid container, unsupported sample depth
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    wav = (
+        b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(UnsupportedMediaFormatError):
+        sniff_decoder(wav, 8)
+    # the opt-in lenient path degrades it to the byte histogram
+    assert np.array_equal(
+        lenient_sniff_decoder(wav, 8), byte_histogram_decoder(wav, 8)
+    )
+    # malformed RIFF still degrades silently in both
+    bad = b"RIFFxxxxWAVE"
+    assert np.array_equal(
+        sniff_decoder(bad, 8), byte_histogram_decoder(bad, 8)
+    )
