@@ -478,6 +478,58 @@ def _q_events_sessionize(spark, sf_dir):
     )
 
 
+_SESS_STREAM_SEQ = [0]  # memory-sink names must be unique per process
+
+
+def _q_events_sessionize_streaming(spark, sf_dir):
+    """The applyInPandasWithState sessionizer run as a REAL Structured
+    Streaming query (availableNow trigger over a parquet snapshot of the
+    events table, memory sink) — bringing the streaming surface under the
+    hash gate (round-4 VERDICT item 5).  Emission semantics are exactly
+    derivable, so the DuckDB oracle is the batch sessionize twin filtered
+    to EMITTED sessions: a session emits iff a later event closed it
+    (non-final per user) OR the end-of-stream watermark timed it out —
+    Spark fires EventTimeTimeout iff timeout_ms < watermark_ms (STRICT;
+    FlatMapGroupsWithStateExecBase.processTimedOutState), with
+    watermark_ms = floor(max event time in ms) at delay 0.  Single-batch
+    by construction: availableNow with no maxFilesPerTrigger reads every
+    file in one microbatch, so no intermediate watermark can drop late
+    rows."""
+    import os
+
+    ev = load_events(spark, sf_dir)
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    snap = f"/tmp/spark_graft_sess_stream_{sf_tag}"
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    marker = os.path.join(snap, f"_SRC_{st.st_size}_{st.st_mtime_ns}")
+    if not os.path.exists(marker):
+        ev.write.mode("overwrite").parquet(snap)
+        open(marker, "w").close()
+
+    from melody_join_spark.streaming import stream_events, streaming_sessionize
+
+    _SESS_STREAM_SEQ[0] += 1
+    name = f"sess_stream_gate_{_SESS_STREAM_SEQ[0]}"
+    q = (
+        streaming_sessionize(
+            stream_events(spark, snap), gap_minutes=30, watermark="0 seconds"
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name).select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_events",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+    )
+
+
 def _q_events_asof(spark, sf_dir):
     """Point-in-time feature lookup: every event annotated with the user's
     most recent purchase value as of that event's timestamp (inclusive) —
@@ -896,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_index_search": _q_emd_index_search,
         "events_window_hourly": _q_events_window,
         "events_sessionize": _q_events_sessionize,
+        "events_sessionize_streaming": _q_events_sessionize_streaming,
         "events_asof": _q_events_asof,
         "events_range_incidents": _q_events_range,
         "events_rollup": _q_events_rollup,
@@ -1245,6 +1298,17 @@ WHERE rank <= {KNN_K} ORDER BY qid, rank"""
         "emd_knn_big": knn_big_sql,
         "events_window_hourly": events_window_sql,
         "events_sessionize": sessionize_sql,
+        # streaming twin: batch sessions filtered to the EMITTED set —
+        # non-final per user (closed by a later event) OR timed out by the
+        # end-of-stream watermark (STRICT <, ms floor; see the query doc)
+        "events_sessionize_streaming": f"""
+WITH sess AS ({sessionize_sql}),
+wm AS (SELECT max(epoch_us(ts::TIMESTAMP)) // 1000 AS wm_ms FROM events)
+SELECT user_id, session_id, n_events, start_us, end_us
+FROM sess
+WHERE session_id < (SELECT max(s2.session_id) FROM sess s2
+                    WHERE s2.user_id = sess.user_id)
+   OR (end_us // 1000 + {30 * 60 * 1000}) < (SELECT wm_ms FROM wm)""",
         "events_asof": """
 WITH p AS (
   SELECT user_id, ts::TIMESTAMP AS ts, max(value) AS purchase_value

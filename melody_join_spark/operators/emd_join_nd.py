@@ -104,6 +104,8 @@ class JoinStats:
         "guest_pruned_normal",
         "guest_pruned_dual",
         "guest_replicas",
+        "laesa_considered",  # pivot path, arbitrary cost: block pairs before
+        "laesa_survivors",   # / after the pivot-space triangle screen
     )
 
     def __init__(self, sc):
@@ -145,8 +147,8 @@ def build_config(
     bin_points: np.ndarray,
     seed_weights: np.ndarray | None = None,
     n_proj: int | None = None,
-    num_duals: int = 2,
-    num_reductions: int = 1,
+    num_duals: int | None = None,
+    num_reductions: int | None = None,
     reduced_dim: int = 8,
     seed: int = 42,
     slack: float = 1e-4,
@@ -177,6 +179,18 @@ def build_config(
     ) else None
     d = bin_points.shape[1]
     rng = np.random.default_rng(seed)
+
+    # screen budget auto-scales with what geometry offers: Minkowski
+    # grounds get the full stack (Rubner/projection/normal/IndMin), so 2
+    # duals + 1 reduction suffice; an ARBITRARY matrix keeps only the
+    # cost-generic dual/reduction screens, so spend more of them — each
+    # extra dual is one O(B) dot per pair vs an LP per unpruned survivor
+    # (measured on the sf0.1 sqrt(L1) join: 6/2 cut exact LPs 466k -> 341k
+    # and wall 20.2 -> 14.8 s; see ABCHECK_r05.md)
+    if num_duals is None:
+        num_duals = 2 if minkowski is not None else 6
+    if num_reductions is None:
+        num_reductions = 1 if minkowski is not None else 2
 
     projs = []
     if n_proj is None:
@@ -505,7 +519,9 @@ def emd_join_nd(
         # upstream (histogram build at sf-scale) executes twice
         rec_c = rec if _auto_rec is not None else rec.persist()
         return release_on_gc(
-            _pivot_join(rec_c, cfg, theta, num_pivots=num_pivots, seed=seed),
+            _pivot_join(
+                rec_c, cfg, theta, num_pivots=num_pivots, seed=seed, stats=stats
+            ),
             rec_c,
         )
     if strategy != "grid":
@@ -910,6 +926,7 @@ def _pivot_join(
     theta: float,
     num_pivots: int,
     seed: int,
+    stats: "JoinStats | None" = None,
 ) -> DataFrame:
     """MRSimJoin re-expressed for Spark (SURVEY.md §2.3 J6, §3.2):
 
@@ -1190,13 +1207,23 @@ def _pivot_join(
                 diffs = np.abs(Dp[li] - Dp[ri])
             diffs[~(ok[li] & ok[ri])] = 0.0
             keep = diffs.max(axis=1) <= theta + cfg.slack
+            if stats is not None:
+                stats.add("laesa_considered", li.size)
+                stats.add("laesa_survivors", int(keep.sum()))
             li, ri = li[keep], ri[keep]
         if gi == gj:
             keep = ids[ri] > ids[li]  # unordered pairs once
             li, ri = li[keep], ri[keep]
         if li.size == 0:
             return empty
-        li, ri, emds = casc.run(li, ri, theta, slack=cfg.slack)
+        if stats is not None:
+            from ..kernel import CascadeStats
+
+            st = CascadeStats()
+            li, ri, emds = casc.run(li, ri, theta, stats=st, slack=cfg.slack)
+            stats.update(st)
+        else:
+            li, ri, emds = casc.run(li, ri, theta, slack=cfg.slack)
         return _emit_pairs(ids, li, ri, emds)
 
     # pin the task count: same CPU-quadratic-groups-vs-byte-based-AQE
