@@ -121,7 +121,7 @@ def _q_emd_nd_line(spark, sf_dir):
     the one hash-checked correctness gate for the LP path.  Values rounded to
     6 dp on both sides to absorb solver ulp noise."""
     hist = lineitem_histograms(spark, sf_dir)
-    res = emd_join_nd(hist, bin_points_line(), ND_THETA_LINE, strategy="grid", grid=32)
+    res = emd_join_nd(hist, bin_points_line(), ND_THETA_LINE, strategy="grid")
     return (
         res.withColumn("emd", F.round("emd", 6))
         .where(F.col("emd") <= ND_THETA_LINE)
@@ -136,7 +136,7 @@ def _q_emd_nd_2d(spark, sf_dir):
     table precomputed by the successive-shortest-path solver — a different
     algorithm family from the engine's transportation simplex."""
     hist = lineitem_histograms_2d(spark, sf_dir)
-    res = emd_join_nd(hist, bin_points_2d(), ND_THETA_2D, strategy="grid", grid=20)
+    res = emd_join_nd(hist, bin_points_2d(), ND_THETA_2D, strategy="grid")
     return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
 
 
@@ -147,7 +147,7 @@ def _q_emd_nd_2d_l1(spark, sf_dir):
     independent-solver L1 fixture."""
     hist = lineitem_histograms_2d(spark, sf_dir)
     res = emd_join_nd(
-        hist, bin_points_2d(), ND_THETA_2D, strategy="grid", grid=20, ground="l1"
+        hist, bin_points_2d(), ND_THETA_2D, strategy="grid", ground="l1"
     )
     return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
 
@@ -160,7 +160,7 @@ def _q_emd_nd_3d(spark, sf_dir):
     3 projections — melody-conf.properties:45-64).  Hash-checked against the
     independent successive-shortest-path fixture like the d=2 queries."""
     hist = lineitem_histograms_3d(spark, sf_dir)
-    res = emd_join_nd(hist, bin_points_3d(), ND_THETA_3D, strategy="grid", grid=16)
+    res = emd_join_nd(hist, bin_points_3d(), ND_THETA_3D, strategy="grid")
     return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
 
 
@@ -170,14 +170,12 @@ def _q_emd_nd_topk_3d(spark, sf_dir):
     from pyspark.sql.window import Window
 
     hist = lineitem_histograms_3d(spark, sf_dir)
-    # sample_size 600: deep enough that the seed sample captures the
-    # duplicate-histogram tail at sf0.1 (>= k zero-EMD pairs -> ceiling ==
-    # the true kth == 0, one near-empty grid pass; round-4 tuning, 12 ->
-    # 8.4 s).  The LB-sorted seed solves only ~k LPs regardless.
-    res = emd_topk_nd(
-        hist, bin_points_3d(), ND_TOPK + 10, strategy="grid", grid=16,
-        sample_size=600,
-    )
+    # auto defaults: grid = N^(1/(d+1)) and seed sample max(500, 15k)
+    # (= the round-4 hand-tuned 600 at k=40 — deep enough that the seed
+    # captures the duplicate-histogram tail at sf0.1, so the ceiling hits
+    # the true kth; round-5 sweep showed the derived grid also beats the
+    # hand-tuned 16, ABCHECK_r05.md).
+    res = emd_topk_nd(hist, bin_points_3d(), ND_TOPK + 10, strategy="grid")
     w = Window.orderBy(
         F.round("emd", 6).asc(), F.col("rid").asc(), F.col("sid").asc()
     )
@@ -198,7 +196,7 @@ def _q_emd_nd_topk_2d(spark, sf_dir):
     from pyspark.sql.window import Window
 
     hist = lineitem_histograms_2d(spark, sf_dir)
-    res = emd_topk_nd(hist, bin_points_2d(), ND_TOPK + 10, strategy="grid", grid=20)
+    res = emd_topk_nd(hist, bin_points_2d(), ND_TOPK + 10, strategy="grid")
     w = Window.orderBy(
         F.round("emd", 6).asc(), F.col("rid").asc(), F.col("sid").asc()
     )
@@ -224,7 +222,6 @@ def _q_emd_nd_two_table(spark, sf_dir):
         ND_THETA_LINE,
         other=h2.select("id", "w"),
         strategy="grid",
-        grid=16,
     )
     return (
         res.withColumn("emd", F.round("emd", 6))
@@ -249,7 +246,6 @@ def _q_emd_nd_two_table_2d(spark, sf_dir):
         ND_THETA_2D,
         other=s.select("id", "w"),
         strategy="grid",
-        grid=20,
     )
     return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
 
@@ -320,7 +316,7 @@ def _q_emd_nd_pivot_2d(spark, sf_dir):
     fixture like _q_emd_nd_2d."""
     hist = lineitem_histograms_2d(spark, sf_dir)
     res = emd_join_nd(
-        hist, bin_points_2d(), ND_THETA_2D, strategy="pivot", num_pivots=24
+        hist, bin_points_2d(), ND_THETA_2D, strategy="pivot"
     )
     return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
 
@@ -344,7 +340,7 @@ def _q_emd_nd_arbitrary(spark, sf_dir):
     diff = np.abs(pts[:, None, :] - pts[None, :, :])
     C = np.sqrt(diff.sum(axis=2))
     res = emd_join_nd(
-        hist, pts, ND_THETA_ARB, strategy="pivot", ground=C, num_pivots=48
+        hist, pts, ND_THETA_ARB, strategy="pivot", ground=C
     )
     return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
 
@@ -381,7 +377,7 @@ def _q_generate_media_emd(spark, sf_dir):
     import numpy as np
 
     line = np.arange(GEN_BINS, dtype=np.float64).reshape(-1, 1)
-    res = emd_join_nd(hist, line, GEN_THETA, strategy="grid", grid=8)
+    res = emd_join_nd(hist, line, GEN_THETA, strategy="grid")
     # -1e-9 before rounding: byte-count EMDs are dyadic rationals that land
     # EXACTLY on 6-dp halves (e.g. 5/128 = 0.0390625); the shift moves every
     # such value off the tie so Spark and DuckDB round identically
@@ -417,7 +413,7 @@ def _q_generate_media_pixels(spark, sf_dir):
     )
     hist = generate_histograms(spark, media=media, bins=27, decoder=ppm_decoder)
     res = emd_join_nd(
-        hist, ppm_bin_points(27), MEDIA_PIXEL_THETA, strategy="grid", grid=3
+        hist, ppm_bin_points(27), MEDIA_PIXEL_THETA, strategy="grid"
     )
     return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
 
@@ -448,7 +444,7 @@ def _q_generate_media_png(spark, sf_dir):
     )
     hist = generate_histograms(spark, media=media, bins=27, decoder=png_decoder)
     res = emd_join_nd(
-        hist, ppm_bin_points(27), MEDIA_PNG_THETA, strategy="grid", grid=3
+        hist, ppm_bin_points(27), MEDIA_PNG_THETA, strategy="grid"
     )
     return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
 

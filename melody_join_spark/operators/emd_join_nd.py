@@ -402,13 +402,44 @@ def _grid_boundaries(
     return np.array([row[f"b{k}"] for k in range(d)], dtype=np.float64)
 
 
+def _derive_grid(n: int, d: int) -> int:
+    """Auto grid resolution from (N, d) — a 100 TB user will not retune
+    per-dataset constants (round-4 VERDICT item 2).  G = N^(1/(d+1)) for
+    d >= 2 and N^0.4 at d=1, fit AND swept against the sf0.1 bench family
+    (ABCHECK_r05.md): at d=2 it gives 18 (parity with the hand-tuned 20,
+    measured); at d=3 it gives 9, which the grid sweep showed BEATS the
+    hand-tuned 16 (7.5-7.7 s vs 8.4 s min-of-3).  Total cells G^d then
+    grow as N^(d/(d+1)) — sublinear in N, so per-cell occupancy still
+    rises slowly while the closure-shipped cell-stat tables stay far below
+    N and bounded by the 64^d clamp."""
+    exp = 0.4 if d == 1 else 1.0 / (d + 1)
+    return int(np.clip(round(float(max(n, 2)) ** exp), 3, 64))
+
+
+def _derive_pivots(n: int, arbitrary_cost: bool) -> int:
+    """Auto pivot count ~ sqrt(N): fit to the tuned sf0.1 constants
+    (24 at N=5793 Minkowski, 48 arbitrary).  Arbitrary costs get ~2x the
+    pivots — the LAESA triangle screen is their ONLY geometric filter, and
+    each extra pivot is one O(1)-per-pair max while sharpening the bound."""
+    div = 1.6 if arbitrary_cost else 3.0
+    return int(np.clip(round(np.sqrt(float(max(n, 4))) / div), 8, 128))
+
+
+def _derive_cell_cap(n: int, n_part: int) -> int:
+    """Auto hot-cell salting cap: ~one equal slice of the record table per
+    shuffle partition, floored at 200 (the measured skew_bench sweet spot —
+    8.3x max-task cut at sf0.1).  Unskewed cells sit far below the cap and
+    are never split; only genuinely hot cells shatter."""
+    return max(200, int(np.ceil(n / float(max(n_part, 1)))))
+
+
 def emd_join_nd(
     hist: DataFrame,
     bin_points: np.ndarray,
     threshold: float,
     cfg: NdJoinConfig | None = None,
     strategy: str = "grid",
-    grid: int = 8,
+    grid: int | None = None,
     num_blocks: int = 8,
     id_col: str = "id",
     w_col: str = "w",
@@ -416,8 +447,8 @@ def emd_join_nd(
     other: DataFrame | None = None,
     stats: "JoinStats | None" = None,
     ground: str | np.ndarray = "l2",
-    cell_cap: int = 100_000,
-    num_pivots: int = 10,
+    cell_cap: int | None = None,
+    num_pivots: int | None = None,
 ) -> DataFrame:
     """EMD threshold join -> DataFrame(rid, sid, emd).
 
@@ -518,6 +549,10 @@ def emd_join_nd(
         # assignment mapInPandas each consume rec — without the boundary the
         # upstream (histogram build at sf-scale) executes twice
         rec_c = rec if _auto_rec is not None else rec.persist()
+        if num_pivots is None:
+            num_pivots = _derive_pivots(
+                rec_c.count(), arbitrary_cost=cfg.rubner_ord is None
+            )
         return release_on_gc(
             _pivot_join(
                 rec_c, cfg, theta, num_pivots=num_pivots, seed=seed, stats=stats
@@ -609,7 +644,7 @@ def _build_grid_ctx(
     rec: DataFrame,
     bin_points: np.ndarray,
     cfg: NdJoinConfig | None,
-    grid: int,
+    grid: int | None,
     seed: int = 42,
     ground: str | np.ndarray = "l2",
 ) -> _GridCtx:
@@ -621,6 +656,9 @@ def _build_grid_ctx(
     # 3-join + groupBy chain — measured ~40% of the whole d=2 query before
     # this cache)
     rec0 = _centroid_cols(rec, bin_points, "w").persist()
+    if grid is None:
+        # the count materializes the cache the boundary agg needs anyway
+        grid = _derive_grid(rec0.count(), d)
     bnds = _grid_boundaries(rec0, d, grid)  # (d, grid-1); materializes rec0
     if cfg is None:
         seed_rows = rec0.select("w").limit(8).collect()
@@ -666,10 +704,16 @@ def _grid_join(
     theta: float,
     stats: "JoinStats | None" = None,
     two_table: bool = False,
-    cell_cap: int = 100_000,
+    cell_cap: int | None = None,
 ) -> DataFrame:
     cfg, d, grid, bnds, cs = ctx.cfg, ctx.d, ctx.grid, ctx.bnds, ctx.cs
     rec1 = ctx.rec1
+    if cell_cap is None:
+        # free: the per-cell counts are already collected; N = their sum
+        n_part_cap = int(
+            rec1.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        cell_cap = _derive_cell_cap(int(cs.cnt.sum()), n_part_cap)
     n_proj = len(cfg.proj_positions)
     n_dual = len(cfg.duals)
 
@@ -1586,9 +1630,9 @@ def emd_topk_nd(
     k: int,
     cfg: NdJoinConfig | None = None,
     strategy: str = "grid",
-    grid: int = 8,
+    grid: int | None = None,
     num_blocks: int = 8,
-    sample_size: int = 500,
+    sample_size: int | None = None,
     id_col: str = "id",
     w_col: str = "w",
     seed: int = 42,
@@ -1637,7 +1681,7 @@ def emd_topk_nd(
     # stable across partitionings/reruns.
     sample = (
         rec.orderBy(F.xxhash64(F.col("id"), F.lit(int(seed))), F.col("id"))
-        .limit(max(sample_size, 4 * k))
+        .limit(max(sample_size if sample_size is not None else max(500, 15 * k), 4 * k))
         .collect()
     )
     SW = normalize(np.array([r["w"] for r in sample], dtype=np.float64))
