@@ -129,6 +129,9 @@ def main() -> None:
                 t0 = time.perf_counter()
                 n_out = fn(h, stats).count()
                 wall = time.perf_counter() - t0
+                # parity with bench.py: drop accumulated caches so a
+                # query's wall is not paying the previous query's GC debt
+                spark.catalog.clearCache()
                 key = (name, scale)
                 best = results.get(key)
                 if best is None or wall < best["wall"]:
