@@ -267,6 +267,25 @@ def _emit_pairs(ids, li, ri, emds, ordered: bool = False) -> pd.DataFrame:
     return pd.DataFrame({"rid": lo, "sid": hi, "emd": emds})
 
 
+def _parallelism_floor(df: DataFrame) -> DataFrame:
+    """Guarantee CPU parallelism for the per-record Python stages.
+
+    Scan partitioning is BYTE-sized (spark.sql.files.maxPartitionBytes),
+    which is blind to per-row compute: a dense histogram table is tiny on
+    disk (57k records of 27 doubles ~ 12 MB = ONE split), yet every record
+    downstream pays a normal fit, guest-cell screens and possibly an exact
+    LP — measured as a single 456 s task (31/32 cores idle) on the sf1
+    scale run before this guard.  Repartition UP to the session's shuffle
+    parallelism when the input arrives below it; when the input is already
+    at least that wide (any cluster-scale read with real file splits) this
+    is a no-op with no added exchange.  Round-robin repartition, so it
+    never changes results — only where rows sit."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def _centroid_cols(hist: DataFrame, bin_points: np.ndarray, w_col: str) -> DataFrame:
     """Append cent_0..cent_{d-1} = normalized-weight centroid coordinates.
     Pure JVM expressions (no UDF): cent_k = sum_i w_i * bins[i, k] / total.
@@ -655,7 +674,7 @@ def _build_grid_ctx(
     # re-execute the upstream plan (for the bench bridge tables that is a
     # 3-join + groupBy chain — measured ~40% of the whole d=2 query before
     # this cache)
-    rec0 = _centroid_cols(rec, bin_points, "w").persist()
+    rec0 = _centroid_cols(_parallelism_floor(rec), bin_points, "w").persist()
     if grid is None:
         # the count materializes the cache the boundary agg needs anyway
         grid = _derive_grid(rec0.count(), d)
@@ -1167,10 +1186,9 @@ def _pivot_join(
     # per-record work here is LP-bound (exact EMDs to pivots) — measured
     # 6.7 s on ONE task at sf0.1.  A round-robin repartition of the tiny
     # (id, w) rows costs nothing next to the work it parallelizes.
-    par = rec.sparkSession.sparkContext.defaultParallelism
-    rec_in = rec.select("id", "w", F.col("side").cast("long").alias("side"))
-    if rec_in.rdd.getNumPartitions() < par:
-        rec_in = rec_in.repartition(par)
+    rec_in = _parallelism_floor(
+        rec.select("id", "w", F.col("side").cast("long").alias("side"))
+    )
     with_d = rec_in.mapInPandas(dists_part, dist_schema)
 
     # partition keys: base partition (b, b) always; window (i, j), i<j, when
