@@ -39,7 +39,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..kernel import normalize
-from .emd_join_nd import NdJoinConfig, _centroid_cols, _grid_boundaries, build_config
+from .emd_join_nd import (
+    NdJoinConfig,
+    _centroid_cols,
+    _grid_boundaries,
+    _parallelism_floor,
+    build_config,
+)
 
 __all__ = ["EmdIndex", "emd_index_build", "emd_index_load", "emd_index_search"]
 
@@ -99,7 +105,11 @@ def emd_index_build(
     rec = hist.where(mass).select(
         F.col(id_col).cast("long").alias("id"), F.col(w_col).alias("w")
     )
-    rec0 = _centroid_cols(rec, bin_points, "w").persist()
+    # same parallelism guard as the join paths: a small-but-dense histogram
+    # table can arrive as ONE byte-sized scan split, which would serialize
+    # the partitioned-by-cell write (and the centroid projection) into a
+    # single task
+    rec0 = _centroid_cols(_parallelism_floor(rec), bin_points, "w").persist()
     bnds = _grid_boundaries(rec0, d, grid)
     # deterministic dual seeds: hash-ordered sample, stored in the manifest
     # so load() rebuilds the IDENTICAL config
