@@ -105,11 +105,7 @@ def emd_index_build(
     rec = hist.where(mass).select(
         F.col(id_col).cast("long").alias("id"), F.col(w_col).alias("w")
     )
-    # same parallelism guard as the join paths: a small-but-dense histogram
-    # table can arrive as ONE byte-sized scan split, which would serialize
-    # the partitioned-by-cell write (and the centroid projection) into a
-    # single task
-    rec0 = _centroid_cols(_parallelism_floor(rec), bin_points, "w").persist()
+    rec0 = _centroid_cols(rec, bin_points, "w").persist()
     bnds = _grid_boundaries(rec0, d, grid)
     # deterministic dual seeds: hash-ordered sample, stored in the manifest
     # so load() rebuilds the IDENTICAL config
@@ -142,7 +138,12 @@ def emd_index_build(
     manifest["build_id"] = build_id
     vdir = f"{path}/v_{build_id}"
 
-    out = rec0.withColumn("cell", _cell_expr(bnds, grid))
+    # parallelism floor AFTER rec0 is materialized (the boundary agg and
+    # seed sample above scan it): a small-but-dense table arriving as ONE
+    # byte-sized scan split would otherwise serialize the partitioned-by-
+    # cell write into a single task; probing the cached relation costs no
+    # extra upstream execution (see emd_join_nd._build_grid_ctx)
+    out = _parallelism_floor(rec0).withColumn("cell", _cell_expr(bnds, grid))
     out.write.mode("overwrite").partitionBy("cell").parquet(f"{vdir}/records")
     rec0.unpersist()
     spark.createDataFrame(

@@ -674,7 +674,7 @@ def _build_grid_ctx(
     # re-execute the upstream plan (for the bench bridge tables that is a
     # 3-join + groupBy chain — measured ~40% of the whole d=2 query before
     # this cache)
-    rec0 = _centroid_cols(_parallelism_floor(rec), bin_points, "w").persist()
+    rec0 = _centroid_cols(rec, bin_points, "w").persist()
     if grid is None:
         # the count materializes the cache the boundary agg needs anyway
         grid = _derive_grid(rec0.count(), d)
@@ -693,8 +693,16 @@ def _build_grid_ctx(
         cell = cell * grid + idx_k
 
     stat_udf, stat_len = _stat_udf(cfg)
+    # the parallelism floor sits BETWEEN the caches, after rec0 is
+    # materialized (the boundary agg above always scans it): the partition
+    # probe then reads the in-memory relation without re-running the
+    # upstream plan — probing the RAW input instead would force AQE to
+    # execute the whole chain one extra time (measured ~4 s per query on
+    # the sf0.1 bridge tables).  rec1, the expensive per-record stat pass,
+    # is what actually needs the width; rec0's cheap JVM aggregates do not.
     rec1 = (
-        rec0.withColumn("cell", cell.cast("long"))
+        _parallelism_floor(rec0)
+        .withColumn("cell", cell.cast("long"))
         .withColumn("st", stat_udf("w"))
         .persist()
     )
