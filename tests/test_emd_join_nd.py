@@ -9,6 +9,7 @@ closed form (DistanceUtil.get1dEmd, utils/DistanceUtil.java:40-79).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -522,3 +523,59 @@ def test_topk_degenerate_seed_falls_back_to_bruteforce(
     )
     for i, r in enumerate(top):
         assert r.emd == pytest.approx(allp[i][0], abs=1e-9)
+
+
+def test_parallelism_floor_widens_without_reexecuting_upstream(
+    spark, hist_df, bins_2d
+):
+    """The stat-stage parallelism floor must (a) widen a narrow input up to
+    the session shuffle parallelism so per-record Python kernels never run
+    single-task on a small-but-dense table (one 12 MB parquet split held a
+    measured 456 s task at sf1 before the floor), and (b) probe the
+    partition count on the MATERIALIZED centroid cache, never on the raw
+    plan — rdd.getNumPartitions() on an un-executed AQE plan runs the whole
+    upstream chain an extra time.  Guarded here with a counting pandas UDF
+    upstream of a coalesce(1): every upstream row evaluation increments an
+    accumulator, and one grid-ctx build must evaluate each row EXACTLY
+    once."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from melody_join_spark.operators.emd_join_nd import (
+        _build_grid_ctx,
+        build_config,
+    )
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    # mapInPandas is a relational node (one evaluation per pass over the
+    # subtree), unlike a column UDF which Catalyst may inline into several
+    # expressions of the same pass.  The repartition puts an AQE exchange
+    # ABOVE the counter, mimicking the bench bridge chain: probing
+    # rdd.getNumPartitions() on such a plan (instead of on the cache)
+    # executes its shuffle-map stages — i.e. re-runs the counter — which
+    # is exactly the regression this test pins.
+    narrow = (
+        hist_df.coalesce(1)
+        .mapInPandas(counted, "id long, w array<double>")
+        .repartition(2, "id")
+        .withColumn("side", F.lit(0))
+    )
+    n = hist_df.count()
+    cfg = build_config(
+        np.atleast_2d(np.asarray(bins_2d, dtype=np.float64)), seed=42
+    )
+    ctx = _build_grid_ctx(
+        narrow, np.asarray(bins_2d, dtype=np.float64), cfg, grid=3
+    )
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert ctx.rec1.rdd.getNumPartitions() >= min(target, n)
+    assert acc.value == n, (
+        f"upstream evaluated {acc.value} rows for {n} inputs — the floor "
+        "probe re-executed the input plan"
+    )
+    ctx.rec1.unpersist()
