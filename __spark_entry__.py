@@ -276,9 +276,16 @@ def _q_emd_index_search(spark, sf_dir):
     import os
 
     import melody_join_spark.operators.emd_index as _emi
+    import melody_join_spark.operators.emd_join_nd as _emj
 
-    with open(_emi.__file__, "rb") as fh:
-        h = hashlib.md5(fh.read())
+    # digest BOTH modules the build output depends on: emd_index.py and
+    # emd_join_nd.py (_grid_boundaries/build_config/_parallelism_floor) —
+    # a boundary change must not serve a stale index (round-5 ADVICE,
+    # __spark_entry__.py:280)
+    h = hashlib.md5()
+    for mod in (_emi, _emj):
+        with open(mod.__file__, "rb") as fh:
+            h.update(fh.read())
     lineitem_dir = os.path.join(sf_dir, "lineitem.parquet")
     stat_src = lineitem_dir if os.path.isdir(lineitem_dir) else sf_dir
     for name in sorted(os.listdir(stat_src)):
@@ -516,7 +523,15 @@ def _q_events_sessionize_streaming(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    # awaitTermination(timeout) returns False on timeout with the query
+    # still running — a partial memory table would surface downstream as a
+    # confusing hash mismatch, so fail loudly instead (round-5 ADVICE)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming sessionize gate: availableNow query did not "
+            "terminate within 600s"
+        )
     return spark.table(name).select(
         "user_id",
         F.col("session_id").cast("long").alias("session_id"),
@@ -720,6 +735,27 @@ def _q_dedup_clusters(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     pairs = jaccard_pairs(docs, threshold=JACCARD_THETA, ngram=JACCARD_NGRAM)
+    return dup_clusters(
+        pairs, ids=docs.select("doc_id"), id_col="doc_id"
+    ).orderBy("id")
+
+
+def _q_dedup_clusters_lsh(spark, sf_dir):
+    """Transitive near-dup clustering over SKETCH edges (round-5 VERDICT
+    next #3): `dup_clusters` takes any pairs DF, so the MinHash-LSH edge
+    set (x1.3 wall at x942 matches at sf1, vs the exact PPJoin's
+    output-bound x78) feeds the same union-find — cluster semantics
+    tolerate the sketch's measured 99.8% edge recall because one recovered
+    edge per component suffices for the transitive closure.  The LSH edge
+    set is deterministic given its seed, so the composition hash-checks
+    against the recursive-CTE closure of the SAME fixture edge set the
+    dedup_minhash_lsh gate uses (scripts/make_fixtures.py)."""
+    from melody_join_spark.operators.dedup import dup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, threshold=JACCARD_THETA, shingle=JACCARD_NGRAM
+    )
     return dup_clusters(
         pairs, ids=docs.select("doc_id"), id_col="doc_id"
     ).orderBy("id")
@@ -963,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_corpus": _q_split_corpus,
         "dedup_winnow": _q_winnow,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_lsh": _q_dedup_clusters_lsh,
         "dedup_minhash_lsh": _q_minhash,
         "dedup_simhash": _q_simhash,
         "cosine_pairs": _q_cosine_pairs,
@@ -1374,6 +1411,15 @@ FROM qf ORDER BY doc_id""",
         "split_corpus": _split_corpus_oracle(),
         "dedup_clusters": dup_clusters_oracle_sql(
             jaccard_pairs_oracle_sql(JACCARD_THETA, ngram=JACCARD_NGRAM),
+            ids_sql="SELECT doc_id AS id FROM documents",
+        ),
+        # clusters over sketch edges: the LSH edge set is seed-deterministic
+        # (fixture = independent pure-python re-execution), so the oracle is
+        # the recursive-CTE transitive closure of the SAME fixture edges the
+        # dedup_minhash_lsh gate pins — the closure logic stays DuckDB's
+        "dedup_clusters_lsh": dup_clusters_oracle_sql(
+            "SELECT rid, sid FROM "
+            "read_parquet('/root/repo/fixtures/minhash_pairs_sf001.parquet')",
             ids_sql="SELECT doc_id AS id FROM documents",
         ),
         "dedup_winnow": winnow_pairs_oracle_sql(),

@@ -138,6 +138,18 @@ def emd_index_build(
     manifest["build_id"] = build_id
     vdir = f"{path}/v_{build_id}"
 
+    # idempotent rebuild: if CURRENT already points at this exact build_id
+    # (same params + same data-derived boundaries/seeds) the committed
+    # build IS the requested one — rewriting mode('overwrite') into the
+    # very directory CURRENT references would un-commit it mid-write and a
+    # crash would leave CURRENT dangling (round-5 ADVICE, emd_index.py:146)
+    cur = os.path.join(_local_root(path), "CURRENT")
+    if os.path.exists(cur):
+        with open(cur) as fh:
+            if fh.read().strip() == build_id:
+                rec0.unpersist()
+                return emd_index_load(spark, path)
+
     # parallelism floor AFTER rec0 is materialized (the boundary agg and
     # seed sample above scan it): a small-but-dense table arriving as ONE
     # byte-sized scan split would otherwise serialize the partitioned-by-
@@ -160,7 +172,26 @@ def emd_index_build(
 
 
 def _local_root(path: str) -> str:
-    return path[len("file:"):] if path.startswith("file:") else path
+    """Driver-local filesystem root for the CURRENT pointer.
+
+    The pointer commit uses POSIX rename, which only exists on a local
+    (or file:) path.  A non-file scheme (hdfs://, s3a://...) would
+    silently read/write a bogus driver-local path — the load would fall
+    back to the legacy flat layout and the build would "commit" a pointer
+    Spark never sees — so refuse loudly (round-5 ADVICE, emd_index.py:155).
+    Object-store deployments should route the pointer through Hadoop FS /
+    a conditional put; the parquet payloads themselves are scheme-agnostic.
+    """
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme:
+        raise ValueError(
+            f"emd_index: CURRENT-pointer commit requires a local or file: "
+            f"index path; got scheme {scheme!r} ({path}). Route the pointer "
+            "through Hadoop FS APIs for object stores."
+        )
+    return path
 
 
 def emd_index_load(spark: SparkSession, path: str) -> EmdIndex:

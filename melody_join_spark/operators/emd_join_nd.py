@@ -279,7 +279,31 @@ def _parallelism_floor(df: DataFrame) -> DataFrame:
     parallelism when the input arrives below it; when the input is already
     at least that wide (any cluster-scale read with real file splits) this
     is a no-op with no added exchange.  Round-robin repartition, so it
-    never changes results — only where rows sit."""
+    never changes results — only where rows sit.
+
+    MISUSE GUARD: probing ``df.rdd.getNumPartitions()`` EXECUTES the
+    upstream plan when the relation is not already materialized (measured
+    +4.0-4.6 s per call on the sf0.1 bridge chains, ABCHECK_r05 §5) — so
+    this helper refuses inputs that are not persisted, leaving a third
+    call site no way to silently pay an extra chain execution (round-5
+    VERDICT next #7).  Both call sites probe cached relations by design.
+    """
+    lvl = df.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        # a narrow projection of a persisted frame is also fine (its own
+        # storageLevel reads NONE but the probe hits the InMemoryRelation);
+        # check the cache-substituted plan for one
+        try:
+            plan = df._jdf.queryExecution().withCachedData().toString()
+        except Exception:
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if "InMemoryRelation" not in plan:
+            raise ValueError(
+                "_parallelism_floor requires a persisted (cache-backed) "
+                "input: probing partition count on a raw chain re-executes "
+                "it. persist() the relation first (see "
+                "emd_join_nd._build_grid_ctx)."
+            )
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)

@@ -275,18 +275,29 @@ def png_decoder(content: bytes, bins: int) -> np.ndarray:
         elif f == 1:  # sub: per-lane cumulative sum mod 256
             r = row.reshape(-1, bpp)
             recon[y] = (np.cumsum(r, axis=0) & 255).reshape(-1)
+        # average/paeth carry a strict left-dependency (recon[x] needs
+        # recon[x-bpp]), so these two filters are inherently serial per
+        # scanline — O(w) interpreter iterations per filtered row.  Plain
+        # python-int list arithmetic runs that loop ~10-20x faster than
+        # numpy-scalar indexing (each np.int64 index/box costs far more
+        # than a list op), which keeps real-sized photos tractable; for
+        # bulk corpora the encoder's filter choice still decides the cost
+        # (up/sub/none rows stay fully vectorized) — round-5 ADVICE,
+        # multimodal.py:285.
         elif f == 3:  # average: sequential in x (left dependency)
-            r = row
+            r = row.tolist()
+            pl = prev.tolist()
             for x in range(stride):
                 left = r[x - bpp] if x >= bpp else 0
-                r[x] = (r[x] + ((left + prev[x]) >> 1)) & 255
+                r[x] = (r[x] + ((left + pl[x]) >> 1)) & 255
             recon[y] = r
         elif f == 4:  # paeth: sequential in x
-            r = row
+            r = row.tolist()
+            pl = prev.tolist()
             for x in range(stride):
                 a = r[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
+                b = pl[x]
+                c = pl[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)

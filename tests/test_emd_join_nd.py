@@ -579,3 +579,30 @@ def test_parallelism_floor_widens_without_reexecuting_upstream(
         "probe re-executed the input plan"
     )
     ctx.rec1.unpersist()
+
+
+def test_parallelism_floor_rejects_unpersisted_input(spark, hist_df):
+    """Misuse guard (round-5 VERDICT next #7): _parallelism_floor's
+    partition probe executes the upstream plan when the relation is not
+    cache-backed, so a raw chain must be REFUSED loudly — a future call
+    site cannot silently pay an extra chain execution.  Directly-persisted
+    frames AND narrow projections of persisted frames (whose own
+    storageLevel reads NONE but whose probe hits the InMemoryRelation)
+    must both pass."""
+    from melody_join_spark.operators.emd_join_nd import _parallelism_floor
+
+    raw = hist_df.selectExpr("id", "w")  # un-persisted chain
+    with pytest.raises(ValueError, match="persist"):
+        _parallelism_floor(raw)
+
+    cached = hist_df.persist()
+    try:
+        cached.count()
+        assert _parallelism_floor(cached) is not None
+        # projection of a persisted frame must pass too (whether Spark
+        # reports the cache's storageLevel on it or the guard falls back
+        # to finding the InMemoryRelation in the substituted plan)
+        proj = cached.select("id", "w")
+        assert _parallelism_floor(proj) is not None
+    finally:
+        cached.unpersist()
