@@ -902,6 +902,21 @@ def _q_lsh_cosine(spark, sf_dir):
     return lsh_cosine_pairs(_emb(spark, sf_dir), COSINE_THETA).orderBy("rid", "sid")
 
 
+def _q_cosine_pairs_ivf(spark, sf_dir):
+    """IVF-candidate cosine pairs (round-5 VERDICT next #4): probed-list
+    overlap candidates + exact fold verify — the sub-quadratic path for
+    the 10^5-10^6-vector mid-regime between exact block-matmul and
+    hyperplane LSH.  Deterministic given its seed (md5-ordered kmeans
+    sample, seeded centroids, stable probe argsort), so it hash-checks
+    against a fixture from a pure-python re-execution of the spec
+    (scripts/make_fixtures.py make_ivf_pairs_fixture)."""
+    from melody_join_spark.operators.similarity import ivf_cosine_pairs
+
+    return ivf_cosine_pairs(
+        _emb(spark, sf_dir), COSINE_THETA, nprobe=4
+    ).orderBy("rid", "sid")
+
+
 def _q_cosine_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     qs = emb.orderBy("vec_id").limit(TOPK_QUERIES)
@@ -1004,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "cosine_pairs": _q_cosine_pairs,
         "cosine_pairs_lsh": _q_lsh_cosine,
+        "cosine_pairs_ivf": _q_cosine_pairs_ivf,
         "cosine_topk": _q_cosine_topk,
         "cosine_topk_big": _q_cosine_topk_big,
     }
@@ -1435,6 +1451,10 @@ ORDER BY qid, rank""",
         "cosine_pairs_lsh": """
 SELECT rid, sid, cosine
 FROM read_parquet('/root/repo/fixtures/lsh_cosine_pairs_sf001.parquet')
+ORDER BY rid, sid""",
+        "cosine_pairs_ivf": """
+SELECT rid, sid, cosine
+FROM read_parquet('/root/repo/fixtures/ivf_pairs_sf001.parquet')
 ORDER BY rid, sid""",
         "dedup_minhash_lsh": """
 SELECT rid, sid, jaccard

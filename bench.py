@@ -54,6 +54,12 @@ def main() -> None:
     runs: dict[str, list[float]] = {name: [] for name in qs}
     busy_per_run: list[float] = []
     steal_per_run: list[float | None] = []
+    # per-query host-busy + wall timestamps (round-5 VERDICT wrong #2):
+    # whole-run busy averages hide which queries absorbed a load spike, so
+    # every (query, run) carries its own contention context and cross-round
+    # tables become interpretable without re-running
+    query_busy: dict[str, list[float]] = {name: [] for name in qs}
+    query_t0: dict[str, list[float]] = {name: [] for name in qs}
     # degrade gracefully on a pathologically contended host: finish the
     # current full run, then stop if the budget is spent (min-of-n still
     # holds over however many runs completed)
@@ -65,12 +71,17 @@ def main() -> None:
             break
         stat0 = _cpu_stat()
         for name, fn in qs.items():
+            qstat0 = _cpu_stat()
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
             dt = time.time() - t0
             runs[name].append(round(dt, 3))
-            print(f"# run{r} {name}: {n} rows in {dt:.2f}s", file=sys.stderr, flush=True)
+            _, qbusy = _pcts(qstat0, _cpu_stat())
+            query_busy[name].append(qbusy)
+            query_t0[name].append(round(t0, 1))
+            print(f"# run{r} {name}: {n} rows in {dt:.2f}s (busy {qbusy}%)",
+                  file=sys.stderr, flush=True)
             # queries persist self-join inputs; drop them so later queries
             # don't inherit the accumulated cache/GC pressure
             spark.catalog.clearCache()
@@ -90,6 +101,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_runs": len(busy_per_run),
                 "runs": runs,
+                "query_host_busy": query_busy,
+                "query_t_start": query_t0,
                 "host_busy_per_run": busy_per_run,
                 "host_steal_per_run": steal_per_run,
                 # back-compat aggregate context

@@ -1223,14 +1223,21 @@ def dedupe_embeddings(
     duplicates no lexical fingerprint sees).
 
     ``method='exact'`` scores all pairs (:func:`cosine_pairs` — the oracle
-    semantics, fine to ~10^4 vectors); ``'lsh'`` routes candidates through
-    the random-hyperplane sketch (:func:`lsh_cosine_pairs`) — the
-    10^8-vector scale path, recall < 1.  Documents without an embedding
-    row are kept (nothing to compare).  One anti-join either way."""
-    from .similarity import cosine_pairs, lsh_cosine_pairs
+    semantics, fine to ~10^4 vectors); ``'ivf'`` routes candidates through
+    probed-list overlap (:func:`ivf_cosine_pairs`) — the measured
+    10^5-10^6 MID-regime path (round-5 VERDICT next #4); ``'lsh'`` routes
+    through the random-hyperplane sketch (:func:`lsh_cosine_pairs`) — the
+    10^8-vector scale path.  Both sketch routes have candidate recall < 1.
+    Documents without an embedding row are kept (nothing to compare).
+    One anti-join either way."""
+    from .similarity import cosine_pairs, ivf_cosine_pairs, lsh_cosine_pairs
 
     if method == "exact":
         pairs = cosine_pairs(emb, threshold, id_col=emb_id_col, vec_col=vec_col)
+    elif method == "ivf":
+        pairs = ivf_cosine_pairs(
+            emb, threshold, id_col=emb_id_col, vec_col=vec_col, seed=seed
+        )
     elif method == "lsh":
         pairs = lsh_cosine_pairs(
             emb, threshold, id_col=emb_id_col, vec_col=vec_col,

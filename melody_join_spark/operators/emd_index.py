@@ -155,7 +155,9 @@ def emd_index_build(
     # byte-sized scan split would otherwise serialize the partitioned-by-
     # cell write into a single task; probing the cached relation costs no
     # extra upstream execution (see emd_join_nd._build_grid_ctx)
-    out = _parallelism_floor(rec0).withColumn("cell", _cell_expr(bnds, grid))
+    out = _parallelism_floor(rec0, rec0.count()).withColumn(
+        "cell", _cell_expr(bnds, grid)
+    )
     out.write.mode("overwrite").partitionBy("cell").parquet(f"{vdir}/records")
     rec0.unpersist()
     spark.createDataFrame(

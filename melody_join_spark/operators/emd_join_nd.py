@@ -267,7 +267,12 @@ def _emit_pairs(ids, li, ri, emds, ordered: bool = False) -> pd.DataFrame:
     return pd.DataFrame({"rid": lo, "sid": hi, "emd": emds})
 
 
-def _parallelism_floor(df: DataFrame) -> DataFrame:
+# minimum rows per task before the parallelism floor widens an input: with
+# fewer, per-task Arrow/UDF overhead exceeds the parallelism it buys
+_FLOOR_ROWS_PER_TASK = 128
+
+
+def _parallelism_floor(df: DataFrame, n_rows: int | None = None) -> DataFrame:
     """Guarantee CPU parallelism for the per-record Python stages.
 
     Scan partitioning is BYTE-sized (spark.sql.files.maxPartitionBytes),
@@ -305,6 +310,16 @@ def _parallelism_floor(df: DataFrame) -> DataFrame:
                 "emd_join_nd._build_grid_ctx)."
             )
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    if n_rows is not None:
+        # row-aware cap: >= ~_FLOOR_ROWS_PER_TASK rows per task.  Tiny
+        # tables gain nothing from full width — shattering the 72-image
+        # media join into 32 near-empty Arrow/UDF tasks measured +0.9-1.0 s
+        # (round-6 A/B, BENCHAB_r06.md), a pure overhead tax — while the
+        # regimes the floor exists for keep the cap (sf0.1 bridge 5.8k
+        # rows -> 46 > 32 unchanged; sf1 57k rows -> cap).  Callers pass
+        # the count of the already-materialized cache, so this costs no
+        # extra job.
+        target = min(target, max(1, -(-n_rows // _FLOOR_ROWS_PER_TASK)))
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
     return df
@@ -699,10 +714,14 @@ def _build_grid_ctx(
     # 3-join + groupBy chain — measured ~40% of the whole d=2 query before
     # this cache)
     rec0 = _centroid_cols(rec, bin_points, "w").persist()
+    n_rec = None
     if grid is None:
         # the count materializes the cache the boundary agg needs anyway
-        grid = _derive_grid(rec0.count(), d)
+        n_rec = rec0.count()
+        grid = _derive_grid(n_rec, d)
     bnds = _grid_boundaries(rec0, d, grid)  # (d, grid-1); materializes rec0
+    if n_rec is None:
+        n_rec = rec0.count()  # cached by now: metadata-cheap
     if cfg is None:
         seed_rows = rec0.select("w").limit(8).collect()
         sw = np.array([r[0] for r in seed_rows], dtype=np.float64)
@@ -725,7 +744,7 @@ def _build_grid_ctx(
     # the sf0.1 bridge tables).  rec1, the expensive per-record stat pass,
     # is what actually needs the width; rec0's cheap JVM aggregates do not.
     rec1 = (
-        _parallelism_floor(rec0)
+        _parallelism_floor(rec0, n_rec)
         .withColumn("cell", cell.cast("long"))
         .withColumn("st", stat_udf("w"))
         .persist()
@@ -1219,7 +1238,8 @@ def _pivot_join(
     # 6.7 s on ONE task at sf0.1.  A round-robin repartition of the tiny
     # (id, w) rows costs nothing next to the work it parallelizes.
     rec_in = _parallelism_floor(
-        rec.select("id", "w", F.col("side").cast("long").alias("side"))
+        rec.select("id", "w", F.col("side").cast("long").alias("side")),
+        rec.count(),  # cached by the pivot sample above: metadata-cheap
     )
     with_d = rec_in.mapInPandas(dists_part, dist_schema)
 

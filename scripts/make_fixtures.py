@@ -39,6 +39,7 @@ OUT_SIMHASH = os.path.join(_FIXDIR, "simhash_pairs_sf001.parquet")
 OUT_MINHASH = os.path.join(_FIXDIR, "minhash_pairs_sf001.parquet")
 OUT_LSHCOS = os.path.join(_FIXDIR, "lsh_cosine_pairs_sf001.parquet")
 OUT_IVF = os.path.join(_FIXDIR, "ivf_topk_sf001.parquet")
+OUT_IVFPAIRS = os.path.join(_FIXDIR, "ivf_pairs_sf001.parquet")
 OUT_3D = os.path.join(_FIXDIR, "emd3d_pairs_sf001.parquet")
 OUT_ARB = os.path.join(_FIXDIR, "emd2d_sqrtl1_pairs_sf001.parquet")
 
@@ -527,6 +528,99 @@ def make_emd3d_fixture() -> None:
         print(f"pairs <= {th}+1e-4: {(e <= th + 1e-4).sum()}")
 
 
+def make_ivf_pairs_fixture(
+    threshold: float = 0.25,
+    nprobe: int = 4,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+) -> None:
+    """Pure-python re-execution of IVF-candidate cosine pairs
+    (operators/similarity.ivf_cosine_pairs): derived nlist = round(sqrt(N)),
+    md5-hash-order kmeans sample, seeded spherical kmeans, stable
+    top-nprobe list assignment per vector, candidate pairs = probe-set
+    overlap, exact cosine with Spark's left-fold accumulation order.
+    Deterministic given the seed -> hash-grade fixture for
+    cosine_pairs_ivf."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    # float32 storage cast to double, exactly like _as_double
+    vecs = np.array(
+        [[float(np.float64(np.float32(x))) for x in v]
+         for v in t["embedding"].to_pylist()],
+        dtype=np.float64,
+    )
+    n = len(ids)
+    nlist = max(8, int(round(float(n) ** 0.5)))
+
+    # codebook: _ivf_codebook's md5(id)-hash-ordered sample (limit >= table
+    # size at sf0.01, so only the ORDER matters), same kmeans ops
+    rng = np.random.default_rng(seed)
+    md5_order = np.argsort(
+        np.array(
+            [(hashlib.md5(str(int(i)).encode()).hexdigest(), int(i))
+             for i in ids],
+            dtype=[("h", "U32"), ("i", "i8")],
+        ),
+        order=("h", "i"),
+        kind="stable",
+    )
+    Xs = vecs[md5_order]
+    Xsn = Xs / np.maximum(np.linalg.norm(Xs, axis=1, keepdims=True), 1e-12)
+    C = Xsn[rng.choice(len(Xsn), size=min(nlist, len(Xsn)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = (Xsn @ C.T).argmax(axis=1)
+        for c in range(C.shape[0]):
+            m = assign == c
+            if m.any():
+                v = Xsn[m].sum(axis=0)
+                nn = np.linalg.norm(v)
+                if nn > 1e-12:
+                    C[c] = v / nn
+
+    # multi-probe assignment over the full table (per-row independent);
+    # stable argsort ties toward the smaller list id, like the operator
+    Xn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(Xn @ C.T), axis=1, kind="stable")[:, :nprobe]
+
+    lists: dict[int, list[int]] = {}
+    for k in range(n):
+        for li in probes[k]:
+            lists.setdefault(int(li), []).append(k)
+    cand = set()
+    for members in lists.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                x, y = members[i], members[j]
+                if ids[x] > ids[y]:
+                    x, y = y, x
+                if ids[x] != ids[y]:
+                    cand.add((x, y))
+    norms = [np.sqrt(_fold(x * x for x in v)) for v in vecs]
+    rid, sid, cos = [], [], []
+    for x, y in sorted(cand, key=lambda p: (ids[p[0]], ids[p[1]])):
+        c = _fold(a * b for a, b in zip(vecs[x], vecs[y])) / (norms[x] * norms[y])
+        if c >= threshold:
+            rid.append(ids[x])
+            sid.append(ids[y])
+            cos.append(c)
+    tbl = pa.table(
+        {
+            "rid": pa.array(rid, type=pa.int64()),
+            "sid": pa.array(sid, type=pa.int64()),
+            "cosine": pa.array(cos, type=pa.float64()),
+        }
+    )
+    pq.write_table(tbl, OUT_IVFPAIRS)
+    print(f"wrote {OUT_IVFPAIRS}: {len(rid)} pairs (cos >= {threshold}, "
+          f"nlist={nlist}, nprobe={nprobe})")
+
+
 if __name__ == "__main__":
     only = sys.argv[1] if len(sys.argv) > 1 else None
     if only == "emd3d":
@@ -536,6 +630,7 @@ if __name__ == "__main__":
         make_minhash_fixture()
         make_lsh_cosine_fixture()
         make_ivf_fixture()
+        make_ivf_pairs_fixture()
         main()
         make_emd3d_fixture()
         make_arbitrary_fixture()
@@ -544,5 +639,6 @@ if __name__ == "__main__":
          "minhash": make_minhash_fixture,
          "lshcos": make_lsh_cosine_fixture,
          "ivf": make_ivf_fixture,
+         "ivfpairs": make_ivf_pairs_fixture,
          "arbitrary": make_arbitrary_fixture,
          "emd2d": main}[only]()

@@ -526,7 +526,7 @@ def test_topk_degenerate_seed_falls_back_to_bruteforce(
 
 
 def test_parallelism_floor_widens_without_reexecuting_upstream(
-    spark, hist_df, bins_2d
+    spark, hist_df, bins_2d, monkeypatch
 ):
     """The stat-stage parallelism floor must (a) widen a narrow input up to
     the session shuffle parallelism so per-record Python kernels never run
@@ -569,6 +569,12 @@ def test_parallelism_floor_widens_without_reexecuting_upstream(
     cfg = build_config(
         np.atleast_2d(np.asarray(bins_2d, dtype=np.float64)), seed=42
     )
+    # simulate the sf1 regime (many rows per task) on the tiny test table:
+    # with the real 128-rows-per-task cap a table this small would be LEFT
+    # NARROW by design (see test_parallelism_floor_row_aware)
+    import melody_join_spark.operators.emd_join_nd as EJ
+
+    monkeypatch.setattr(EJ, "_FLOOR_ROWS_PER_TASK", 1)
     ctx = _build_grid_ctx(
         narrow, np.asarray(bins_2d, dtype=np.float64), cfg, grid=3
     )
@@ -579,6 +585,36 @@ def test_parallelism_floor_widens_without_reexecuting_upstream(
         "probe re-executed the input plan"
     )
     ctx.rec1.unpersist()
+
+
+def test_parallelism_floor_row_aware(spark, hist_df):
+    """With a row count supplied, the floor keeps >= _FLOOR_ROWS_PER_TASK
+    rows per task: a tiny table is LEFT NARROW (shattering 72 media rows
+    into 32 near-empty Arrow/UDF tasks measured +0.9-1.0 s, BENCHAB_r06),
+    while a row count in the straggler regime still widens to the session
+    cap."""
+    from melody_join_spark.operators.emd_join_nd import (
+        _FLOOR_ROWS_PER_TASK,
+        _parallelism_floor,
+    )
+
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cached = hist_df.coalesce(2).persist()
+    try:
+        n = cached.count()
+        assert n < _FLOOR_ROWS_PER_TASK * target  # fixture is tiny
+        narrow_kept = _parallelism_floor(cached, n)
+        assert (
+            narrow_kept.rdd.getNumPartitions()
+            <= max(2, -(-n // _FLOOR_ROWS_PER_TASK))
+        )
+        widened = _parallelism_floor(cached, _FLOOR_ROWS_PER_TASK * target)
+        assert widened.rdd.getNumPartitions() >= target
+        # unknown row count: conservative full widening (straggler-safe)
+        unknown = _parallelism_floor(cached)
+        assert unknown.rdd.getNumPartitions() >= target
+    finally:
+        cached.unpersist()
 
 
 def test_parallelism_floor_rejects_unpersisted_input(spark, hist_df):
