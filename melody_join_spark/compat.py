@@ -142,12 +142,12 @@ def run_generate_from_properties(
     ``generate.enabled.features`` ('/'-separated Lire feature names,
     GenerateUtil.java:44-60) selects the extractors.  The default extractor
     is ``multimodal.sniff_decoder``: REAL pixel-level color-cube histograms
-    for uncompressed PPM payloads and sample-level amplitude histograms for
-    16-bit PCM WAV (both pure numpy, hash-gated), byte-histogram fallback
-    for compressed formats.  ``decoder=`` supplies a codec-backed callable
-    ``(bytes, bins) -> np.ndarray`` (or a dict feature->callable) for
-    JPEG/MP3/... — the one remaining integration point in this codec-less
-    container.
+    for PPM, PNG and baseline JPEG payloads and sample-level amplitude
+    histograms for 16-bit PCM WAV (all pure python/numpy, hash-gated),
+    byte-histogram fallback for other formats.  ``decoder=`` supplies a
+    codec-backed callable ``(bytes, bins) -> np.ndarray`` (or a dict
+    feature->callable) for progressive JPEG / MP3 / video — the one
+    remaining integration point in this codec-less container.
 
     Returns {feature: (id, w) DataFrame} — each directly joinable by
     ``emd_join_nd`` / consumable by a reference deployment.

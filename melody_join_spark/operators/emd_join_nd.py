@@ -1749,9 +1749,21 @@ def emd_topk_nd(
     # VERDICT wrong #2).  xxhash64(id, seed) is a deterministic shuffle of
     # the id space — same ceiling tightness as a uniform random sample,
     # stable across partitionings/reruns.
+    if sample_size is None:
+        # derive from N, not k alone: the seed must reach the duplicate/
+        # near-duplicate tail of the TABLE for the kth ceiling to be tight
+        # — the r5 k-only derivation (max(500, 15k)) resolved to 500 here
+        # and cost +3 s on the sf0.1 d=3 bench (ceiling too loose, grid
+        # pass at an inflated radius; within-process interleaved probe:
+        # 500 -> 9.0-9.8 s vs 600/750 -> 6.2-6.9 s).  8*sqrt(N) reproduces
+        # the hand-tuned 600 at sf0.1 (N=5793 -> 609) and scales the seed
+        # with the dup-tail mass; the 4096 cap bounds the driver-side
+        # LB matrix (seeds^2/2 pairs) at any N.
+        n_rec = rec.count()  # persisted above: cheap, reused by the sample
+        sample_size = max(500, 15 * k, min(int(8.0 * n_rec**0.5), 4096))
     sample = (
         rec.orderBy(F.xxhash64(F.col("id"), F.lit(int(seed))), F.col("id"))
-        .limit(max(sample_size if sample_size is not None else max(500, 15 * k), 4 * k))
+        .limit(max(sample_size, 4 * k))
         .collect()
     )
     SW = normalize(np.array([r["w"] for r in sample], dtype=np.float64))

@@ -11,15 +11,19 @@ tested.  Decoders, all codec-free and deterministic:
 - ``png_decoder``   — REAL pixel-level color-cube histograms for PNG (the
   one compressed format whose codec is stdlib zlib: IDAT inflate + numpy
   scanline unfilter; 8-bit gray/RGB/palette/alpha variants)
+- ``jpeg_decoder``  — REAL pixel-level color-cube histograms for BASELINE
+  JPEG (pure python/numpy entropy decode + dequant + IDCT + chroma
+  upsample + YCbCr->RGB; gray / 4:4:4 / 4:2:0, restart intervals;
+  hash-gated against an independent encoder's expected decode)
 - ``wav_pcm_decoder`` — REAL sample-level amplitude histograms for RIFF/WAV
   16-bit PCM (pure-numpy chunk walk)
 - ``byte_histogram_decoder`` — byte-distribution fallback for any payload
-- ``sniff_decoder`` — magic-byte dispatch across the three above
+- ``sniff_decoder`` — magic-byte dispatch across the above
 - ``fake=True``     — seeded pseudo-histogram stand-in for recall tests
 
-A production codec-backed callable (PIL/ffmpeg/librosa for JPEG/MP3/...)
-plugs into ``decoder=`` unchanged — compressed-format decoding is the one
-remaining integration point in this codec-less container.
+A production codec-backed callable (PIL/ffmpeg/librosa for progressive
+JPEG/MP3/video) plugs into ``decoder=`` unchanged — those formats are the
+one remaining integration point in this codec-less container.
 
 This replaces the reference's generator input stack (HIPI bundles / Lire
 feature extractors, SURVEY.md §2.1 S6, src/com/iojin/melody/Generate.java:
@@ -55,6 +59,7 @@ __all__ = [
     "ppm_decoder",
     "ppm_bin_points",
     "png_decoder",
+    "jpeg_decoder",
     "wav_pcm_decoder",
     "sniff_decoder",
     "lenient_sniff_decoder",
@@ -320,6 +325,294 @@ def png_decoder(content: bytes, bins: int) -> np.ndarray:
     return _color_cube_hist(px, bins)
 
 
+# JPEG zigzag order: zigzag index -> natural (row-major) position
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _jpeg_idct_basis() -> np.ndarray:
+    """(8, 8) orthonormal DCT-III basis A with A[u, x] = c(u)/2 *
+    cos((2x+1) u pi / 16): spatial block = A.T @ coefs @ A."""
+    A = np.zeros((8, 8))
+    for u in range(8):
+        c = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            A[u, x] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return A
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded JPEG scan data: un-stuffs
+    0xFF00, stops at any other marker, byte-aligns across RST markers."""
+
+    __slots__ = ("data", "pos", "bit", "_cur")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bit = 8  # force a byte load on first read
+        self._cur = 0
+
+    def _load(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG scan data")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt != 0x00:
+                raise ValueError("marker inside entropy segment")
+            self.pos += 2  # stuffed 0xFF00 -> literal 0xFF
+        else:
+            self.pos += 1
+        self._cur = b
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.bit == 8:
+            self._load()
+        v = (self._cur >> (7 - self.bit)) & 1
+        self.bit += 1
+        return v
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume one RSTn marker.  A preceding 1-bit pad
+        (T.81 F.1.2.3) can itself form an 0xFF byte, which the encoder
+        stuffs with 0x00 — skip any such stuffed pad bytes first."""
+        self.bit = 8
+        d = self.data
+        while (
+            self.pos + 1 < len(d)
+            and d[self.pos] == 0xFF
+            and d[self.pos + 1] == 0x00
+        ):
+            self.pos += 2
+        if d[self.pos] != 0xFF or not (0xD0 <= d[self.pos + 1] <= 0xD7):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
+
+
+def _jpeg_huff_decode(br: _JpegBitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map s received bits to the signed coefficient."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def jpeg_decoder(content: bytes, bins: int) -> np.ndarray:
+    """REAL pixel-level feature extractor for BASELINE JPEG (SOF0, 8-bit,
+    huffman sequential) — pure python/numpy, no codec library: marker walk,
+    canonical huffman decode of the entropy scan (DC diff + AC run-length,
+    0xFF00 un-stuffing, DRI/RSTn restart intervals), dequantization,
+    dezigzag, orthonormal 8x8 IDCT, nearest-neighbor chroma upsampling and
+    the JFIF YCbCr->RGB transform (R = Y + 1.402 Cr', G = Y - 0.344136 Cb'
+    - 0.714136 Cr', B = Y + 1.772 Cb'), then the SAME 3x3x3 color-cube
+    quantization as the PPM/PNG paths (one corpus, one geometry).
+
+    Verified by the generate_media_jpeg gate: the committed corpus is
+    written by an INDEPENDENT pure-python encoder (its own forward DCT /
+    quantize / huffman, scripts/make_jpeg_fixtures.py) and the oracle pins
+    the histogram of the expected decode, computed by an independent
+    scalar-loop IDCT with a knife-edge guard on every rounding boundary —
+    so the two implementations must agree on every emitted pixel bucket.
+
+    Progressive (SOF2), extended (SOF1/12-bit), arithmetic-coded and
+    hierarchical JPEGs raise :class:`UnsupportedMediaFormatError`; those
+    need a codec-backed ``decoder=`` (utils/GenerateUtil.java:44-60 used
+    Lire for this).  Replaces the reference's Lire feature extraction at
+    actual pixel depth for the baseline subset."""
+    d = content or b""
+    if len(d) < 4 or d[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    scan_pos = None
+    scan_comps = None
+    while i < len(d):
+        if d[i] != 0xFF:
+            raise ValueError("corrupt JPEG marker stream")
+        while i < len(d) and d[i] == 0xFF:
+            i += 1  # fill bytes
+        m = d[i]
+        i += 1
+        if m == 0xD9:  # EOI
+            break
+        if m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                 0xCD, 0xCE, 0xCF):
+            raise UnsupportedMediaFormatError(
+                f"unsupported JPEG frame type 0xFF{m:02X} (progressive/"
+                "extended/arithmetic); only baseline SOF0 decodes codec-free"
+            )
+        ln = int.from_bytes(d[i:i + 2], "big")
+        seg = d[i + 2:i + ln]
+        if m == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq == 0:
+                    tab = np.frombuffer(seg, np.uint8, 64, p).astype(np.int64)
+                    p += 64
+                else:
+                    tab = np.frombuffer(seg, ">u2", 64, p).astype(np.int64)
+                    p += 128
+                qt[tq] = tab  # zigzag order
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = list(seg[p + 1:p + 17])
+                p += 17
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = seg[p]
+                        p += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif m == 0xC0:  # SOF0 baseline
+            prec = seg[0]
+            if prec != 8:
+                raise UnsupportedMediaFormatError(
+                    f"unsupported JPEG sample precision {prec}"
+                )
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise UnsupportedMediaFormatError(
+                    f"unsupported JPEG component count {nc}"
+                )
+            comps = []
+            for c in range(nc):
+                cid, hv, tq_id = seg[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq_id))
+            if h == 0 or w == 0:
+                raise ValueError("corrupt JPEG dimensions")
+            frame = (h, w, comps)
+        elif m == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tdta = seg[1 + 2 * c:3 + 2 * c]
+                scan_comps.append((cid, tdta >> 4, tdta & 15))
+            scan_pos = i + ln
+            break
+        # APPn / COM / other length-prefixed segments: skip
+        i += ln
+    if frame is None or scan_pos is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    h, w, comps = frame
+    by_cid = {cid: (hs, vs, tq_id) for cid, hs, vs, tq_id in comps}
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    A = _jpeg_idct_basis()
+    planes: dict[int, np.ndarray] = {}
+    for cid, hs, vs, _ in comps:
+        planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8))
+    dc_pred = {cid: 0 for cid, _, _, _ in comps}
+    br = _JpegBitReader(d, scan_pos)
+    zz = _JPEG_ZIGZAG
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                br.restart()
+                dc_pred = {cid: 0 for cid, _, _, _ in comps}
+            mcu_count += 1
+            for cid, td, ta in scan_comps:
+                hs, vs, tq_id = by_cid[cid]
+                dtab, atab = huff[(0, td)], huff[(1, ta)]
+                q = qt[tq_id]
+                for byy in range(vs):
+                    for bxx in range(hs):
+                        coef_zz = np.zeros(64, dtype=np.int64)
+                        s = _jpeg_huff_decode(br, dtab)
+                        dc_pred[cid] += _jpeg_extend(br.receive(s), s)
+                        coef_zz[0] = dc_pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(br, atab)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            coef_zz[k] = _jpeg_extend(br.receive(s), s)
+                            k += 1
+                        blk = np.zeros(64)
+                        blk[zz] = (coef_zz * q).astype(np.float64)
+                        px = A.T @ blk.reshape(8, 8) @ A + 128.0
+                        y0 = (my * vs + byy) * 8
+                        x0 = (mx * hs + bxx) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = px
+    # upsample to full resolution (nearest-neighbor replication) and crop
+    full = {}
+    for cid, hs, vs, _ in comps:
+        p = planes[cid]
+        if hs < hmax or vs < vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full[cid] = p[:h, :w]
+    if len(comps) == 1:
+        g = np.clip(np.round(full[comps[0][0]]), 0, 255).astype(np.int64)
+        px = np.repeat(g.reshape(-1, 1), 3, axis=1)
+    else:
+        Y = full[comps[0][0]]
+        Cb = full[comps[1][0]] - 128.0
+        Cr = full[comps[2][0]] - 128.0
+        R = Y + 1.402 * Cr
+        G = Y - 0.344136 * Cb - 0.714136 * Cr
+        B = Y + 1.772 * Cb
+        px = np.stack(
+            [
+                np.clip(np.round(ch), 0, 255).astype(np.int64).reshape(-1)
+                for ch in (R, G, B)
+            ],
+            axis=1,
+        )
+    return _color_cube_hist(px, bins)
+
+
 def wav_pcm_decoder(content: bytes, bins: int) -> np.ndarray:
     """REAL sample-level audio feature extractor for uncompressed WAV
     (RIFF, 16-bit PCM) — pure numpy RIFF chunk walk, no codec library.
@@ -375,6 +668,8 @@ def sniff_decoder(content: bytes, bins: int) -> np.ndarray:
             return ppm_decoder(content, bins)
         if head == b"\x89PNG\r\n\x1a\n":
             return png_decoder(content, bins)
+        if head[:2] == b"\xff\xd8":
+            return jpeg_decoder(content, bins)
         if head[:4] == b"RIFF":
             return wav_pcm_decoder(content, bins)
     except UnsupportedMediaFormatError:

@@ -713,17 +713,25 @@ def ivf_cosine_pairs(
     ONE Arrow-batched pass assigns every vector its ``nprobe``
     nearest-centroid lists (multi-probe on BOTH sides: two vectors are
     candidates iff their probe sets overlap, so boundary-straddling pairs
-    survive a disagreeing primary), then a plain JVM equi-join on list_id
-    generates candidates — only (id, list_id) rows shuffle, vectors join
-    back AFTER the distinct — and the same `cosine_expr` fold as
-    :func:`cosine_pairs` verifies exactly.  Output ⊆ cosine_pairs
-    (candidate recall < 1; the emitted cosines are exact).
+    survive a disagreeing primary), then ONE groupBy(list_id) +
+    applyInPandas verifies all in-list pairs with a memory-blocked
+    elementwise-product + cumsum dot — np.cumsum's running total is a
+    strict LEFT FOLD, bit-identical to the `cosine_expr` /
+    ``F.aggregate(zip_with(...))`` arithmetic of :func:`cosine_pairs`
+    (property-pinned in tests), and norms ride along from the JVM
+    `_norm_expr` column — so a pair found in two shared lists emits
+    bit-identical rows and one `distinct()` dedups them.  Output ⊆
+    cosine_pairs (candidate recall < 1; the emitted cosines are exact).
 
-    Scale: candidate work is sum over lists of |list|^2 ~ N^2·nprobe^2 /
-    nlist, so nlist ~ sqrt(N) (the default) gives ~N^1.5 — sub-quadratic
-    without LSH's threshold sensitivity (hyperplane banding degenerates at
-    low thresholds; IVF candidates only need angular LOCALITY).  Hot lists
-    are ordinary skewed join keys: AQE skew-join splits them.
+    Scale: the only wide shuffle moves N·nprobe (id, vector) rows — NOT
+    per-candidate join-backs (the LSH route's shape, ~pair-count vector
+    copies) — and verify work is sum over lists of |list|^2 ~
+    N^2·nprobe^2 / nlist, so nlist ~ sqrt(N) (the default) gives ~N^1.5:
+    sub-quadratic without LSH's threshold sensitivity (hyperplane banding
+    degenerates at low thresholds; IVF candidates only need angular
+    LOCALITY).  Spherical kmeans keeps lists near-balanced; a genuinely
+    hot list is bounded by the in-group row blocking (constant memory),
+    not by executor RAM.
     """
     e = (
         emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
@@ -739,6 +747,7 @@ def ivf_cosine_pairs(
     )
     b_c = e.sparkSession.sparkContext.broadcast(C)
     np_ = min(nprobe, C.shape[0])
+    thr = float(threshold)
 
     def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         C_ = b_c.value
@@ -751,35 +760,64 @@ def ivf_cosine_pairs(
             # stable argsort: ties break toward the smaller list id, so the
             # probe set is deterministic and the spec fixture reproduces it
             probes = np.argsort(-sims, axis=1, kind="stable")[:, :np_]
-            ids = pdf["id"].to_numpy()
             yield pd.DataFrame(
                 {
-                    "id": np.repeat(ids, np_),
+                    "id": np.repeat(pdf["id"].to_numpy(), np_),
+                    "v": np.repeat(pdf["v"].to_numpy(), np_),
+                    "nrm": np.repeat(pdf["nrm"].to_numpy(), np_),
                     "list_id": probes.reshape(-1),
                 }
             )
 
-    asg = (
-        e.select("id", "v")
-        .mapInPandas(assign, "id long, list_id long")
-        .persist()  # feeds both join sides
+    asg = e.mapInPandas(
+        assign, "id long, v array<double>, nrm double, list_id long"
     )
-    a = asg.select(F.col("id").alias("rid"), "list_id")
-    b = asg.select(F.col("id").alias("sid"), "list_id")
-    cand = (
-        a.join(b, "list_id")
-        .where(F.col("rid") < F.col("sid"))
-        .select("rid", "sid")
-        .distinct()
-    )
-    va = e.select(F.col("id").alias("rid"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    vb = e.select(F.col("id").alias("sid"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"rid": [], "sid": [], "cosine": []})
+        ids = pdf["id"].to_numpy()
+        V = np.stack(pdf["v"].to_numpy())
+        nrm = pdf["nrm"].to_numpy()
+        out_r: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        # row blocks bound the (pairs, d) product matrix to ~128k pairs
+        B = max(1, 131072 // m)
+        for i0 in range(0, m - 1, B):
+            i1 = min(i0 + B, m - 1)
+            li = np.concatenate(
+                [np.full(m - i - 1, i, dtype=np.int64) for i in range(i0, i1)]
+            )
+            rj = np.concatenate(
+                [np.arange(i + 1, m, dtype=np.int64) for i in range(i0, i1)]
+            )
+            # zip_with-mult then cumsum = Spark's aggregate left fold,
+            # bitwise
+            dots = np.cumsum(V[li] * V[rj], axis=1)[:, -1]
+            cos = dots / (nrm[li] * nrm[rj])
+            keep = cos >= thr
+            if keep.any():
+                ki, kj = li[keep], rj[keep]
+                out_r.append(np.minimum(ids[ki], ids[kj]))
+                out_s.append(np.maximum(ids[ki], ids[kj]))
+                out_c.append(cos[keep])
+        if not out_r:
+            return pd.DataFrame({"rid": [], "sid": [], "cosine": []})
+        return pd.DataFrame(
+            {
+                "rid": np.concatenate(out_r),
+                "sid": np.concatenate(out_s),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
     from ..cache import release_on_gc
 
     out = (
-        cand.join(va, "rid")
-        .join(vb, "sid")
-        .select("rid", "sid", cosine_expr().alias("cosine"))
-        .where(F.col("cosine") >= threshold)
+        asg.groupBy("list_id")
+        .applyInPandas(verify, "rid long, sid long, cosine double")
+        .distinct()  # shared-list duplicates are bit-identical rows
     )
-    return release_on_gc(out, e, asg)
+    return release_on_gc(out, e)

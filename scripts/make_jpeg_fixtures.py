@@ -1,0 +1,466 @@
+"""Build the baseline-JPEG media fixtures for generate_media_jpeg.
+
+Two committed artifacts:
+
+1. ``fixtures/media/jpeg/img_###.jpg`` — a deterministic corpus of small
+   baseline JPEGs written by an INDEPENDENT pure-python encoder: its own
+   scalar forward DCT, quantization (Annex-K tables scaled to two quality
+   levels), zigzag, Annex-K huffman coding, byte stuffing, and restart
+   markers on some images.  Modes: grayscale, 4:4:4 color and 4:2:0
+   color.  The engine's ``multimodal.jpeg_decoder`` shares NO code (and
+   no tables — it reads DQT/DHT from the file).
+2. ``fixtures/media_jpeg_pairs.parquet`` — the all-pairs exact-EMD oracle
+   over the 27-bin RGB color-cube histograms of the EXPECTED DECODE,
+   computed here with an independent scalar-loop IDCT + the JFIF color
+   transform.  JPEG is lossy, so the contract is not round-tripping the
+   source pixels but agreeing bit-for-bit on the decode of the committed
+   bytes; a knife-edge guard asserts no pre-round sample sits within 1e-6
+   of a .5 rounding boundary, so any IDCT association difference between
+   the two implementations (BLAS matmul vs scalar loop, ~1e-12) cannot
+   flip a pixel bucket.
+
+Usage: python scripts/make_jpeg_fixtures.py
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from make_media_fixtures import BINS, hist27  # noqa: E402
+from make_png_fixtures import synth_rgb  # noqa: E402
+
+_FIXDIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures"
+)
+JPEG_DIR = os.path.join(_FIXDIR, "media", "jpeg")
+OUT_PAIRS = os.path.join(_FIXDIR, "media_jpeg_pairs.parquet")
+
+N_IMAGES = 48
+
+# ITU-T T.81 Annex K reference tables (public spec constants)
+QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+# (counts per code length 1..16, symbol values)
+HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _huff_codes(spec) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical order."""
+    counts, values = spec
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[values[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (T.81 F.1.2.3)."""
+        while self.nbits:
+            self.put(1, 1)
+
+
+def _fdct_scalar(block: np.ndarray) -> np.ndarray:
+    """Scalar forward DCT-II with the JPEG normalization (independent of
+    the decoder's matrix IDCT)."""
+    out = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for v in range(8):
+            cv = (1.0 / math.sqrt(2.0)) if v == 0 else 1.0
+            s = 0.0
+            for y in range(8):
+                for x in range(8):
+                    s += (
+                        block[y, x]
+                        * math.cos((2 * x + 1) * v * math.pi / 16.0)
+                        * math.cos((2 * y + 1) * u * math.pi / 16.0)
+                    )
+            out[u, v] = 0.25 * cu * cv * s
+    return out
+
+
+def _idct_scalar(coef: np.ndarray) -> np.ndarray:
+    """Scalar IDCT — the fixture's INDEPENDENT inverse (the decoder uses a
+    basis-matrix matmul; association differs, values agree to ~1e-12)."""
+    out = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+                for v in range(8):
+                    cv = (1.0 / math.sqrt(2.0)) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef[u, v]
+                        * math.cos((2 * x + 1) * v * math.pi / 16.0)
+                        * math.cos((2 * y + 1) * u * math.pi / 16.0)
+                    )
+            out[y, x] = 0.25 * s
+    return out
+
+
+def _scale_qt(base: list[int], quality: int) -> list[int]:
+    """IJG-style quality scaling of an Annex-K table."""
+    sc = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [max(1, min(255, (b * sc + 50) // 100)) for b in base]
+
+
+def _encode_block(
+    bw: _BitWriter, qcoef_zz: list[int], dc_pred: int, dc_codes, ac_codes
+) -> int:
+    diff = qcoef_zz[0] - dc_pred
+    s = diff if diff >= 0 else -diff
+    size = s.bit_length()
+    bw.put(*dc_codes[size])
+    if size:
+        v = diff if diff >= 0 else diff + (1 << size) - 1
+        bw.put(v & ((1 << size) - 1), size)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if qcoef_zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        c = qcoef_zz[k]
+        if c == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.put(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        s = c if c >= 0 else -c
+        size = s.bit_length()
+        bw.put(*ac_codes[(run << 4) | size])
+        v = c if c >= 0 else c + (1 << size) - 1
+        bw.put(v & ((1 << size) - 1), size)
+        run = 0
+    if last_nz < 63:
+        bw.put(*ac_codes[0x00])  # EOB
+    return qcoef_zz[0]
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def _dht_payload(tc: int, th: int, spec) -> bytes:
+    counts, values = spec
+    return bytes([tc << 4 | th]) + bytes(counts) + bytes(values)
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    mode: str,
+    quality: int,
+    restart: int = 0,
+) -> tuple[bytes, np.ndarray]:
+    """Encode (h, w, 3) uint8 RGB as baseline JPEG; returns (bytes,
+    expected-decode RGB (h, w, 3) int array) — the expected decode is
+    computed with the scalar IDCT + replication upsampling + JFIF color
+    transform, with a knife-edge assertion on every rounding boundary.
+    mode: 'gray' | '444' | '420'."""
+    h, w, _ = img.shape
+    R = img[:, :, 0].astype(np.float64)
+    G = img[:, :, 1].astype(np.float64)
+    B = img[:, :, 2].astype(np.float64)
+    Y = 0.299 * R + 0.587 * G + 0.114 * B
+    Cb = 128.0 - 0.168736 * R - 0.331264 * G + 0.5 * B
+    Cr = 128.0 + 0.5 * R - 0.418688 * G - 0.081312 * B
+
+    qly = _scale_qt(QT_LUMA, quality)
+    qlc = _scale_qt(QT_CHROMA, quality)
+    dcl = _huff_codes(HUFF_DC_LUMA)
+    acl = _huff_codes(HUFF_AC_LUMA)
+    dcc = _huff_codes(HUFF_DC_CHROMA)
+    acc = _huff_codes(HUFF_AC_CHROMA)
+
+    if mode == "gray":
+        comps = [(1, 1, 1, 0, qly, dcl, acl)]
+    elif mode == "444":
+        comps = [
+            (1, 1, 1, 0, qly, dcl, acl),
+            (2, 1, 1, 1, qlc, dcc, acc),
+            (3, 1, 1, 1, qlc, dcc, acc),
+        ]
+    elif mode == "420":
+        comps = [
+            (1, 2, 2, 0, qly, dcl, acl),
+            (2, 1, 1, 1, qlc, dcc, acc),
+            (3, 1, 1, 1, qlc, dcc, acc),
+        ]
+    else:
+        raise ValueError(mode)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    def comp_plane(cid):
+        src = {1: Y, 2: Cb, 3: Cr}[cid]
+        _, hs, vs, _, _, _, _ = next(c for c in comps if c[0] == cid)
+        if hs < hmax or vs < vmax:
+            # subsample by block averaging over the sampling ratio
+            fy, fx = vmax // vs, hmax // hs
+            hh = -(-h // fy) * fy
+            ww = -(-w // fx) * fx
+            p = np.zeros((hh, ww))
+            p[:h, :w] = src
+            p[h:hh, :w] = src[-1:, :]  # edge-replicate padding
+            p[:, w:ww] = p[:, w - 1:w]
+            src = p.reshape(hh // fy, fy, ww // fx, fx).mean(axis=(1, 3))
+        th_, tw_ = mcuy * vs * 8, mcux * hs * 8
+        p = np.zeros((th_, tw_))
+        sh, sw = src.shape
+        p[:sh, :sw] = src
+        if sh < th_:
+            p[sh:, :sw] = src[-1:, :]
+        if sw < tw_:
+            p[:, sw:] = p[:, sw - 1:sw]
+        return p
+
+    plane = {c[0]: comp_plane(c[0]) for c in comps}
+    qzz = {c[0]: [c[4][k] for k in range(64)] for c in comps}
+
+    bw = _BitWriter()
+    dc_pred = {c[0]: 0 for c in comps}
+    dec_coef: dict[int, np.ndarray] = {
+        c[0]: np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8)) for c in comps
+    }
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                bw.align()
+                bw.out.append(0xFF)
+                bw.out.append(0xD0 + (rst_n & 7))
+                rst_n += 1
+                dc_pred = {c[0]: 0 for c in comps}
+            mcu_count += 1
+            for cid, hs, vs, _tq, qtab, dct, act in comps:
+                for byy in range(vs):
+                    for bxx in range(hs):
+                        y0 = (my * vs + byy) * 8
+                        x0 = (mx * hs + bxx) * 8
+                        blk = plane[cid][y0:y0 + 8, x0:x0 + 8] - 128.0
+                        coef = _fdct_scalar(blk)
+                        qc = [
+                            int(round(coef.reshape(-1)[ZIGZAG[k]] / qtab[k]))
+                            for k in range(64)
+                        ]
+                        dc_pred[cid] = _encode_block(
+                            bw, qc, dc_pred[cid],
+                            dct, act,
+                        )
+                        # expected dequantized coefficients for the decode
+                        deq = np.zeros(64)
+                        for k in range(64):
+                            deq[ZIGZAG[k]] = qc[k] * qtab[k]
+                        dec_coef[cid][y0:y0 + 8, x0:x0 + 8] = _idct_scalar(
+                            deq.reshape(8, 8)
+                        ) + 128.0
+    bw.align()
+
+    # container
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(qly))
+    if mode != "gray":
+        out += _seg(0xDB, bytes([1]) + bytes(qlc))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([len(comps)])
+    for cid, hs, vs, tq, _, _, _ in comps:
+        sof += bytes([cid, hs << 4 | vs, tq])
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, _dht_payload(0, 0, HUFF_DC_LUMA))
+    out += _seg(0xC4, _dht_payload(1, 0, HUFF_AC_LUMA))
+    if mode != "gray":
+        out += _seg(0xC4, _dht_payload(0, 1, HUFF_DC_CHROMA))
+        out += _seg(0xC4, _dht_payload(1, 1, HUFF_AC_CHROMA))
+    if restart:
+        out += _seg(0xDD, restart.to_bytes(2, "big"))
+    sos = bytes([len(comps)])
+    for cid, _, _, _, _, _, _ in comps:
+        sos += bytes([cid, 0x00 if cid == 1 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
+
+    # expected decode: replication upsample, crop, color transform
+    full = {}
+    for cid, hs, vs, _, _, _, _ in comps:
+        p = dec_coef[cid]
+        if hs < hmax or vs < vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full[cid] = p[:h, :w]
+
+    def guard_round(x: np.ndarray) -> np.ndarray:
+        frac = np.abs(x - np.floor(x) - 0.5)
+        assert frac.min() > 1e-6, "knife-edge sample: regenerate the corpus"
+        return np.clip(np.round(x), 0, 255).astype(np.int64)
+
+    if mode == "gray":
+        g = guard_round(full[1])
+        exp = np.stack([g, g, g], axis=2)
+    else:
+        Yd = full[1]
+        Cbd = full[2] - 128.0
+        Crd = full[3] - 128.0
+        exp = np.stack(
+            [
+                guard_round(Yd + 1.402 * Crd),
+                guard_round(Yd - 0.344136 * Cbd - 0.714136 * Crd),
+                guard_round(Yd + 1.772 * Cbd),
+            ],
+            axis=2,
+        )
+    return bytes(out), exp
+
+
+def main() -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fixture_solver import ssp_emd
+
+    rng = np.random.default_rng(20260815)
+    os.makedirs(JPEG_DIR, exist_ok=True)
+    hists = []
+    for i in range(N_IMAGES):
+        img = synth_rgb(rng)
+        mode = ["444", "420", "gray", "444", "420", "444"][i % 6]
+        quality = [75, 90, 60, 50, 75, 85][i % 6]
+        restart = [0, 0, 2, 3, 0, 0][i % 6]
+        data, exp = encode_jpeg(img, mode, quality, restart=restart)
+        with open(os.path.join(JPEG_DIR, f"img_{i:03d}.jpg"), "wb") as f:
+            f.write(data)
+        rgb = [tuple(int(v) for v in exp[y, x])
+               for y in range(exp.shape[0]) for x in range(exp.shape[1])]
+        hists.append(hist27(rgb))
+
+    pts = np.array(
+        [[r, g, b] for r in range(3) for g in range(3) for b in range(3)],
+        dtype=np.float64,
+    )
+    diff = pts[:, None, :] - pts[None, :, :]
+    C = np.sqrt((diff**2).sum(axis=2))
+    W = np.array(hists)
+    rid, sid, emd = [], [], []
+    for i in range(N_IMAGES):
+        for j in range(i + 1, N_IMAGES):
+            rid.append(i)
+            sid.append(j)
+            emd.append(ssp_emd(W[i], W[j], C))
+    tbl = pa.table(
+        {
+            "rid": pa.array(rid, type=pa.int64()),
+            "sid": pa.array(sid, type=pa.int64()),
+            "emd": pa.array(emd, type=pa.float64()),
+        }
+    )
+    pq.write_table(tbl, OUT_PAIRS)
+    e = np.array(emd)
+    print(f"wrote {OUT_PAIRS}: {len(e)} pairs, range [{e.min():.4f}, {e.max():.4f}]")
+    for th in (0.3, 0.5, 0.7, 1.0, 1.3):
+        print(f"  pairs <= {th}+1e-4: {(e <= th + 1e-4).sum()}")
+    frac = np.abs((e * 1e6) % 1 - 0.5)
+    print("  min |frac-0.5| at 6dp:", frac.min())
+    assert BINS == 27
+
+
+if __name__ == "__main__":
+    main()

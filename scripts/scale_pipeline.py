@@ -57,7 +57,9 @@ QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_clusters_lsh",
     "cosine_pairs_lsh",
+    "cosine_pairs_ivf",
     "cosine_topk_ivf",
     "dedup_embedding",
 ]

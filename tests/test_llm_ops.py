@@ -159,6 +159,24 @@ def test_lsh_cosine_recall_near_dup_regime(spark):
     assert len(lsh) >= 0.95 * len(exact)
 
 
+def test_cumsum_is_strict_left_fold():
+    """ivf_cosine_pairs' blocked in-list verify relies on np.cumsum's
+    running total being a STRICT LEFT FOLD — bit-identical to Spark's
+    F.aggregate(zip_with(...)) accumulation that cosine_pairs and the
+    spec fixture use.  Pin the property so a numpy implementation change
+    (e.g. pairwise accumulation) fails loudly here instead of as a
+    one-ulp oracle hash mismatch."""
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((200, 64)) * rng.uniform(0.1, 50, size=(200, 1))
+    Y = rng.standard_normal((200, 64))
+    dots = np.cumsum(X * Y, axis=1)[:, -1]
+    for i in range(200):
+        acc = 0.0
+        for a, b in zip(X[i].tolist(), Y[i].tolist()):
+            acc += a * b
+        assert dots[i] == acc
+
+
 def test_ivf_cosine_pairs_subset_exact_values(emb):
     """IVF-candidate pairs (round-5 VERDICT next #4): output must be a
     SUBSET of the exact pair set (candidates approximate, verify exact),

@@ -403,3 +403,99 @@ def test_sniff_decoder_unsupported_format_is_loud():
     assert np.array_equal(
         sniff_decoder(bad, 8), byte_histogram_decoder(bad, 8)
     )
+
+
+def test_jpeg_decoder_round_trips_independent_encoder():
+    """The engine's jpeg_decoder must reproduce the EXPECTED DECODE of the
+    fixture script's independent pure-python encoder (its own FDCT,
+    quantization, huffman coding; scalar-loop IDCT for the expectation)
+    bit-for-bucket across grayscale / 4:4:4 / 4:2:0, two quality levels,
+    and restart intervals."""
+    import os
+    import sys
+
+    from melody_join_spark.operators.multimodal import (
+        _color_cube_hist,
+        jpeg_decoder,
+    )
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    from make_jpeg_fixtures import encode_jpeg
+    from make_png_fixtures import synth_rgb
+
+    rng = np.random.default_rng(5)
+    for mode, q, rst in [
+        ("444", 75, 0), ("420", 90, 0), ("gray", 60, 2), ("420", 50, 3)
+    ]:
+        img = synth_rgb(rng)
+        data, exp = encode_jpeg(img, mode, q, restart=rst)
+        got = jpeg_decoder(data, 27)
+        want = _color_cube_hist(exp.reshape(-1, 3), 27)
+        assert np.array_equal(got, want), (mode, q, rst)
+        assert abs(got.sum() - 1.0) < 1e-12
+
+
+def test_jpeg_decoder_rejects_malformed_and_unsupported():
+    from melody_join_spark.operators.multimodal import (
+        UnsupportedMediaFormatError,
+        jpeg_decoder,
+        sniff_decoder,
+    )
+
+    with pytest.raises(ValueError):
+        jpeg_decoder(b"not a jpeg", 27)
+    with pytest.raises(ValueError):
+        jpeg_decoder(b"\xff\xd8\xff\xd9", 27)  # SOI+EOI, no frame
+    # progressive (SOF2): recognized container, unsupported depth — loud
+    prog = b"\xff\xd8" + b"\xff\xc2" + (10).to_bytes(2, "big") + bytes(8)
+    with pytest.raises(UnsupportedMediaFormatError):
+        jpeg_decoder(prog, 27)
+    with pytest.raises(UnsupportedMediaFormatError):
+        sniff_decoder(prog, 27)  # dispatch stays loud through sniff
+    # 12-bit precision SOF0
+    sof12 = bytes([12]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
+    deep = b"\xff\xd8" + b"\xff\xc0" + (len(sof12) + 2).to_bytes(2, "big") + sof12
+    with pytest.raises(UnsupportedMediaFormatError):
+        jpeg_decoder(deep, 27)
+
+
+def test_jpeg_decoder_committed_corpus_and_fixture_pairs():
+    """The committed corpus decodes to valid histograms, and the fixture's
+    extreme EMD pairs are consistent with the decoded features (same
+    contract as the PNG corpus test)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from melody_join_spark.operators.multimodal import jpeg_decoder
+
+    jdir = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "fixtures", "media", "jpeg"
+    )
+    names = sorted(os.listdir(jdir))
+    assert len(names) == 48, "committed JPEG fixtures missing"
+    hists = {}
+    for name in names:
+        with open(os.path.join(jdir, name), "rb") as f:
+            h = jpeg_decoder(f.read(), 27)
+        assert abs(h.sum() - 1.0) < 1e-12
+        hists[int(name[4:7])] = h
+    pairs = pq.read_table(
+        os.path.join(
+            os.path.dirname(os.path.dirname(__file__)),
+            "fixtures",
+            "media_jpeg_pairs.parquet",
+        )
+    ).to_pandas()
+    small = pairs.nsmallest(5, "emd")
+    for _, r in small.iterrows():
+        # near-zero EMD pairs must have near-identical decoded histograms
+        assert (
+            np.abs(hists[int(r.rid)] - hists[int(r.sid)]).sum() / 2.0
+            <= r.emd + 1e-9
+        )
+    big = pairs.nlargest(5, "emd")
+    for _, r in big.iterrows():
+        assert not np.allclose(hists[int(r.rid)], hists[int(r.sid)])
