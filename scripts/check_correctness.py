@@ -10,11 +10,17 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-_args = [a for a in sys.argv[1:] if not a.startswith("--only=")]
+_args = [
+    a for a in sys.argv[1:]
+    if not a.startswith("--only=") and not a.startswith("--json=")
+]
 ONLY = None
+JSON_OUT = None
 for _a in sys.argv[1:]:
     if _a.startswith("--only="):  # --only=q1,q2 runs a subset while iterating
         ONLY = set(_a.split("=", 1)[1].split(","))
+    elif _a.startswith("--json="):  # driver-format artifact for the round log
+        JSON_OUT = _a.split("=", 1)[1]
 SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -45,6 +51,7 @@ def main() -> int:
 
     qs, oracles = em.queries(), em.oracle_sql()
     failures = []
+    report = {}
     for name, fn in qs.items():
         if ONLY is not None and name not in ONLY:
             continue
@@ -56,6 +63,7 @@ def main() -> int:
         )
         if name not in oracles:
             print(f"  {name}: rows-only check, {len(srows)} rows")
+            report[name] = {"rows": len(srows), "check": "rows-only"}
             continue
         ores = con.sql(oracles[name])
         ocols = sorted(ores.columns)
@@ -65,6 +73,17 @@ def main() -> int:
         ok = scols == ocols and len(srows) == len(orows) and sset == oset
         status = "OK" if ok else "MISMATCH"
         print(f"  {name}: {status} (spark {len(srows)} rows, oracle {len(orows)} rows)")
+        import hashlib as _hl
+
+        report[name] = {
+            "rows_spark": len(srows),
+            "rows_oracle": len(orows),
+            "cols_match": scols == ocols,
+            "rows_match": len(srows) == len(orows),
+            "hash_match": sset == oset,
+            "value_hash": _hl.md5(repr(sset).encode()).hexdigest()[:16],
+            "status": status,
+        }
         if not ok:
             failures.append(name)
             if scols != ocols:
@@ -74,6 +93,15 @@ def main() -> int:
                     print(f"    first diff: spark={a} oracle={b}")
                     break
     spark.stop()
+    if JSON_OUT:
+        import json as _json
+
+        with open(JSON_OUT, "w") as fh:
+            _json.dump(
+                {"sf_dir": SF_DIR, "n_queries": len(report),
+                 "failures": failures, "queries": report},
+                fh, indent=1, sort_keys=True,
+            )
     if failures:
         print(f"FAILED: {failures}")
         return 1

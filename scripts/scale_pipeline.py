@@ -41,9 +41,12 @@ import numpy as np  # noqa: E402
 REP = 10
 SEED = 20260814
 REPEATS = 3
+ONLY = None
 for a in sys.argv[1:]:
     if a.startswith("--repeats="):
         REPEATS = int(a.split("=", 1)[1])
+    elif a.startswith("--only="):  # subset while iterating on one family
+        ONLY = {s for s in a.split("=", 1)[1].split(",") if s}
 
 SF01 = "/root/testdata/sf0.1"
 SCALE_DIR = "/tmp/spark_graft_scale_pipeline"
@@ -144,10 +147,11 @@ def main() -> None:
     spark = get_spark()
     build_scaled(spark)
     qs = ent.queries()
+    queries = [q for q in QUERIES if ONLY is None or q in ONLY]
 
     results = {}
     for rep in range(REPEATS):
-        for name in QUERIES:
+        for name in queries:
             for scale, d in (("sf0.1", SF01), ("sf1", SCALE_DIR)):
                 t0 = time.perf_counter()
                 n_out = qs[name](spark, d).count()
@@ -167,7 +171,7 @@ def main() -> None:
     print()
     print("| query | sf0.1 wall (s) | sf1 wall (s) | wall | sf0.1 out | sf1 out | output |")
     print("|---|---|---|---|---|---|---|")
-    for name in QUERIES:
+    for name in queries:
         s, b = results[(name, "sf0.1")], results[(name, "sf1")]
         print(
             f"| {name} | {s['wall']:.2f} | {b['wall']:.2f} | "
