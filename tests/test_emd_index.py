@@ -102,3 +102,47 @@ def test_index_versioned_commit_and_staleness_detection(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="inconsistent"):
         emd_index_load(spark, path)
+
+
+def test_index_idempotent_rebuild_and_scheme_guard(spark, tmp_path):
+    """Round-6 ADVICE fixes: (a) rebuilding with identical inputs must NOT
+    rewrite the committed v_<id> directory CURRENT points at (a crash
+    mid-rewrite would leave CURRENT dangling) — it short-circuits to
+    load(); (b) non-file path schemes are refused loudly instead of the
+    pointer being silently read/written on the driver's local disk."""
+    import os
+
+    hist = lineitem_histograms_2d(spark, SF).select("id", "w")
+    path = str(tmp_path / "emd_idem")
+    idx = emd_index_build(hist, bin_points_2d(), path, grid=5)
+    with open(os.path.join(path, "CURRENT")) as fh:
+        build_id = fh.read().strip()
+    vdir = os.path.join(path, f"v_{build_id}", "records")
+    mtimes = {
+        f: os.stat(os.path.join(vdir, f)).st_mtime_ns
+        for f in os.listdir(vdir)
+        if not f.startswith(".")
+    }
+    idx2 = emd_index_build(hist, bin_points_2d(), path, grid=5)
+    mtimes2 = {
+        f: os.stat(os.path.join(vdir, f)).st_mtime_ns
+        for f in os.listdir(vdir)
+        if not f.startswith(".")
+    }
+    assert mtimes2 == mtimes, "idempotent rebuild rewrote the live build"
+    # and the short-circuited index is the same index
+    assert idx2.grid == idx.grid and np.array_equal(idx2.bnds, idx.bnds)
+
+    # a changed input (different grid) IS a new build: new version dir
+    emd_index_build(hist, bin_points_2d(), path, grid=6)
+    with open(os.path.join(path, "CURRENT")) as fh:
+        assert fh.read().strip() != build_id
+
+    # scheme guard: build and load both refuse non-file schemes loudly
+    with pytest.raises(ValueError, match="scheme"):
+        emd_index_build(hist, bin_points_2d(), "s3a://bucket/idx", grid=5)
+    with pytest.raises(ValueError, match="scheme"):
+        emd_index_load(spark, "hdfs://nn/idx")
+    # file: prefix stays accepted (local URI form)
+    idx3 = emd_index_load(spark, "file:" + path)
+    assert idx3.grid == 6

@@ -242,3 +242,22 @@ def test_cogroup_pin_adds_no_extra_exchange(spark):
     assert n_ex <= 3, tree
     # no exchange stacked directly on another exchange anywhere
     assert not re.search(r"Exchange[^\n]*\n[^\n]*Exchange[^\n]*\n[^\n]*Exchange", tree)
+
+
+def test_ivf_cosine_pairs_plan_shape(spark):
+    """The IVF pair path's 100-TB property: NO cartesian product anywhere,
+    and the wide shuffle moves only the N*nprobe assignment rows into ONE
+    groupBy(list_id) — vectors are never re-joined per candidate pair (the
+    LSH route's join-back shape).  Pin it."""
+    from melody_join_spark.operators.similarity import ivf_cosine_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = ivf_cosine_pairs(emb, 0.9, nlist=8, nprobe=2)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, (
+        "IVF pairs should verify inside the list group, not join vectors "
+        "back per candidate"
+    )
+    # one exchange for the groupBy(list_id) group shuffle (plus AQE reads)
+    assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
