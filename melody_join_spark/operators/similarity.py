@@ -692,6 +692,14 @@ def lsh_cosine_pairs(
     return release_on_gc(out, e, band_keys)
 
 
+def _fold_dots(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-wise dot products with Spark's F.aggregate(zip_with(...))
+    arithmetic: elementwise products then np.cumsum along the dimension —
+    cumsum's running total is a strict LEFT FOLD, bit-identical to the
+    SQL fold (property-pinned in tests/test_llm_ops.py)."""
+    return np.cumsum(A * B, axis=1)[:, -1]
+
+
 def ivf_cosine_pairs(
     emb: DataFrame,
     threshold: float,
@@ -702,6 +710,7 @@ def ivf_cosine_pairs(
     kmeans_sample: int = 4096,
     kmeans_iters: int = 5,
     seed: int = 42,
+    list_cap: int = 4096,
 ) -> DataFrame:
     """IVF-candidate cosine pairs: the sub-quadratic similarity path for
     the 10^5-10^6-vector MID-regime (round-5 VERDICT next #4), between the
@@ -730,8 +739,14 @@ def ivf_cosine_pairs(
     sub-quadratic without LSH's threshold sensitivity (hyperplane banding
     degenerates at low thresholds; IVF candidates only need angular
     LOCALITY).  Spherical kmeans keeps lists near-balanced; a genuinely
-    hot list is bounded by the in-group row blocking (constant memory),
-    not by executor RAM.
+    hot list (> ``list_cap`` assignments — duplicate-heavy or collapsed
+    data) is DECOMPOSED into block-pair groups (ids % s blocks; group
+    (bi, bj) verifies block-bi x block-bj cross pairs, (b, b) the
+    triangle), so one hot key becomes s(s+1)/2 bounded tasks instead of
+    one quadratic straggler — applyInPandas groups are not AQE-splittable,
+    so the salt must be ours.  The decomposition covers each in-list pair
+    exactly once and never changes a cosine, so the output (and the spec
+    fixture hash) is invariant.
     """
     e = (
         emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
@@ -773,16 +788,20 @@ def ivf_cosine_pairs(
         assign, "id long, v array<double>, nrm double, list_id long"
     )
 
-    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
-        if m < 2:
-            return pd.DataFrame({"rid": [], "sid": [], "cosine": []})
-        ids = pdf["id"].to_numpy()
-        V = np.stack(pdf["v"].to_numpy())
-        nrm = pdf["nrm"].to_numpy()
-        out_r: list[np.ndarray] = []
-        out_s: list[np.ndarray] = []
-        out_c: list[np.ndarray] = []
+    _empty = pd.DataFrame({"rid": [], "sid": [], "cosine": []})
+
+    def _emit(ids_a, ids_b, cos):
+        return pd.DataFrame(
+            {
+                "rid": np.minimum(ids_a, ids_b),
+                "sid": np.maximum(ids_a, ids_b),
+                "cosine": cos,
+            }
+        )
+
+    def _triangle(ids, V, nrm) -> list[pd.DataFrame]:
+        m = len(ids)
+        out = []
         # row blocks bound the (pairs, d) product matrix to ~128k pairs
         B = max(1, 131072 // m)
         for i0 in range(0, m - 1, B):
@@ -793,31 +812,106 @@ def ivf_cosine_pairs(
             rj = np.concatenate(
                 [np.arange(i + 1, m, dtype=np.int64) for i in range(i0, i1)]
             )
-            # zip_with-mult then cumsum = Spark's aggregate left fold,
-            # bitwise
-            dots = np.cumsum(V[li] * V[rj], axis=1)[:, -1]
-            cos = dots / (nrm[li] * nrm[rj])
+            cos = _fold_dots(V[li], V[rj]) / (nrm[li] * nrm[rj])
             keep = cos >= thr
             if keep.any():
-                ki, kj = li[keep], rj[keep]
-                out_r.append(np.minimum(ids[ki], ids[kj]))
-                out_s.append(np.maximum(ids[ki], ids[kj]))
-                out_c.append(cos[keep])
-        if not out_r:
-            return pd.DataFrame({"rid": [], "sid": [], "cosine": []})
-        return pd.DataFrame(
-            {
-                "rid": np.concatenate(out_r),
-                "sid": np.concatenate(out_s),
-                "cosine": np.concatenate(out_c),
-            }
+                out.append(_emit(ids[li[keep]], ids[rj[keep]], cos[keep]))
+        return out
+
+    def _cross(ids1, V1, nrm1, ids2, V2, nrm2) -> list[pd.DataFrame]:
+        m1, m2 = len(ids1), len(ids2)
+        out = []
+        B = max(1, 131072 // max(m2, 1))
+        for i0 in range(0, m1, B):
+            i1 = min(i0 + B, m1)
+            li = np.repeat(np.arange(i0, i1, dtype=np.int64), m2)
+            rj = np.tile(np.arange(m2, dtype=np.int64), i1 - i0)
+            cos = _fold_dots(V1[li], V2[rj]) / (nrm1[li] * nrm2[rj])
+            keep = cos >= thr
+            if keep.any():
+                out.append(_emit(ids1[li[keep]], ids2[rj[keep]], cos[keep]))
+        return out
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return _empty
+        parts = _triangle(
+            pdf["id"].to_numpy(), np.stack(pdf["v"].to_numpy()),
+            pdf["nrm"].to_numpy(),
         )
+        return pd.concat(parts, ignore_index=True) if parts else _empty
 
     from ..cache import release_on_gc
 
-    out = (
-        asg.groupBy("list_id")
-        .applyInPandas(verify, "rid long, sid long, cosine double")
-        .distinct()  # shared-list duplicates are bit-identical rows
+    # one cheap count pass decides whether any list needs the block-pair
+    # decomposition; asg persists so count + verify execute assign once
+    asg = asg.persist()
+    cnt_rows = asg.groupBy("list_id").count().collect()  # <= nlist rows
+    splits = {
+        int(r["list_id"]): -(-int(r["count"]) // list_cap) for r in cnt_rows
+    }
+    if max(splits.values(), default=1) <= 1:
+        out = (
+            asg.groupBy("list_id")
+            .applyInPandas(verify, "rid long, sid long, cosine double")
+            .distinct()  # shared-list duplicates are bit-identical rows
+        )
+        return release_on_gc(out, e, asg)
+
+    b_sp = e.sparkSession.sparkContext.broadcast(splits)
+
+    def explode_blocks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sp = b_sp.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            s_arr = np.array(
+                [sp.get(int(l), 1) for l in pdf["list_id"]], dtype=np.int64
+            )
+            blk = (pdf["id"].to_numpy() % s_arr).astype(np.int64)
+            idx = np.repeat(np.arange(len(pdf)), s_arr)
+            j = np.concatenate([np.arange(s) for s in s_arr])
+            bb = blk[idx]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy()[idx],
+                    "v": pdf["v"].to_numpy()[idx],
+                    "nrm": pdf["nrm"].to_numpy()[idx],
+                    "list_id": pdf["list_id"].to_numpy()[idx],
+                    "blk": bb,
+                    "bi": np.minimum(bb, j),
+                    "bj": np.maximum(bb, j),
+                }
+            )
+
+    def verify_blocked(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return _empty
+        bi = int(pdf["bi"].iloc[0])
+        bj = int(pdf["bj"].iloc[0])
+        ids = pdf["id"].to_numpy()
+        V = np.stack(pdf["v"].to_numpy())
+        nrm = pdf["nrm"].to_numpy()
+        if bi == bj:
+            parts = _triangle(ids, V, nrm)
+        else:
+            m1 = pdf["blk"].to_numpy() == bi
+            m2 = ~m1
+            if not m1.any() or not m2.any():
+                return _empty
+            parts = _cross(
+                ids[m1], V[m1], nrm[m1], ids[m2], V[m2], nrm[m2]
+            )
+        return pd.concat(parts, ignore_index=True) if parts else _empty
+
+    blocked = asg.mapInPandas(
+        explode_blocks,
+        "id long, v array<double>, nrm double, list_id long, "
+        "blk long, bi long, bj long",
     )
-    return release_on_gc(out, e)
+    out = (
+        blocked.groupBy("list_id", "bi", "bj")
+        .applyInPandas(verify_blocked, "rid long, sid long, cosine double")
+        .distinct()
+    )
+    return release_on_gc(out, e, asg)

@@ -217,6 +217,34 @@ def test_ivf_cosine_pairs_recall_near_dup_regime(spark):
     assert len(ivf) >= 0.95 * len(exact)
 
 
+def test_ivf_cosine_pairs_hot_list_block_decomposition(spark):
+    """A hot inverted list (all vectors in one list — collapsed data) must
+    decompose into block-pair groups instead of one quadratic straggler
+    task, and the decomposition must cover every in-list pair EXACTLY once
+    with unchanged cosines: forcing list_cap far below the list size has
+    to reproduce the un-decomposed output bit for bit."""
+    from melody_join_spark.operators.similarity import ivf_cosine_pairs
+
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal(16)
+    V = base + 0.05 * rng.standard_normal((90, 16))  # one tight cluster
+    rows = [(i, [float(x) for x in V[i]]) for i in range(len(V))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    whole = {
+        (r.rid, r.sid): r.cosine
+        for r in ivf_cosine_pairs(
+            emb, 0.5, nlist=4, nprobe=2, list_cap=4096
+        ).collect()
+    }
+    blocked = {
+        (r.rid, r.sid): r.cosine
+        for r in ivf_cosine_pairs(
+            emb, 0.5, nlist=4, nprobe=2, list_cap=16
+        ).collect()
+    }
+    assert whole and blocked == whole  # exact same pairs AND same doubles
+
+
 def test_dedupe_embeddings_ivf_route(docs, emb):
     """method='ivf' drops a subset of what exact drops (sound candidates),
     keeping everything exact keeps."""
