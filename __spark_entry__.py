@@ -519,6 +519,63 @@ def _q_events_sessionize(spark, sf_dir):
 _SESS_STREAM_SEQ = [0]  # memory-sink names must be unique per process
 
 
+def _events_stream_snapshot(spark, sf_dir) -> str:
+    """Parquet snapshot of the (nanos-converted) events table for streaming
+    sources, cache-keyed on the source file's (size, mtime)."""
+    import os
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    snap = f"/tmp/spark_graft_sess_stream_{sf_tag}"
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    marker = os.path.join(snap, f"_SRC_{st.st_size}_{st.st_mtime_ns}")
+    if not os.path.exists(marker):
+        load_events(spark, sf_dir).write.mode("overwrite").parquet(snap)
+        open(marker, "w").close()
+    return snap
+
+
+def _q_events_window_streaming(spark, sf_dir):
+    """The tumbling-window aggregation run as a REAL Structured Streaming
+    query (availableNow over the events snapshot, complete-mode memory
+    sink) — the second streaming entry under the hard gate.  Complete
+    mode emits EVERY window's current aggregate, and availableNow drains
+    the snapshot in one run, so the final table equals the batch
+    aggregate exactly and the oracle is the batch window SQL
+    (n_users dropped: countDistinct is unsupported in streaming aggs,
+    which is the one declared divergence from the batch twin)."""
+    snap = _events_stream_snapshot(spark, sf_dir)
+
+    from melody_join_spark.streaming import (
+        stream_events,
+        streaming_window_counts,
+    )
+
+    _SESS_STREAM_SEQ[0] += 1
+    name = f"win_stream_gate_{_SESS_STREAM_SEQ[0]}"
+    q = (
+        streaming_window_counts(
+            stream_events(spark, snap), hours=1, watermark="0 seconds"
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "streaming window gate: availableNow query did not terminate "
+            "within 600s"
+        )
+    return spark.table(name).select(
+        F.unix_micros("window_start").alias("wstart_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def _q_events_sessionize_streaming(spark, sf_dir):
     """The applyInPandasWithState sessionizer run as a REAL Structured
     Streaming query (availableNow trigger over a parquet snapshot of the
@@ -533,16 +590,7 @@ def _q_events_sessionize_streaming(spark, sf_dir):
     by construction: availableNow with no maxFilesPerTrigger reads every
     file in one microbatch, so no intermediate watermark can drop late
     rows."""
-    import os
-
-    ev = load_events(spark, sf_dir)
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    snap = f"/tmp/spark_graft_sess_stream_{sf_tag}"
-    st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    marker = os.path.join(snap, f"_SRC_{st.st_size}_{st.st_mtime_ns}")
-    if not os.path.exists(marker):
-        ev.write.mode("overwrite").parquet(snap)
-        open(marker, "w").close()
+    snap = _events_stream_snapshot(spark, sf_dir)
 
     from melody_join_spark.streaming import stream_events, streaming_sessionize
 
@@ -1029,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_nd_threshold_arbitrary": _q_emd_nd_arbitrary,
         "emd_index_search": _q_emd_index_search,
         "events_window_hourly": _q_events_window,
+        "events_window_streaming": _q_events_window_streaming,
         "events_sessionize": _q_events_sessionize,
         "events_sessionize_streaming": _q_events_sessionize_streaming,
         "events_asof": _q_events_asof,
@@ -1382,6 +1431,15 @@ WHERE rank <= {KNN_K} ORDER BY qid, rank"""
         "emd_knn_2d": knn_2d_sql,
         "emd_knn_big": knn_big_sql,
         "events_window_hourly": events_window_sql,
+        # streaming twin: complete-mode availableNow == the batch window
+        # aggregate; n_users omitted (countDistinct is unsupported in
+        # streaming aggregations — the one declared divergence)
+        "events_window_streaming": """
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP)) AS wstart_us,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2""",
         "events_sessionize": sessionize_sql,
         # streaming twin: batch sessions filtered to the EMITTED set —
         # non-final per user (closed by a later event) OR timed out by the
