@@ -606,13 +606,34 @@ def ivf_topk(
     )
 
 
+def _derive_lsh_banding(n: int, threshold: float) -> tuple[int, int]:
+    """(rows_per_band, bands) from (N, threshold) — fixed banding is
+    SCALE-COUPLED: 4-bit band keys mean ~16 buckets per band, so at 100k
+    vectors every band-bucket held ~6k rows and the candidate equi-join
+    generated billions of rows (measured 1269 s vs 13 s for the N-derived
+    IVF path, SCALE.md).  Derivation: rows r sized so expected bucket
+    occupancy N/2^r stays ~64 (r = ceil(log2(N/64)), clamped 4..16 — the
+    noise-collision control), then bands b from the published collision
+    curve (recall = 1-(1-p^r)^b at per-plane agreement p = 1-acos(s)/pi)
+    to reach >= 0.99 recall AT the requested threshold, clamped 2..64."""
+    import math
+
+    r = int(np.clip(math.ceil(math.log2(max(n, 2) / 64.0)), 4, 16))
+    p = max(1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi, 1e-6)
+    pr = p**r
+    if pr >= 1.0 - 1e-12:
+        return r, 2
+    b = int(np.clip(math.ceil(math.log(0.01) / math.log(1.0 - pr)), 2, 64))
+    return r, b
+
+
 def lsh_cosine_pairs(
     emb: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 64,
-    bands: int = 16,
+    num_planes: int | None = None,
+    bands: int | None = None,
     seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
@@ -620,11 +641,23 @@ def lsh_cosine_pairs(
     banded into ``bands`` keys; bucket equi-join for candidates; exact cosine
     verification.  Output ⊆ cosine_pairs (probabilistic recall).
 
-    Recall with r = num_planes/bands rows per band at angle-similarity
-    p = 1 - acos(cos)/pi is 1-(1-p^r)^bands: defaults give ~1.0 at cos 0.9
-    (the near-duplicate regime this targets) and ~0.85 at cos 0.25.  For
-    thresholds near 0 hyperplane LSH degenerates toward brute force —
+    Banding defaults DERIVE from (N, threshold) via
+    :func:`_derive_lsh_banding` (a 100 TB user will not retune sketch
+    parameters per dataset — the same policy as the IVF codebook's
+    sqrt(N) nlist); pass both explicitly to pin a spec (the committed
+    fixtures re-execute the same derivation).  Recall with r rows per
+    band at angle-similarity p = 1 - acos(cos)/pi is 1-(1-p^r)^bands —
+    the derivation targets >= 0.99 at the REQUESTED threshold.  For
+    thresholds near 0 the collision curve is too flat to select —
     use cosine_topk or IVF instead."""
+    if num_planes is None or bands is None:
+        if num_planes is not None or bands is not None:
+            raise ValueError(
+                "lsh_cosine_pairs: pass num_planes and bands together (or "
+                "neither, to derive both from N and the threshold)"
+            )
+        r, bands = _derive_lsh_banding(emb.count(), threshold)
+        num_planes = r * bands
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)

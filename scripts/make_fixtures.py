@@ -212,21 +212,35 @@ def _fold(vals) -> float:
 
 def make_lsh_cosine_fixture(
     threshold: float = 0.25,
-    num_planes: int = 64,
-    bands: int = 16,
+    num_planes: int | None = None,
+    bands: int | None = None,
     seed: int = 42,
 ) -> None:
     """Pure-python re-execution of hyperplane-LSH cosine pairs
-    (operators/similarity.lsh_cosine_pairs): seeded hyperplanes, sign-bit
-    band bucketing (tuple equality == the operator's md5 band keys), exact
-    cosine verify with Spark's left-fold accumulation order.  Deterministic
-    given the seed -> hash-grade fixture for cosine_pairs_lsh."""
+    (operators/similarity.lsh_cosine_pairs): banding DERIVED from
+    (N, threshold) exactly like the operator (rows = ceil(log2(N/64))
+    clamped 4..16; bands from the collision curve to recall >= 0.99,
+    clamped 2..64), seeded hyperplanes, sign-bit band bucketing (tuple
+    equality == the operator's md5 band keys), exact cosine verify with
+    Spark's left-fold accumulation order.  Deterministic given the seed
+    -> hash-grade fixture for cosine_pairs_lsh."""
+    import math
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
                       columns=["vec_id", "embedding"])
     ids = t["vec_id"].to_pylist()
+    if num_planes is None:
+        n = len(ids)
+        r = int(np.clip(math.ceil(math.log2(max(n, 2) / 64.0)), 4, 16))
+        p = max(1.0 - math.acos(threshold) / math.pi, 1e-6)
+        bands = int(
+            np.clip(math.ceil(math.log(0.01) / math.log(1.0 - p**r)), 2, 64)
+        )
+        num_planes = r * bands
+        print(f"derived banding: rows={r} bands={bands} planes={num_planes}")
     # float32 storage cast to double, exactly like _as_double
     vecs = [
         [float(np.float64(np.float32(x))) for x in v]
