@@ -217,6 +217,26 @@ def test_ivf_cosine_pairs_recall_near_dup_regime(spark):
     assert len(ivf) >= 0.95 * len(exact)
 
 
+def test_derive_lsh_banding_properties():
+    """The N-derived banding must (a) grow rows with N so expected bucket
+    occupancy stays bounded (the 100k blowup class), (b) respect the
+    clamps, (c) spend more bands at lower thresholds (flatter collision
+    curve), and (d) reproduce the fixture/gate specs at the committed
+    scale points."""
+    from melody_join_spark.operators.similarity import _derive_lsh_banding
+
+    r1, _ = _derive_lsh_banding(2_000, 0.95)
+    r2, _ = _derive_lsh_banding(100_000, 0.95)
+    r3, _ = _derive_lsh_banding(10_000_000, 0.95)
+    assert r1 <= r2 <= r3 <= 16 and r1 >= 4
+    _, b_low = _derive_lsh_banding(20_000, 0.25)
+    _, b_high = _derive_lsh_banding(20_000, 0.95)
+    assert b_low >= b_high and 2 <= b_high <= 64
+    # committed scale points (SCALE.md / fixture): pin the resolved specs
+    assert _derive_lsh_banding(500, 0.25) == (4, 39)      # sf0.01 fixture
+    assert _derive_lsh_banding(100_000, 0.95) == (11, 13)  # 100k table
+
+
 def test_ivf_cosine_pairs_hot_list_block_decomposition(spark):
     """A hot inverted list (all vectors in one list — collapsed data) must
     decompose into block-pair groups instead of one quadratic straggler
