@@ -117,6 +117,19 @@ def emd_index_build(
     )
     sw = np.array([r[0] for r in seed_rows], dtype=np.float64)
 
+    # full-data digest (round-6 ADVICE, emd_index.py:149): the boundaries
+    # and the 8-row seed sample are DERIVED summaries — appending rows to a
+    # large or duplicate-heavy table can leave both unchanged, and a
+    # manifest keyed only on them would short-circuit the rebuild and
+    # silently serve stale records.  One order-independent JVM agg over the
+    # already-persisted rec0 (count + sum of per-row xxhash64(id, w))
+    # guarantees the build id moves whenever the data does, while
+    # genuinely-identical inputs still short-circuit.  The sum runs in
+    # decimal(38,0) so it never wraps/overflows regardless of row count.
+    dig = rec0.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("id", "w").cast("decimal(38,0)")).alias("s"),
+    ).first()
     manifest = {
         "grid": grid,
         "d": d,
@@ -125,6 +138,7 @@ def emd_index_build(
         "bin_points": bin_points.tolist(),
         "bnds": bnds.tolist(),
         "seed_weights": sw.tolist(),
+        "data_digest": [int(dig["n"]), str(dig["s"])],
     }
     # build id = digest of the manifest (params + data-derived boundaries/
     # seeds): records + manifest land together under a versioned subdir and

@@ -523,6 +523,18 @@ def jpeg_decoder(content: bytes, bins: int) -> np.ndarray:
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif m == 0xDA:  # SOS
             ns = seg[0]
+            # this decoder handles the single interleaved scan of a
+            # sequential baseline JPEG; a legal baseline file MAY instead
+            # carry non-interleaved scans (ns < frame component count,
+            # multiple SOS segments) whose MCU structure differs — decode
+            # must route to the decoder= integration point, not silently
+            # degrade to the byte-histogram via ValueError (round-6 ADVICE,
+            # multimodal.py:525)
+            if frame is not None and ns != len(frame[2]):
+                raise UnsupportedMediaFormatError(
+                    f"non-interleaved baseline JPEG scan ({ns} of "
+                    f"{len(frame[2])} frame components in SOS)"
+                )
             scan_comps = []
             for c in range(ns):
                 cid, tdta = seg[1 + 2 * c:3 + 2 * c]

@@ -606,24 +606,62 @@ def ivf_topk(
     )
 
 
-def _derive_lsh_banding(n: int, threshold: float) -> tuple[int, int]:
-    """(rows_per_band, bands) from (N, threshold) — fixed banding is
-    SCALE-COUPLED: 4-bit band keys mean ~16 buckets per band, so at 100k
-    vectors every band-bucket held ~6k rows and the candidate equi-join
-    generated billions of rows (measured 1269 s vs 13 s for the N-derived
-    IVF path, SCALE.md).  Derivation: rows r sized so expected bucket
-    occupancy N/2^r stays ~64 (r = ceil(log2(N/64)), clamped 4..16 — the
-    noise-collision control), then bands b from the published collision
-    curve (recall = 1-(1-p^r)^b at per-plane agreement p = 1-acos(s)/pi)
-    to reach >= 0.99 recall AT the requested threshold, clamped 2..64."""
+LSH_RECALL_TARGET = 0.99
+
+
+def _lsh_banding_recall(n: int, threshold: float) -> tuple[int, int, float]:
+    """(rows_per_band, bands, achievable_recall) from (N, threshold) —
+    the derivation shared by :func:`_derive_lsh_banding` (which also owns
+    the low-recall warning) and the ``method='auto'`` dispatch (which uses
+    the achievable recall to decide whether the sketch regime is usable at
+    all).  Fixed banding is SCALE-COUPLED: 4-bit band keys mean ~16
+    buckets per band, so at 100k vectors every band-bucket held ~6k rows
+    and the candidate equi-join generated billions of rows (measured
+    1269 s vs 13 s for the N-derived IVF path, SCALE.md).  Derivation:
+    rows r sized so expected bucket occupancy N/2^r stays ~64
+    (r = ceil(log2(N/64)), clamped 4..16 — the noise-collision control),
+    then bands b from the published collision curve
+    (recall = 1-(1-p^r)^b at per-plane agreement p = 1-acos(s)/pi) to
+    reach >= LSH_RECALL_TARGET AT the requested threshold, clamped 2..64.
+    When the band clamp binds (flat collision curve: low threshold, or
+    moderate threshold at very large N) the target is NOT attainable at
+    r's occupancy — reducing r instead would re-create the degenerate
+    bucket blowup the occupancy rule exists to prevent (at 20k/0.4 the
+    attainable r=5 leaves ~625-row buckets: ~275M candidate pairs) — so
+    the achievable recall is returned for the caller to surface."""
     import math
 
     r = int(np.clip(math.ceil(math.log2(max(n, 2) / 64.0)), 4, 16))
     p = max(1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi, 1e-6)
     pr = p**r
     if pr >= 1.0 - 1e-12:
-        return r, 2
+        return r, 2, 1.0
     b = int(np.clip(math.ceil(math.log(0.01) / math.log(1.0 - pr)), 2, 64))
+    return r, b, 1.0 - (1.0 - pr) ** b
+
+
+def _derive_lsh_banding(n: int, threshold: float) -> tuple[int, int]:
+    """(rows_per_band, bands) via :func:`_lsh_banding_recall`; emits a loud
+    UserWarning naming the ACHIEVABLE recall whenever the derivation cannot
+    reach the documented >= 0.99 target (round-6 ADVICE similarity.py:626 /
+    VERDICT next #5), so a user below the sketchable-threshold floor gets
+    told to route through exact / IVF instead of silently losing pairs."""
+    import warnings
+
+    r, b, recall = _lsh_banding_recall(n, threshold)
+    if recall < LSH_RECALL_TARGET:
+        warnings.warn(
+            f"lsh_cosine_pairs: derived banding (rows={r}, bands={b}) can "
+            f"only reach expected recall {recall:.3f} at threshold "
+            f"{threshold} with N={n} — the collision curve is too flat for "
+            f"the >= {LSH_RECALL_TARGET} target at safe bucket occupancy. "
+            "Use cosine_pairs (exact, recall 1) below ~10^6 vectors or "
+            "ivf_cosine_pairs (angular locality, threshold-derived nprobe) "
+            "above, or pass num_planes/bands explicitly to accept this "
+            "recall.",
+            UserWarning,
+            stacklevel=3,
+        )
     return r, b
 
 
@@ -647,9 +685,13 @@ def lsh_cosine_pairs(
     sqrt(N) nlist); pass both explicitly to pin a spec (the committed
     fixtures re-execute the same derivation).  Recall with r rows per
     band at angle-similarity p = 1 - acos(cos)/pi is 1-(1-p^r)^bands —
-    the derivation targets >= 0.99 at the REQUESTED threshold.  For
-    thresholds near 0 the collision curve is too flat to select —
-    use cosine_topk or IVF instead."""
+    the derivation TARGETS >= 0.99 at the REQUESTED threshold, but when
+    the band clamp binds (low thresholds, or moderate thresholds at very
+    large N: the collision curve is too flat to select at safe bucket
+    occupancy) the target is not attainable and a UserWarning names the
+    achievable recall — route those regimes through cosine_pairs / IVF
+    (or :func:`similar_pairs` with method='auto', which does exactly
+    that) instead."""
     if num_planes is None or bands is None:
         if num_planes is not None or bands is not None:
             raise ValueError(
@@ -824,11 +866,16 @@ def ivf_cosine_pairs(
     _empty = pd.DataFrame({"rid": [], "sid": [], "cosine": []})
 
     def _emit(ids_a, ids_b, cos):
+        # duplicate ids in the input (two rows sharing a vec_id land in the
+        # same list) would collapse under min/max into rid == sid rows,
+        # breaking the documented `output ⊆ cosine_pairs` contract —
+        # cosine_pairs enforces rid < sid (round-6 ADVICE similarity.py:826)
+        keep = ids_a != ids_b
         return pd.DataFrame(
             {
-                "rid": np.minimum(ids_a, ids_b),
-                "sid": np.maximum(ids_a, ids_b),
-                "cosine": cos,
+                "rid": np.minimum(ids_a[keep], ids_b[keep]),
+                "sid": np.maximum(ids_a[keep], ids_b[keep]),
+                "cosine": cos[keep],
             }
         )
 

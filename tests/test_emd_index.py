@@ -146,3 +146,40 @@ def test_index_idempotent_rebuild_and_scheme_guard(spark, tmp_path):
     # file: prefix stays accepted (local URI form)
     idx3 = emd_index_load(spark, "file:" + path)
     assert idx3.grid == 6
+
+def test_index_rebuild_detects_appended_data(spark, tmp_path):
+    """Round-6 ADVICE (emd_index.py:149): the rebuild short-circuit must
+    key on the DATA, not only on derived summaries.  Appending a row whose
+    weights duplicate an existing row leaves the hash-ordered seed sample
+    unchanged (identical sort keys, identical w) and can leave the approx
+    quantile boundaries unchanged — the full-data digest (count + order-
+    independent xxhash sum) must still force a NEW committed build that
+    contains the appended row."""
+    import json
+    import os
+
+    hist = lineitem_histograms_2d(spark, SF).select("id", "w")
+    path = str(tmp_path / "emd_digest")
+    emd_index_build(hist, bin_points_2d(), path, grid=5)
+    with open(os.path.join(path, "CURRENT")) as fh:
+        build1 = fh.read().strip()
+    m1 = json.loads(
+        spark.read.parquet(f"{path}/v_{build1}/manifest").first()["manifest"]
+    )
+    assert "data_digest" in m1 and m1["data_digest"][0] == hist.count()
+
+    dup = hist.limit(1).select(
+        (F.col("id") + 1_000_000_000).alias("id"), "w"
+    )
+    emd_index_build(
+        hist.unionByName(dup), bin_points_2d(), path, grid=5
+    )
+    with open(os.path.join(path, "CURRENT")) as fh:
+        build2 = fh.read().strip()
+    m2 = json.loads(
+        spark.read.parquet(f"{path}/v_{build2}/manifest").first()["manifest"]
+    )
+    assert build2 != build1  # stale build NOT served
+    assert m2["data_digest"] != m1["data_digest"]
+    idx = emd_index_load(spark, path)
+    assert idx.records.where(F.col("id") >= 1_000_000_000).count() == 1

@@ -828,3 +828,48 @@ def test_ivf_topk_accepts_prebuilt_index(emb):
         emb, qs, k=5, nlist=16, nprobe=4, round_to=6, index=idx
     ).collect()
     assert sorted(map(tuple, reused)) == sorted(map(tuple, inline))
+
+def test_lsh_banding_low_recall_warning():
+    """When the band clamp binds and the >= 0.99 recall target is NOT
+    attainable at safe bucket occupancy, the derivation must say so loudly
+    (round-6 VERDICT next #5 / ADVICE similarity.py:626): fires at
+    (20k, 0.4) naming the achievable recall, stays silent at (20k, 0.95)
+    where the target is met, and fires for the ADVICE example of a
+    moderate threshold at very large N (10M, 0.8)."""
+    import warnings
+
+    from melody_join_spark.operators.similarity import (
+        _derive_lsh_banding,
+        _lsh_banding_recall,
+    )
+
+    with pytest.warns(UserWarning, match="recall"):
+        _derive_lsh_banding(20_000, 0.4)
+    with pytest.warns(UserWarning, match="recall"):
+        _derive_lsh_banding(10_000_000, 0.8)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> failure
+        _derive_lsh_banding(20_000, 0.95)
+    # the warned number is the collision-curve achievable recall, and the
+    # clamp is what binds it
+    _, b_low, rec_low = _lsh_banding_recall(20_000, 0.4)
+    assert b_low == 64 and rec_low < 0.99
+    _, _, rec_high = _lsh_banding_recall(20_000, 0.95)
+    assert rec_high >= 0.99
+
+
+def test_ivf_cosine_pairs_duplicate_ids_never_self_pair(spark):
+    """Duplicate vec_ids in the input (two rows sharing an id land in the
+    same inverted list) must not emit rid == sid rows — the documented
+    contract is output ⊆ cosine_pairs, which enforces rid < sid (round-6
+    ADVICE similarity.py:826)."""
+    from melody_join_spark.operators.similarity import ivf_cosine_pairs
+
+    rng = np.random.default_rng(23)
+    V = rng.standard_normal((20, 8))
+    # every id appears twice, with DIFFERENT vectors
+    rows = [(i % 10, [float(x) for x in V[i]]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ivf_cosine_pairs(emb, -1.0, nlist=2, nprobe=2).collect()
+    assert out, "threshold -1 keeps every cross pair"
+    assert all(r.rid < r.sid for r in out)

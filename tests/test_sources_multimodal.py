@@ -499,3 +499,31 @@ def test_jpeg_decoder_committed_corpus_and_fixture_pairs():
     big = pairs.nlargest(5, "emd")
     for _, r in big.iterrows():
         assert not np.allclose(hists[int(r.rid)], hists[int(r.sid)])
+
+def test_jpeg_non_interleaved_baseline_scan_stays_loud():
+    """A LEGAL baseline JPEG may carry non-interleaved scans (ns < frame
+    component count, multiple SOS segments); this decoder handles only the
+    single interleaved scan, so such files must raise
+    UnsupportedMediaFormatError — routed to the decoder= integration point
+    by sniff dispatch — instead of a ValueError that silently degrades to
+    the byte-histogram (round-6 ADVICE, multimodal.py:525)."""
+    from melody_join_spark.operators.multimodal import (
+        UnsupportedMediaFormatError,
+        jpeg_decoder,
+    )
+
+    sof = (
+        bytes([8])
+        + (8).to_bytes(2, "big")
+        + (8).to_bytes(2, "big")
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    )
+    sos = bytes([1, 1, 0x00, 0, 63, 0])  # ns=1 of 3 frame components
+    data = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+        + b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+        + b"\xff\xd9"
+    )
+    with pytest.raises(UnsupportedMediaFormatError, match="non-interleaved"):
+        jpeg_decoder(data, 27)
