@@ -91,14 +91,20 @@ def main() -> None:
 
     timings = {name: min(ts) for name, ts in runs.items() if ts}
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Emission order matters (round-6 VERDICT wrong #1): the driver records
+    # only the TAIL of this process's output, and in round 6 the diagnostic
+    # dicts printed after the headline pushed the per-query walls out of the
+    # recorded artifact.  So: the full record (runs arrays, per-query host
+    # busy, start timestamps) prints FIRST, and a compact headline line —
+    # per-query min walls + total — prints LAST, with `queries`/`value` as
+    # its final keys, so any truncation eats diagnostics, never the walls.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": total,  # sum of per-query min across runs
+                "metric": "headline_queries_full_record",
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 "n_runs": len(busy_per_run),
                 "runs": runs,
                 "query_host_busy": query_busy,
@@ -108,6 +114,20 @@ def main() -> None:
                 # back-compat aggregate context
                 "host_steal_pct": steal_per_run[-1],
                 "host_busy_pct": round(sum(busy_per_run) / len(busy_per_run), 2),
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "unit": "sec",
+                "sf": sf_val,
+                "n_runs": len(busy_per_run),
+                "host_busy_per_run": busy_per_run,
+                "host_steal_per_run": steal_per_run,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
+                "value": total,  # sum of per-query min across runs
             }
         )
     )
