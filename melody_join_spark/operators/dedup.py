@@ -1210,9 +1210,9 @@ def dedupe_embeddings(
     id_col: str = "doc_id",
     emb_id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "exact",
-    num_planes: int = 64,
-    bands: int = 16,
+    method: str = "auto",
+    num_planes: int | None = None,
+    bands: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate REMOVAL over the documents table:
@@ -1222,29 +1222,25 @@ def dedupe_embeddings(
     similarity signal is the embedding space, which catches paraphrase
     duplicates no lexical fingerprint sees).
 
-    ``method='exact'`` scores all pairs (:func:`cosine_pairs` — the oracle
-    semantics, fine to ~10^4 vectors); ``'ivf'`` routes candidates through
-    probed-list overlap (:func:`ivf_cosine_pairs`) — the measured
-    10^5-10^6 MID-regime path (round-5 VERDICT next #4); ``'lsh'`` routes
-    through the random-hyperplane sketch (:func:`lsh_cosine_pairs`) — the
-    10^8-vector scale path.  Both sketch routes have candidate recall < 1.
+    Pair generation routes through :func:`similarity.similar_pairs`:
+    ``method='auto'`` (the default — the reference's Join.java:42-131
+    method dispatch done engine-side) picks exact / IVF / LSH from
+    (N, threshold) at the MEASURED crossovers
+    (:func:`similarity.choose_similarity_method`); explicit ``'exact'``
+    (:func:`cosine_pairs` — the oracle semantics, fine to ~10^4 vectors),
+    ``'ivf'`` (probed-list overlap, the 10^5-10^6 mid-regime path,
+    threshold-derived nprobe) and ``'lsh'`` (random-hyperplane sketch,
+    the 10^8-vector scale path, (N, threshold)-derived banding) pin the
+    plan.  The sketch routes have candidate recall < 1 — auto only
+    selects them where the derivations predict the recall target holds.
     Documents without an embedding row are kept (nothing to compare).
     One anti-join either way."""
-    from .similarity import cosine_pairs, ivf_cosine_pairs, lsh_cosine_pairs
+    from .similarity import similar_pairs
 
-    if method == "exact":
-        pairs = cosine_pairs(emb, threshold, id_col=emb_id_col, vec_col=vec_col)
-    elif method == "ivf":
-        pairs = ivf_cosine_pairs(
-            emb, threshold, id_col=emb_id_col, vec_col=vec_col, seed=seed
-        )
-    elif method == "lsh":
-        pairs = lsh_cosine_pairs(
-            emb, threshold, id_col=emb_id_col, vec_col=vec_col,
-            num_planes=num_planes, bands=bands, seed=seed,
-        )
-    else:
-        raise ValueError(f"unknown method {method!r}")
+    pairs = similar_pairs(
+        emb, threshold, method=method, id_col=emb_id_col, vec_col=vec_col,
+        seed=seed, num_planes=num_planes, bands=bands,
+    )
     # pairs carry rid < sid; the larger id of every qualifying pair drops
     dropped = pairs.select(F.col("sid").alias(id_col)).distinct()
     return docs.join(dropped, id_col, "anti")

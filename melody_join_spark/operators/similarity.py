@@ -34,6 +34,9 @@ __all__ = [
     "ivf_build",
     "ivf_load",
     "ivf_search",
+    "similar_pairs",
+    "choose_similarity_method",
+    "derive_nprobe",
 ]
 
 
@@ -781,7 +784,7 @@ def ivf_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nlist: int | None = None,
-    nprobe: int = 2,
+    nprobe: int | None = None,
     kmeans_sample: int = 4096,
     kmeans_iters: int = 5,
     seed: int = 42,
@@ -831,6 +834,12 @@ def ivf_cosine_pairs(
     if nlist is None:
         # sqrt(N) lists: ~sqrt(N) vectors per list -> N^1.5 candidate work
         nlist = max(8, int(round(float(emb.count()) ** 0.5)))
+    if nprobe is None:
+        # threshold-derived probes (see derive_nprobe): wider angular caps
+        # need more lists probed for the probe sets of a qualifying pair
+        # to overlap — fixed nprobe=2 measured recall 0.689 at theta 0.4
+        # while being exactly right (1.000) at 0.95
+        nprobe = derive_nprobe(nlist, threshold)
     C = _ivf_codebook(
         e.select(F.col("id").alias(id_col), F.col("v").alias(vec_col)),
         nlist, id_col, vec_col, kmeans_sample, kmeans_iters, seed,
@@ -995,3 +1004,119 @@ def ivf_cosine_pairs(
         .distinct()
     )
     return release_on_gc(out, e, asg)
+
+
+# ---------------------------------------------------------------------------
+# method='auto' dispatch (round-6 VERDICT next #1)
+#
+# The reference engine owns the method choice (Join.java:42-131 dispatches
+# the join strategy from the inputs); a user at 10^5 vectors should not have
+# to know to pass 'ivf'.  The boundaries below are the MEASURED crossovers
+# (SCALE.md "embedding similarity crossover, completed"):
+#   - exact block-matmul wins below ~10^4 vectors (at 20k x 64 it already
+#     loses 12x to IVF: 49.7 s vs 4.2 s at theta 0.95) and stays the
+#     RECALL-1 fallback up to ~10^6 when the threshold is too low for the
+#     sketches (derived LSH banding reaches only ~0.64 expected recall at
+#     20k/0.4; IVF at fixed nprobe=2 measured 0.689 there);
+#   - IVF (N^1.5 via the sqrt(N) codebook) owns the 10^4..10^6 mid-regime
+#     at near-dup thresholds (recall 1.000 measured at 20k/0.95, 0.99999
+#     planted-truth at 100k);
+#   - hyperplane LSH (output-bound) takes over at >= 10^6 wherever its
+#     collision curve can still hit the recall target, and IVF covers the
+#     low-threshold remainder (with a loud warning: nothing is exact-
+#     feasible there).
+# ---------------------------------------------------------------------------
+
+SIMILARITY_EXACT_MAX_N = 10_000
+SIMILARITY_SKETCH_ONLY_MIN_N = 1_000_000
+
+
+def choose_similarity_method(n: int, threshold: float) -> str:
+    """Pick 'exact' | 'ivf' | 'lsh' for a cosine-threshold self-join over
+    ``n`` vectors — the measured-crossover dispatch documented above.
+    "Sketchable" means the derived LSH banding can reach the >= 0.99
+    recall target at this (n, threshold); below the sketch recall floor
+    the recall-1 exact plan is chosen as long as it is feasible
+    (n <= 10^6), and above that IVF is the only sub-quadratic option —
+    chosen with a loud warning about its reduced low-threshold recall."""
+    import warnings
+
+    _, _, lsh_recall = _lsh_banding_recall(n, threshold)
+    sketchable = lsh_recall >= LSH_RECALL_TARGET
+    if n <= SIMILARITY_EXACT_MAX_N:
+        return "exact"
+    if not sketchable and n <= SIMILARITY_SKETCH_ONLY_MIN_N:
+        return "exact"
+    if n < SIMILARITY_SKETCH_ONLY_MIN_N:
+        return "ivf"
+    if sketchable:
+        return "lsh"
+    warnings.warn(
+        f"similar_pairs: N={n} is past the exact-feasible ceiling "
+        f"({SIMILARITY_SKETCH_ONLY_MIN_N}) and threshold {threshold} sits "
+        f"below the sketch recall floor (derived LSH banding reaches only "
+        f"{lsh_recall:.3f}); dispatching to IVF with threshold-derived "
+        "nprobe — recall < 1. Raise the threshold, or pass an explicit "
+        "method to override.",
+        UserWarning,
+        stacklevel=3,
+    )
+    return "ivf"
+
+
+def derive_nprobe(nlist: int, threshold: float) -> int:
+    """Threshold-derived probe count for :func:`ivf_cosine_pairs` — the
+    same no-hand-tuned-scale-constants policy as the LSH banding and the
+    sqrt(N) codebook (round-6 VERDICT next #1: fixed nprobe=2 left 31% of
+    recall on the table at theta 0.4 while being exactly right at 0.95).
+
+    Geometry: a qualifying pair spans an angular cap of radius
+    acos(threshold); the spherical codebook tiles the sphere, so the
+    number of lists a cap intersects grows with its angular measure.
+    Scaling the list count by the cap fraction of pi —
+    nprobe = ceil(nlist ** (acos(threshold)/pi)) — reproduces the measured
+    operating points: 2 at theta 0.95 (recall 1.000 at 20k and 0.99999 at
+    100k) and 7 at theta 0.4 / nlist 141 (vs 0.689 recall at the fixed 2).
+    Floored at 2 (multi-probe is what rescues boundary-straddling pairs),
+    capped at nlist."""
+    import math
+
+    t = min(max(threshold, -1.0), 1.0)
+    frac = math.acos(t) / math.pi
+    return int(np.clip(math.ceil(nlist**frac), 2, max(nlist, 2)))
+
+
+def similar_pairs(
+    emb: DataFrame,
+    threshold: float,
+    method: str = "auto",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    num_planes: int | None = None,
+    bands: int | None = None,
+    nlist: int | None = None,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Cosine-threshold self-join front door -> (rid, sid, cosine) with
+    rid < sid: picks the physical strategy from the data when
+    ``method='auto'`` (one parquet-metadata count decides) — exact
+    brute-force, IVF probed-list candidates, or hyperplane LSH — per the
+    measured crossovers (:func:`choose_similarity_method`).  Explicit
+    ``method`` values route directly; the sketch knobs (``num_planes``/
+    ``bands``, ``nlist``/``nprobe``) stay derived unless pinned."""
+    if method == "auto":
+        method = choose_similarity_method(emb.count(), threshold)
+    if method == "exact":
+        return cosine_pairs(emb, threshold, id_col=id_col, vec_col=vec_col)
+    if method == "ivf":
+        return ivf_cosine_pairs(
+            emb, threshold, id_col=id_col, vec_col=vec_col,
+            nlist=nlist, nprobe=nprobe, seed=seed,
+        )
+    if method == "lsh":
+        return lsh_cosine_pairs(
+            emb, threshold, id_col=id_col, vec_col=vec_col,
+            num_planes=num_planes, bands=bands, seed=seed,
+        )
+    raise ValueError(f"unknown method {method!r}")

@@ -16,7 +16,10 @@ This runner makes every cross-round query delta self-evidencing:
 
 Usage:
   python scripts/bench_ab.py --old=faee011 --queries=a,b,c \
-      [--pairs=3] [--runs=3] [--json=/tmp/ab.json]
+      [--pairs=3] [--runs=3] [--json=/tmp/ab.json] [--full]
+
+  --full runs each process over the WHOLE registry in bench order (the
+  driver's operating point) while still reporting only --queries.
 """
 
 from __future__ import annotations
@@ -46,11 +49,18 @@ def ensure_worktree(rev: str) -> str:
     return path
 
 
-def run_bench(tree: str, queries: list[str], runs: int) -> dict:
-    """One bench.py process in `tree`; returns its JSON line + context."""
+def run_bench(tree: str, queries: list[str], runs: int, full: bool = False) -> dict:
+    """One bench.py process in `tree`; returns its JSON line + context.
+
+    ``full`` runs the ENTIRE registry in its bench order (reported queries
+    are still just `queries`) — the round-6 VERDICT wrong-#2 protocol: a
+    delta reproduced by the driver's full-bench run must be controlled at
+    the same operating point, i.e. with the same preceding-query session
+    state (JVM/codegen warmth, GC pressure), not in an isolated process
+    that runs the target query cold-session."""
     env = dict(
         os.environ,
-        SPARK_GRAFT_BENCH_ONLY=",".join(queries),
+        SPARK_GRAFT_BENCH_ONLY="" if full else ",".join(queries),
         SPARK_GRAFT_BENCH_RUNS=str(runs),
         PYTHONPATH=tree,
     )
@@ -62,8 +72,14 @@ def run_bench(tree: str, queries: list[str], runs: int) -> dict:
     )
     if proc.returncode != 0:
         raise RuntimeError(f"bench failed in {tree}:\n{proc.stderr[-3000:]}")
-    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-    out = json.loads(line)
+    # bench.py emits the full record first and the compact headline last
+    # (round-7 emission-order fix); merge every JSON line — later keys win —
+    # so `runs` (full record) and `queries`/`value` (headline) are both
+    # present.  Old revs emit a single line; the merge is a no-op there.
+    out: dict = {}
+    for line in proc.stdout.splitlines():
+        if line.startswith("{"):
+            out.update(json.loads(line))
     out["_wall"] = round(time.time() - t0, 1)
     out["_load_before"] = round(load0, 1)
     out["_load_after"] = round(os.getloadavg()[0], 1)
@@ -73,7 +89,11 @@ def run_bench(tree: str, queries: list[str], runs: int) -> dict:
 
 def main() -> None:
     old_rev, queries, pairs, runs, json_path = None, None, 3, 3, None
+    full = False
     for a in sys.argv[1:]:
+        if a == "--full":
+            full = True
+            continue
         if a.startswith("--old="):
             old_rev = a.split("=", 1)[1]
         elif a.startswith("--queries="):
@@ -93,7 +113,7 @@ def main() -> None:
         if p % 2:  # swap per pair so drift cancels
             order.reverse()
         for label, tree in order:
-            r = run_bench(tree, queries, runs)
+            r = run_bench(tree, queries, runs, full=full)
             results[label].append(r)
             print(
                 f"# pair{p} {label}: "

@@ -873,3 +873,52 @@ def test_ivf_cosine_pairs_duplicate_ids_never_self_pair(spark):
     out = ivf_cosine_pairs(emb, -1.0, nlist=2, nprobe=2).collect()
     assert out, "threshold -1 keeps every cross pair"
     assert all(r.rid < r.sid for r in out)
+
+def test_similarity_auto_dispatch_boundaries():
+    """Pin the method='auto' dispatch to the MEASURED crossovers
+    (round-6 VERDICT next #1, SCALE.md): exact below ~10^4 always and as
+    the recall-1 fallback below ~10^6 when the threshold sits under the
+    sketch recall floor; IVF in the 10^4..10^6 mid-regime; LSH at >= 10^6
+    where its collision curve still reaches the target, IVF (with a loud
+    reduced-recall warning) where it cannot."""
+    from melody_join_spark.operators.similarity import (
+        choose_similarity_method,
+        derive_nprobe,
+    )
+
+    assert choose_similarity_method(5_000, 0.95) == "exact"
+    assert choose_similarity_method(5_000, 0.2) == "exact"
+    # the two VERDICT-named points: IVF at 100k/0.95, exact at 20k/0.4
+    assert choose_similarity_method(100_000, 0.95) == "ivf"
+    assert choose_similarity_method(20_000, 0.4) == "exact"
+    assert choose_similarity_method(20_000, 0.95) == "ivf"
+    assert choose_similarity_method(10_000_000, 0.95) == "lsh"
+    # ADVICE clamp case: at 10M/0.8 LSH cannot reach the target -> IVF,
+    # loudly (exact is infeasible at that N)
+    with pytest.warns(UserWarning, match="recall"):
+        assert choose_similarity_method(10_000_000, 0.8) == "ivf"
+
+    # threshold-derived nprobe: reproduces the measured operating points
+    # (2 at 0.95 where recall was 1.000; more probes at wider caps, where
+    # fixed 2 measured only 0.689), floored at 2, capped at nlist
+    assert derive_nprobe(141, 0.95) == 2      # sqrt(20k) codebook
+    assert derive_nprobe(316, 0.95) == 2      # sqrt(100k) codebook
+    assert derive_nprobe(141, 0.4) == 7
+    assert derive_nprobe(141, 0.4) > derive_nprobe(141, 0.8) >= 2
+    assert derive_nprobe(8, -1.0) == 8        # cap: never exceeds nlist
+
+
+def test_similar_pairs_auto_small_n_is_exact(emb):
+    """At fixture scale (500 vectors) auto must dispatch to the exact plan
+    and reproduce cosine_pairs bit for bit — the 'existing hashes
+    unchanged' guarantee for the dedup_embedding gate query."""
+    from melody_join_spark.operators.similarity import similar_pairs
+
+    exact = {
+        (r.rid, r.sid): r.cosine for r in cosine_pairs(emb, 0.25).collect()
+    }
+    auto = {
+        (r.rid, r.sid): r.cosine
+        for r in similar_pairs(emb, 0.25, method="auto").collect()
+    }
+    assert auto == exact  # same pairs AND the same doubles
