@@ -85,6 +85,16 @@ def main() -> None:
             # queries persist self-join inputs; drop them so later queries
             # don't inherit the accumulated cache/GC pressure
             spark.catalog.clearCache()
+            if os.environ.get("SPARK_GRAFT_BENCH_GC"):
+                # full cross-runtime GC barrier BETWEEN queries (outside any
+                # timed window): python GC drops DataFrame/broadcast handles,
+                # JVM GC lets the ContextCleaner reclaim their broadcasts and
+                # shuffle files, so query N+1's wall doesn't pay query N's
+                # collection debt
+                import gc
+
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
         steal, busy = _pcts(stat0, _cpu_stat())
         busy_per_run.append(busy)
         steal_per_run.append(steal)

@@ -981,9 +981,18 @@ def _minhash_band_keys(
 
 
 def _jaccard_tokens(df: DataFrame, id_col: str, text_col: str, shingle: int) -> DataFrame:
-    """(id, toks, nt) character-shingle token table for exact verification."""
+    """(id, toks, nt) character-shingle token table for exact verification.
+
+    ``_spread`` matters here even though the tokenize is a scan-stage
+    expression: every caller persists this relation and immediately sizes
+    it with an agg (`_verify_jaccard`'s broadcast gate), so on a corpus
+    arriving as one file split the ENTIRE shingle tokenize executed as a
+    single task — profiled at sf0.1 as ~2-4 s of one-core wall inside
+    dedup_minhash_lsh (host busy 12-16% while 31 cores idled) before the
+    verify joins even started.  At real scale (thousands of splits) the
+    guard is a no-op."""
     grams = tokenize_char_ngrams(F.col(text_col), shingle)
-    return df.select(F.col(id_col).alias("id"), grams.alias("toks")).withColumn(
+    return _spread(df).select(F.col(id_col).alias("id"), grams.alias("toks")).withColumn(
         "nt", F.size("toks")
     )
 
