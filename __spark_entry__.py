@@ -491,6 +491,41 @@ def _q_generate_media_jpeg(spark, sf_dir):
     return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
 
 
+MEDIA_JPEG2_DIR = "/root/repo/fixtures/media/jpeg2"
+MEDIA_JPEG2_THETA = 1.0  # RGB-cube lattice units; 28 fixture pairs pass
+
+
+def _q_generate_media_jpeg2(spark, sf_dir):
+    """PROGRESSIVE-JPEG Generate->Join (round-6 VERDICT next #8, the final
+    S6 sliver): the committed SOF2 corpus — grayscale / 4:4:4 / 4:2:0, a
+    libjpeg-shaped scan script exercising all four T.81 G.2 scan kinds
+    (DC/AC x first/refinement), spectral selection, successive
+    approximation, true cross-block EOB-runs with buffered correction
+    bits, and a restarted DC scan — decoded by the pure-numpy multi-scan
+    coefficient-accumulation path (multimodal._jpeg_decode_progressive),
+    then the same 3x3x3 RGB-cube quantization + exact d=3 EMD join as the
+    baseline-JPEG gate.  Oracle: all-pairs fixture over the EXPECTED
+    DECODE computed by an INDEPENDENT pure-python progressive ENCODER
+    (its own scan script and EOB-run/correction-bit emission) + the
+    scalar-loop IDCT with the knife-edge rounding guard
+    (scripts/make_jpeg_fixtures.py)."""
+    from melody_join_spark.operators.multimodal import (
+        jpeg_decoder,
+        ppm_bin_points,
+        read_binary_dir,
+    )
+
+    media = read_binary_dir(spark, MEDIA_JPEG2_DIR).withColumn(
+        "media_id",
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.jpg", 1).cast("long"),
+    )
+    hist = generate_histograms(spark, media=media, bins=27, decoder=jpeg_decoder)
+    res = emd_join_nd(
+        hist, ppm_bin_points(27), MEDIA_JPEG2_THETA, strategy="grid"
+    )
+    return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
+
+
 USER_THETA = 1.0  # behavior-histogram EMD threshold (value-bucket units)
 
 
@@ -1061,7 +1096,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # passes under the driver's own DuckDB oracle.  Round 7: the cosine
     # five (driver-excluded in r6) move up into the window; five corpus
     # scan queries green since round 1 (corpus_stats_cube, chunk_documents,
-    # redact_pii, sample_corpus, build_vocab) rotate to the tail.
+    # redact_pii, sample_corpus, build_vocab) rotate to the tail, and the
+    # round-7-new generate_media_jpeg2 lands inside the window, rotating
+    # dedup_simhash (fixture-gated green since round 2) out to position 51.
     return {
         "text_features": _q_text_features,
         "quality_filter": _q_quality_filter,
@@ -1100,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generate_media_pixels": _q_generate_media_pixels,
         "generate_media_png": _q_generate_media_png,
         "generate_media_jpeg": _q_generate_media_jpeg,
+        "generate_media_jpeg2": _q_generate_media_jpeg2,
         "dedup_exact": _q_exact_dedup,
         "dedupe_corpus": _q_dedupe_corpus,
         "emd_knn_2d": _q_emd_knn_2d,
@@ -1505,6 +1543,10 @@ WHERE emd <= {MEDIA_PNG_THETA} + 1e-4 ORDER BY rid, sid""",
 SELECT rid, sid, round(emd, 6) + 0 AS emd
 FROM read_parquet('/root/repo/fixtures/media_jpeg_pairs.parquet')
 WHERE emd <= {MEDIA_JPEG_THETA} + 1e-4 ORDER BY rid, sid""",
+        "generate_media_jpeg2": f"""
+SELECT rid, sid, round(emd, 6) + 0 AS emd
+FROM read_parquet('/root/repo/fixtures/media_jpeg2_pairs.parquet')
+WHERE emd <= {MEDIA_JPEG2_THETA} + 1e-4 ORDER BY rid, sid""",
         "text_features": text_features_oracle_sql(),
         "quality_filter": f"""
 WITH qf AS ({quality_filter_oracle_sql()})

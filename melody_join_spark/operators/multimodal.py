@@ -11,9 +11,11 @@ tested.  Decoders, all codec-free and deterministic:
 - ``png_decoder``   — REAL pixel-level color-cube histograms for PNG (the
   one compressed format whose codec is stdlib zlib: IDAT inflate + numpy
   scanline unfilter; 8-bit gray/RGB/palette/alpha variants)
-- ``jpeg_decoder``  — REAL pixel-level color-cube histograms for BASELINE
-  JPEG (pure python/numpy entropy decode + dequant + IDCT + chroma
-  upsample + YCbCr->RGB; gray / 4:4:4 / 4:2:0, restart intervals;
+- ``jpeg_decoder``  — REAL pixel-level color-cube histograms for huffman
+  JPEG, BASELINE and PROGRESSIVE (pure python/numpy entropy decode +
+  dequant + IDCT + chroma upsample + YCbCr->RGB; gray / 4:4:4 / 4:2:0,
+  restart intervals; SOF2 multi-scan coefficient accumulation with
+  spectral selection, successive approximation and EOB-runs; each
   hash-gated against an independent encoder's expected decode)
 - ``wav_pcm_decoder`` — REAL sample-level amplitude histograms for RIFF/WAV
   16-bit PCM (pure-numpy chunk walk)
@@ -21,9 +23,9 @@ tested.  Decoders, all codec-free and deterministic:
 - ``sniff_decoder`` — magic-byte dispatch across the above
 - ``fake=True``     — seeded pseudo-histogram stand-in for recall tests
 
-A production codec-backed callable (PIL/ffmpeg/librosa for progressive
-JPEG/MP3/video) plugs into ``decoder=`` unchanged — those formats are the
-one remaining integration point in this codec-less container.
+A production codec-backed callable (PIL/ffmpeg/librosa for MP3/video/
+arithmetic-coded JPEG) plugs into ``decoder=`` unchanged — those formats
+are the one remaining integration point in this codec-less container.
 
 This replaces the reference's generator input stack (HIPI bundles / Lire
 feature extractors, SURVEY.md §2.1 S6, src/com/iojin/melody/Generate.java:
@@ -440,11 +442,14 @@ def jpeg_decoder(content: bytes, bins: int) -> np.ndarray:
     scalar-loop IDCT with a knife-edge guard on every rounding boundary —
     so the two implementations must agree on every emitted pixel bucket.
 
-    Progressive (SOF2), extended (SOF1/12-bit), arithmetic-coded and
-    hierarchical JPEGs raise :class:`UnsupportedMediaFormatError`; those
-    need a codec-backed ``decoder=`` (utils/GenerateUtil.java:44-60 used
-    Lire for this).  Replaces the reference's Lire feature extraction at
-    actual pixel depth for the baseline subset."""
+    Huffman PROGRESSIVE (SOF2) files route to the multi-scan
+    coefficient-accumulation path (:func:`_jpeg_decode_progressive` —
+    spectral selection, successive approximation, EOB-runs, restarts;
+    round-7).  Extended (SOF1/12-bit), arithmetic-coded and hierarchical
+    JPEGs raise :class:`UnsupportedMediaFormatError`; those need a
+    codec-backed ``decoder=`` (utils/GenerateUtil.java:44-60 used Lire
+    for this).  Replaces the reference's Lire feature extraction at
+    actual pixel depth for the huffman-coded subset."""
     d = content or b""
     if len(d) < 4 or d[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -464,11 +469,14 @@ def jpeg_decoder(content: bytes, bins: int) -> np.ndarray:
         i += 1
         if m == 0xD9:  # EOI
             break
-        if m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        if m == 0xC2:  # SOF2: huffman progressive — separate multi-scan path
+            return _jpeg_decode_progressive(d, bins)
+        if m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                  0xCD, 0xCE, 0xCF):
             raise UnsupportedMediaFormatError(
-                f"unsupported JPEG frame type 0xFF{m:02X} (progressive/"
-                "extended/arithmetic); only baseline SOF0 decodes codec-free"
+                f"unsupported JPEG frame type 0xFF{m:02X} (extended/"
+                "lossless/arithmetic); only huffman SOF0/SOF2 decode "
+                "codec-free"
             )
         ln = int.from_bytes(d[i:i + 2], "big")
         seg = d[i + 2:i + ln]
@@ -598,7 +606,15 @@ def jpeg_decoder(content: bytes, bins: int) -> np.ndarray:
                         y0 = (my * vs + byy) * 8
                         x0 = (mx * hs + bxx) * 8
                         planes[cid][y0:y0 + 8, x0:x0 + 8] = px
-    # upsample to full resolution (nearest-neighbor replication) and crop
+    return _jpeg_planes_to_hist(planes, comps, hmax, vmax, h, w, bins)
+
+
+def _jpeg_planes_to_hist(
+    planes: dict, comps: list, hmax: int, vmax: int, h: int, w: int, bins: int
+) -> np.ndarray:
+    """Shared reconstruction tail for the baseline and progressive decoders:
+    nearest-neighbor chroma upsample, crop, JFIF YCbCr->RGB (or gray
+    replication), 3x3x3 color-cube histogram."""
     full = {}
     for cid, hs, vs, _ in comps:
         p = planes[cid]
@@ -623,6 +639,325 @@ def jpeg_decoder(content: bytes, bins: int) -> np.ndarray:
             axis=1,
         )
     return _color_cube_hist(px, bins)
+
+
+def _jpeg_decode_progressive(d: bytes, bins: int) -> np.ndarray:
+    """Huffman PROGRESSIVE JPEG (SOF2) decode — pure python/numpy, the
+    multi-scan sibling of the baseline path (round-6 VERDICT next #8, the
+    last S6 sliver).  Coefficients accumulate across scans per T.81 G.2:
+
+    - DC first scans (Ss=0, Ah=0; 1..4 components, interleaved MCU order
+      when ns>1): DC diff decode, coefficient = prediction << Al.
+    - DC refinement (Ss=0, Ah>0): one appended magnitude bit per block
+      (two's-complement OR, exactly the signed-int semantics python
+      shares with C).
+    - AC first scans (Ss>0, Ah=0; T.81 requires ns=1, the component's own
+      ceil-sized block raster — NOT the MCU-padded grid): run/size decode
+      into the [Ss, Se] band with EOB-RUN codes (r,0): run = (1<<r) - 1 +
+      receive(r) additional all-zero bands.
+    - AC refinement (Ss>0, Ah>0): the G.7.2 correction-bit algorithm —
+      every nonzero-history coefficient in the traversed span consumes one
+      correction bit (adding +-1<<Al away from zero when set), runs of r
+      zero-history coefficients position each newly significant +-1<<Al,
+      ZRL (15,0) skips 16 zero-history slots, and a pending EOB-RUN still
+      consumes correction bits across the remainder of each band.
+    - DRI/RSTn restart intervals byte-align and reset DC predictions AND
+      the EOB-RUN, per scan.
+    - DQT/DHT segments may be redefined between scans (tables are looked
+      up at scan-decode time; quantizers at reconstruction).
+
+    After the last scan every component's coefficient grid is dequantized,
+    dezigzagged and inverse-transformed exactly like the baseline path,
+    sharing its reconstruction tail.  Verified by generate_media_jpeg2:
+    the committed corpus comes from an INDEPENDENT pure-python progressive
+    ENCODER (own scan script, own EOB-RUN emission,
+    scripts/make_jpeg_fixtures.py) and the oracle pins the expected decode
+    of the SAME coefficients via the independent scalar-loop IDCT."""
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    coef: dict[int, np.ndarray] = {}
+    nblocks: dict[int, tuple[int, int]] = {}  # non-interleaved (bh, bw)
+    i = 2
+    saw_scan = False
+    while i < len(d):
+        if d[i] != 0xFF:
+            raise ValueError("corrupt JPEG marker stream")
+        while i < len(d) and d[i] == 0xFF:
+            i += 1
+        m = d[i]
+        i += 1
+        if m == 0xD9:  # EOI
+            break
+        ln = int.from_bytes(d[i:i + 2], "big")
+        seg = d[i + 2:i + ln]
+        if m == 0xDB:  # DQT (may be redefined between scans)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(seg, np.uint8, 64, p).astype(np.int64)
+                    p += 64
+                else:
+                    qt[tq] = np.frombuffer(seg, ">u2", 64, p).astype(np.int64)
+                    p += 128
+        elif m == 0xC4:  # DHT (may be redefined between scans)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = list(seg[p + 1:p + 17])
+                p += 17
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = seg[p]
+                        p += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif m == 0xC2:  # SOF2
+            prec = seg[0]
+            if prec != 8:
+                raise UnsupportedMediaFormatError(
+                    f"unsupported JPEG sample precision {prec}"
+                )
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise UnsupportedMediaFormatError(
+                    f"unsupported JPEG component count {nc}"
+                )
+            comps = []
+            for c in range(nc):
+                cid, hv, tq_id = seg[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq_id))
+            if h == 0 or w == 0:
+                raise ValueError("corrupt JPEG dimensions")
+            frame = (h, w, comps)
+            hmax = max(hs for _, hs, _, _ in comps)
+            vmax = max(vs for _, _, vs, _ in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for cid, hs, vs, _ in comps:
+                coef[cid] = np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+                # non-interleaved scans traverse ceil(comp_dim / 8) blocks
+                # of the component's own ceil-scaled dimensions (T.81
+                # A.2.2), NOT the MCU-padded grid
+                comp_h = -(-h * vs // vmax)
+                comp_w = -(-w * hs // hmax)
+                nblocks[cid] = (-(-comp_h // 8), -(-comp_w // 8))
+        elif m == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif m == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF2")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, tdta = seg[1 + 2 * c:3 + 2 * c]
+                scan.append((cid, tdta >> 4, tdta & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            i = _jpeg_progressive_scan(
+                d, i + ln, frame, (mcux, mcuy, hmax, vmax), scan, ss, se,
+                ah, al, huff, coef, nblocks, restart_interval,
+            )
+            saw_scan = True
+            continue
+        i += ln
+    if frame is None or not saw_scan:
+        raise ValueError("JPEG missing SOF2/SOS")
+    h, w, comps = frame
+    A = _jpeg_idct_basis()
+    zz = _JPEG_ZIGZAG
+    planes: dict[int, np.ndarray] = {}
+    for cid, hs, vs, tq_id in comps:
+        grid = coef[cid]
+        q = qt[tq_id]
+        bh, bw = grid.shape[:2]
+        plane = np.zeros((bh * 8, bw * 8))
+        for by in range(bh):
+            for bx in range(bw):
+                blk = np.zeros(64)
+                blk[zz] = (grid[by, bx] * q).astype(np.float64)
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                    A.T @ blk.reshape(8, 8) @ A + 128.0
+                )
+        planes[cid] = plane
+    return _jpeg_planes_to_hist(planes, comps, hmax, vmax, h, w, bins)
+
+
+def _jpeg_progressive_scan(
+    d: bytes,
+    pos: int,
+    frame: tuple,
+    geom: tuple,
+    scan: list,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff: dict,
+    coef: dict,
+    nblocks: dict,
+    restart_interval: int,
+) -> int:
+    """Decode ONE progressive scan's entropy data, accumulating into the
+    per-component coefficient grids; returns the stream offset of the next
+    marker segment.  Implements the four G.2 scan kinds (DC/AC x
+    first/refinement) with EOB-RUN and restart handling."""
+    h, w, comps = frame
+    mcux, mcuy, hmax, vmax = geom
+    by_cid = {cid: (hs, vs) for cid, hs, vs, _ in comps}
+    br = _JpegBitReader(d, pos)
+    dc_pred = {cid: 0 for cid, _, _ in scan}
+    eobrun = 0
+    ns = len(scan)
+
+    if ss == 0 and se != 0:
+        raise ValueError("JPEG DC scan with Se != 0")
+    if ss > 0 and ns != 1:
+        raise UnsupportedMediaFormatError(
+            "progressive AC scan with multiple components"
+        )
+
+    def dc_first(cid: int, td: int, by: int, bx: int) -> None:
+        s = _jpeg_huff_decode(br, huff[(0, td)])
+        dc_pred[cid] += _jpeg_extend(br.receive(s), s)
+        coef[cid][by, bx, 0] = dc_pred[cid] << al
+
+    def dc_refine(cid: int, by: int, bx: int) -> None:
+        if br.read_bit():
+            coef[cid][by, bx, 0] |= 1 << al
+
+    def ac_first(cid: int, ta: int, by: int, bx: int) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        tab = huff[(1, ta)]
+        blk = coef[cid][by, bx]
+        k = ss
+        while k <= se:
+            rs = _jpeg_huff_decode(br, tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.receive(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC band overflow")
+            blk[k] = _jpeg_extend(br.receive(s), s) << al
+            k += 1
+
+    def ac_refine(cid: int, ta: int, by: int, bx: int) -> None:
+        # T.81 G.7.2 / the classic correction-bit traversal: every nonzero-
+        # history coefficient crossed consumes one bit; r counts ZERO-
+        # history skips only; a pending EOB-RUN still refines the rest of
+        # the band before consuming one run unit
+        nonlocal eobrun
+        tab = huff[(1, ta)]
+        blk = coef[cid][by, bx]
+        p1 = 1 << al
+        m1 = -(1 << al)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _jpeg_huff_decode(br, tab)
+                r, s = rs >> 4, rs & 15
+                newval = 0
+                if s:
+                    if s != 1:
+                        raise ValueError("JPEG AC refinement size != 1")
+                    newval = p1 if br.read_bit() else m1
+                else:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.receive(r)
+                        break
+                    # ZRL: skip 16 zero-history slots, refining nonzero ones
+                while k <= se:
+                    if blk[k] != 0:
+                        if br.read_bit() and not (blk[k] & p1):
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("JPEG AC refinement overflow")
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[k] != 0 and br.read_bit() and not (blk[k] & p1):
+                    blk[k] += p1 if blk[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+    def unit(cid: int, td: int, ta: int, by: int, bx: int) -> None:
+        if ss == 0:
+            if ah == 0:
+                dc_first(cid, td, by, bx)
+            else:
+                dc_refine(cid, by, bx)
+        elif ah == 0:
+            ac_first(cid, ta, by, bx)
+        else:
+            ac_refine(cid, ta, by, bx)
+
+    def maybe_restart(mcu_count: int) -> None:
+        nonlocal eobrun
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            br.restart()
+            for c in dc_pred:
+                dc_pred[c] = 0
+            eobrun = 0
+
+    if ns > 1:
+        # interleaved MCU order over the frame geometry (DC scans only)
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(mcu_count)
+                mcu_count += 1
+                for cid, td, ta in scan:
+                    hs, vs = by_cid[cid]
+                    for byy in range(vs):
+                        for bxx in range(hs):
+                            unit(cid, td, ta, my * vs + byy, mx * hs + bxx)
+    else:
+        # non-interleaved: the component's ceil-sized block raster
+        cid, td, ta = scan[0]
+        bh, bw = nblocks[cid]
+        mcu_count = 0
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart(mcu_count)
+                mcu_count += 1
+                unit(cid, td, ta, by, bx)
+
+    # advance to the next marker: byte-align, then skip any stuffed/pad
+    # bytes; RSTn markers cannot follow the last restart interval here
+    p = br.pos
+    while p + 1 < len(d):
+        if d[p] == 0xFF and d[p + 1] != 0x00:
+            return p
+        p += 1
+    return len(d)
 
 
 def wav_pcm_decoder(content: bytes, bins: int) -> np.ndarray:

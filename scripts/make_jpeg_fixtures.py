@@ -461,6 +461,444 @@ def main() -> None:
     print("  min |frac-0.5| at 6dp:", frac.min())
     assert BINS == 27
 
+    # --- progressive corpus (round-7): same contract, SOF2 multi-scan ---
+    jpeg2_dir = os.path.join(_FIXDIR, "media", "jpeg2")
+    out_pairs2 = os.path.join(_FIXDIR, "media_jpeg2_pairs.parquet")
+    os.makedirs(jpeg2_dir, exist_ok=True)
+    n2 = 24
+    hists2 = []
+    for i in range(n2):
+        img = synth_rgb(rng)  # rng continues after the baseline corpus
+        mode = ["444", "420", "gray"][i % 3]
+        quality = [75, 90, 60, 85][i % 4]
+        rst = [0, 0, 3][i % 3]
+        data, exp = encode_jpeg_progressive(img, mode, quality, dc_restart=rst)
+        with open(os.path.join(jpeg2_dir, f"img_{i:03d}.jpg"), "wb") as f:
+            f.write(data)
+        rgb = [tuple(int(v) for v in exp[y, x])
+               for y in range(exp.shape[0]) for x in range(exp.shape[1])]
+        hists2.append(hist27(rgb))
+    W2 = np.array(hists2)
+    rid2, sid2, emd2 = [], [], []
+    for i in range(n2):
+        for j in range(i + 1, n2):
+            rid2.append(i)
+            sid2.append(j)
+            emd2.append(ssp_emd(W2[i], W2[j], C))
+    pq.write_table(
+        pa.table(
+            {
+                "rid": pa.array(rid2, type=pa.int64()),
+                "sid": pa.array(sid2, type=pa.int64()),
+                "emd": pa.array(emd2, type=pa.float64()),
+            }
+        ),
+        out_pairs2,
+    )
+    e2 = np.array(emd2)
+    print(f"wrote {out_pairs2}: {len(e2)} pairs, range "
+          f"[{e2.min():.4f}, {e2.max():.4f}]")
+    for th in (0.3, 0.5, 0.7, 1.0, 1.3):
+        print(f"  pairs <= {th}+1e-4: {(e2 <= th + 1e-4).sum()}")
+    frac2 = np.abs((e2 * 1e6) % 1 - 0.5)
+    print("  min |frac-0.5| at 6dp:", frac2.min())
+
+
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) encoder — round-7, the last S6 sliver.
+#
+# Same INDEPENDENT-implementation contract as the baseline encoder above:
+# the engine's decoder shares no code and reads every table from the file.
+# The scan script mirrors the common libjpeg shape — DC first at Al=1,
+# banded AC first scans at Al=2, two one-bit AC refinement passes, DC
+# refinement — so all four T.81 G.2 scan kinds (DC/AC x first/refine),
+# spectral selection, successive approximation, true EOB-runs with
+# buffered correction bits, and a restarted DC scan are all exercised.
+# AC scans use per-scan CUSTOM canonical huffman tables (fixed-length
+# codes over exactly the symbols the scan emits) because the Annex-K
+# tables lack the (r, 0) EOB-run symbols progressive coding needs.
+# ---------------------------------------------------------------------------
+
+
+def _custom_table(symbols: set[int]) -> tuple[list[int], list[int]]:
+    """(counts, values) canonical DHT spec: every symbol at one fixed code
+    length L = ceil(log2(n+1)) — Kraft-satisfying, never the all-ones
+    code (n < 2^L), trivially canonical."""
+    vals = sorted(symbols)
+    n = len(vals)
+    L = max(1, (n + 1 - 1).bit_length()) if n else 1
+    while (1 << L) <= n:
+        L += 1
+    counts = [0] * 16
+    counts[L - 1] = n
+    return counts, vals
+
+
+class _ScanEncoder:
+    """One progressive scan's entropy stream with EOB-run + correction-bit
+    buffering (the T.81 G emission discipline).  With ``codes=None`` it
+    runs in RECORD mode: no bits are written, the huffman symbols the scan
+    would emit accumulate in ``recorded`` — pass 1 of the two-pass custom-
+    table build (the emission logic itself is the single source of truth
+    for which symbols a scan needs, EOB-run codes included)."""
+
+    def __init__(self, bw, codes: dict | None):
+        self.bw = bw
+        self.codes = codes
+        self.recorded: set[int] = set()
+        self.eobrun = 0
+        self.bits: list[int] = []  # correction bits buffered across EOB units
+
+    def sym(self, s: int) -> None:
+        if self.codes is None:
+            self.recorded.add(s)
+            return
+        self.bw.put(*self.codes[s])
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            self.sym(r << 4)
+            if r:
+                self.bw.put(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.bits:
+            self.bw.put(b, 1)
+        self.bits = []
+
+
+class _NullBW:
+    """Bit sink for _ScanEncoder record mode."""
+
+    def put(self, code: int, length: int) -> None:
+        pass
+
+    def align(self) -> None:
+        pass
+
+
+def _enc_ac_first(se_: _ScanEncoder, a, sign, ss, se, al) -> None:
+    """AC first scan for one block: run-length code the [ss, se] band of
+    (abs >> al), accumulating cross-block EOB-runs."""
+    vals = [(a[k] >> al) for k in range(ss, se + 1)]
+    last = -1
+    for idx, v in enumerate(vals):
+        if v:
+            last = idx
+    if last < 0:
+        se_.eobrun += 1
+        if se_.eobrun == 0x7FFF:
+            se_.flush_eobrun()
+        return
+    se_.flush_eobrun()
+    r = 0
+    for idx in range(last + 1):
+        v = vals[idx]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            se_.sym(0xF0)
+            r -= 16
+        s = v.bit_length()
+        se_.sym((r << 4) | s)
+        k = ss + idx
+        bits = v if sign[k] >= 0 else (~v & ((1 << s) - 1))
+        se_.bw.put(bits, s)
+        r = 0
+    if last < se - ss:
+        se_.eobrun += 1
+        if se_.eobrun == 0x7FFF:
+            se_.flush_eobrun()
+
+
+def _enc_ac_refine(se_: _ScanEncoder, a, sign, ss, se, ah, al) -> None:
+    """AC refinement scan for one block (T.81 G.7.2), emitted in exactly
+    the order the decoder consumes it: newly-significant coefficients as
+    (r, 1)+sign where r counts ZERO-HISTORY slots only; each ZRL carries
+    the correction bits of the already-significant coefficients crossed
+    inside ITS 16-zero window (decoder-window-consistent buffering); the
+    remaining window's bits follow the (r, 1) code's sign bit; a block
+    ending in zeros/corrections folds into the cross-block EOB-run whose
+    correction bits buffer until the run flushes."""
+    # event sequence since the last emitted code: ('z',) zero-history slot,
+    # ('b', bit) correction bit of an already-significant slot
+    seq: list = []
+    r = 0
+    for k in range(ss, se + 1):
+        v = a[k] >> al
+        hv = a[k] >> ah
+        if hv:
+            seq.append(v & 1)  # correction bit (int)
+            continue
+        if v == 0:
+            seq.append(None)  # zero-history slot
+            r += 1
+            continue
+        # newly significant: magnitude exactly 1 at Ah = Al+1
+        se_.flush_eobrun()
+        while r > 15:
+            se_.sym(0xF0)
+            zseen = 0
+            while zseen < 16:
+                it = seq.pop(0)
+                if it is None:
+                    zseen += 1
+                else:
+                    se_.bw.put(it, 1)
+            r -= 16
+        se_.sym((r << 4) | 1)
+        se_.bw.put(1 if sign[k] >= 0 else 0, 1)
+        for it in seq:  # remaining r zeros interleave these bits
+            if it is not None:
+                se_.bw.put(it, 1)
+        seq = []
+        r = 0
+    if seq:
+        # trailing zeros / correction bits: one EOB-run unit; its bits
+        # buffer until the run flushes (decoder reads them in its
+        # pending-EOB tail, block order == buffer order)
+        se_.eobrun += 1
+        se_.bits.extend(it for it in seq if it is not None)
+        if se_.eobrun == 0x7FFF:
+            se_.flush_eobrun()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    mode: str,
+    quality: int,
+    dc_restart: int = 0,
+) -> tuple[bytes, np.ndarray]:
+    """Encode (h, w, 3) uint8 RGB as PROGRESSIVE JPEG (SOF2); returns
+    (bytes, expected-decode RGB) — the quantized coefficients (and so the
+    expected decode, computed with the scalar IDCT + knife-edge guard) are
+    IDENTICAL to the baseline encoder's at the same (mode, quality):
+    progressive transmission reorders bits, never values.  ``dc_restart``
+    puts a DRI/RSTn interval on the first (DC) scan."""
+    h, w, _ = img.shape
+    R = img[:, :, 0].astype(np.float64)
+    G = img[:, :, 1].astype(np.float64)
+    B = img[:, :, 2].astype(np.float64)
+    Y = 0.299 * R + 0.587 * G + 0.114 * B
+    Cb = 128.0 - 0.168736 * R - 0.331264 * G + 0.5 * B
+    Cr = 128.0 + 0.5 * R - 0.418688 * G - 0.081312 * B
+
+    qly = _scale_qt(QT_LUMA, quality)
+    qlc = _scale_qt(QT_CHROMA, quality)
+    if mode == "gray":
+        comps = [(1, 1, 1, 0, qly)]
+    elif mode == "444":
+        comps = [(1, 1, 1, 0, qly), (2, 1, 1, 1, qlc), (3, 1, 1, 1, qlc)]
+    elif mode == "420":
+        comps = [(1, 2, 2, 0, qly), (2, 1, 1, 1, qlc), (3, 1, 1, 1, qlc)]
+    else:
+        raise ValueError(mode)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    def comp_plane(cid):
+        src = {1: Y, 2: Cb, 3: Cr}[cid]
+        _, hs, vs, _, _ = next(c for c in comps if c[0] == cid)
+        if hs < hmax or vs < vmax:
+            fy, fx = vmax // vs, hmax // hs
+            hh = -(-h // fy) * fy
+            ww = -(-w // fx) * fx
+            p = np.zeros((hh, ww))
+            p[:h, :w] = src
+            p[h:hh, :w] = src[-1:, :]
+            p[:, w:ww] = p[:, w - 1:w]
+            src = p.reshape(hh // fy, fy, ww // fx, fx).mean(axis=(1, 3))
+        th_, tw_ = mcuy * vs * 8, mcux * hs * 8
+        p = np.zeros((th_, tw_))
+        sh, sw = src.shape
+        p[:sh, :sw] = src
+        if sh < th_:
+            p[sh:, :sw] = src[-1:, :]
+        if sw < tw_:
+            p[:, sw:] = p[:, sw - 1:sw]
+        return p
+
+    # pass 1: quantized coefficients (zigzag order) + expected decode
+    qc: dict[int, list] = {}
+    dec_coef: dict[int, np.ndarray] = {}
+    for cid, hs, vs, _tq, qtab in comps:
+        plane = comp_plane(cid)
+        bh, bw_ = mcuy * vs, mcux * hs
+        grid = [[None] * bw_ for _ in range(bh)]
+        dec = np.zeros((bh * 8, bw_ * 8))
+        for by in range(bh):
+            for bx in range(bw_):
+                blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                coefs = _fdct_scalar(blk)
+                z = [
+                    int(round(coefs.reshape(-1)[ZIGZAG[k]] / qtab[k]))
+                    for k in range(64)
+                ]
+                grid[by][bx] = z
+                deq = np.zeros(64)
+                for k in range(64):
+                    deq[ZIGZAG[k]] = z[k] * qtab[k]
+                dec[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = _idct_scalar(
+                    deq.reshape(8, 8)
+                ) + 128.0
+        qc[cid] = grid
+        dec_coef[cid] = dec
+
+    nblk = {}
+    for cid, hs, vs, _tq, _q in comps:
+        comp_h = -(-h * vs // vmax)
+        comp_w = -(-w * hs // hmax)
+        nblk[cid] = (-(-comp_h // 8), -(-comp_w // 8))
+
+    # container head
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(qly))
+    if mode != "gray":
+        out += _seg(0xDB, bytes([1]) + bytes(qlc))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([len(comps)])
+    for cid, hs, vs, tq, _q in comps:
+        sof += bytes([cid, hs << 4 | vs, tq])
+    out += _seg(0xC2, sof)
+
+    def sos_seg(scan_comps: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+        body = bytes([len(scan_comps)])
+        for cid, td, ta in scan_comps:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    # --- scan 1: DC first, all components interleaved, Al=1, optional DRI
+    dc_codes = {0: _huff_codes(HUFF_DC_LUMA)}
+    out += _seg(0xC4, _dht_payload(0, 0, HUFF_DC_LUMA))
+    if mode != "gray":
+        dc_codes[1] = _huff_codes(HUFF_DC_CHROMA)
+        out += _seg(0xC4, _dht_payload(0, 1, HUFF_DC_CHROMA))
+    if dc_restart:
+        out += _seg(0xDD, dc_restart.to_bytes(2, "big"))
+    out += sos_seg(
+        [(c[0], 0 if c[0] == 1 else 1, 0) for c in comps], 0, 0, 0, 1
+    )
+    bw = _BitWriter()
+    pred = {c[0]: 0 for c in comps}
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dc_restart and mcu_count and mcu_count % dc_restart == 0:
+                bw.align()
+                bw.out.append(0xFF)
+                bw.out.append(0xD0 + (rst_n & 7))
+                rst_n += 1
+                pred = {c[0]: 0 for c in comps}
+            mcu_count += 1
+            for cid, hs, vs, _tq, _q in comps:
+                codes = dc_codes[0 if cid == 1 else 1]
+                for byy in range(vs):
+                    for bxx in range(hs):
+                        v = qc[cid][my * vs + byy][mx * hs + bxx][0] >> 1
+                        diff = v - pred[cid]
+                        pred[cid] = v
+                        s = abs(diff).bit_length()
+                        bw.put(*codes[s])
+                        if s:
+                            b = diff if diff >= 0 else diff + (1 << s) - 1
+                            bw.put(b & ((1 << s) - 1), s)
+    bw.align()
+    out += bw.out
+    if dc_restart:
+        out += _seg(0xDD, (0).to_bytes(2, "big"))  # scans below: no restart
+
+    # --- AC scans per component: banded first passes then two refinements
+    ac_scripts = []
+    for cid, _hs, _vs, _tq, _q in comps:
+        ac_scripts.append((cid, 1, 5, 0, 2))
+        ac_scripts.append((cid, 6, 63, 0, 2))
+    for al_pair in ((2, 1), (1, 0)):
+        for cid, _hs, _vs, _tq, _q in comps:
+            ac_scripts.append((cid, 1, 63, al_pair[0], al_pair[1]))
+
+    for cid, ss, se, ah, al in ac_scripts:
+        bh, bw_n = nblk[cid]
+        blocks = [qc[cid][by][bx] for by in range(bh) for bx in range(bw_n)]
+        prep = [
+            ([abs(v) for v in z], [0 if v >= 0 else -1 for v in z])
+            for z in blocks
+        ]
+        # pass 1: record the symbols this scan emits (the emission logic
+        # itself is the source of truth — EOB-run codes included)
+        rec = _ScanEncoder(_NullBW(), None)
+        for a, sign in prep:
+            if ah == 0:
+                _enc_ac_first(rec, a, sign, ss, se, al)
+            else:
+                _enc_ac_refine(rec, a, sign, ss, se, ah, al)
+        rec.flush_eobrun()
+        spec = _custom_table(rec.recorded or {0x00})
+        out += _seg(0xC4, _dht_payload(1, 0, spec))
+        out += sos_seg([(cid, 0, 0)], ss, se, ah, al)
+        bw = _BitWriter()
+        enc = _ScanEncoder(bw, _huff_codes(spec))
+        for a, sign in prep:
+            if ah == 0:
+                _enc_ac_first(enc, a, sign, ss, se, al)
+            else:
+                _enc_ac_refine(enc, a, sign, ss, se, ah, al)
+        enc.flush_eobrun()
+        bw.align()
+        out += bw.out
+
+    # --- final scan: DC refinement (Ah=1 -> Al=0), interleaved
+    out += sos_seg(
+        [(c[0], 0 if c[0] == 1 else 1, 0) for c in comps], 0, 0, 1, 0
+    )
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, hs, vs, _tq, _q in comps:
+                for byy in range(vs):
+                    for bxx in range(hs):
+                        bw.put(qc[cid][my * vs + byy][mx * hs + bxx][0] & 1, 1)
+    bw.align()
+    out += bw.out
+    out += b"\xff\xd9"
+
+    # expected decode: identical tail to encode_jpeg
+    full = {}
+    for cid, hs, vs, _tq, _q in comps:
+        p = dec_coef[cid]
+        if hs < hmax or vs < vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full[cid] = p[:h, :w]
+
+    def guard_round(x: np.ndarray) -> np.ndarray:
+        frac = np.abs(x - np.floor(x) - 0.5)
+        assert frac.min() > 1e-6, "knife-edge sample: regenerate the corpus"
+        return np.clip(np.round(x), 0, 255).astype(np.int64)
+
+    if mode == "gray":
+        g = guard_round(full[1])
+        exp = np.stack([g, g, g], axis=2)
+    else:
+        Yd = full[1]
+        Cbd = full[2] - 128.0
+        Crd = full[3] - 128.0
+        exp = np.stack(
+            [
+                guard_round(Yd + 1.402 * Crd),
+                guard_round(Yd - 0.344136 * Cbd - 0.714136 * Crd),
+                guard_round(Yd + 1.772 * Cbd),
+            ],
+            axis=2,
+        )
+    return bytes(out), exp
+
 
 if __name__ == "__main__":
     main()

@@ -527,3 +527,63 @@ def test_jpeg_non_interleaved_baseline_scan_stays_loud():
     )
     with pytest.raises(UnsupportedMediaFormatError, match="non-interleaved"):
         jpeg_decoder(data, 27)
+
+def test_jpeg_progressive_round_trips_independent_encoder():
+    """The engine's progressive (SOF2) decode must reproduce the EXPECTED
+    DECODE of the independent progressive encoder bit-for-bucket, across
+    gray / 4:4:4 / 4:2:0, a restarted DC scan, and the full scan script
+    (DC/AC x first/refinement, spectral selection, successive
+    approximation, cross-block EOB-runs with buffered correction bits)."""
+    import os
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts"),
+    )
+    from make_jpeg_fixtures import encode_jpeg_progressive
+    from make_media_fixtures import hist27
+    from make_png_fixtures import synth_rgb
+
+    from melody_join_spark.operators.multimodal import jpeg_decoder
+
+    rng = np.random.default_rng(29)
+    for i in range(6):
+        img = synth_rgb(rng)
+        mode = ["444", "420", "gray"][i % 3]
+        q = [75, 90, 60][i % 3]
+        rst = 3 if i == 4 else 0
+        data, exp = encode_jpeg_progressive(img, mode, q, dc_restart=rst)
+        got = jpeg_decoder(data, 27)
+        rgb = [
+            tuple(int(v) for v in exp[y, x])
+            for y in range(exp.shape[0])
+            for x in range(exp.shape[1])
+        ]
+        assert np.array_equal(got, np.asarray(hist27(rgb))), (i, mode, q, rst)
+
+
+def test_jpeg_progressive_corpus_decodes_and_sniffs():
+    """Every committed progressive fixture image decodes through BOTH the
+    direct decoder and sniff dispatch (SOF2 is huffman JPEG — it must NOT
+    raise or degrade to the byte histogram)."""
+    import os
+
+    from melody_join_spark.operators.multimodal import (
+        jpeg_decoder,
+        sniff_decoder,
+    )
+
+    d = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "fixtures", "media", "jpeg2"
+    )
+    names = sorted(os.listdir(d))
+    assert len(names) == 24
+    for n in names[:6]:
+        with open(os.path.join(d, n), "rb") as f:
+            data = f.read()
+        h1 = jpeg_decoder(data, 27)
+        h2 = sniff_decoder(data, 27)
+        assert h1.sum() > 0 and (h1 == h2).all()
