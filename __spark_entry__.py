@@ -587,22 +587,35 @@ def _q_events_window_streaming(spark, sf_dir):
 
     _SESS_STREAM_SEQ[0] += 1
     name = f"win_stream_gate_{_SESS_STREAM_SEQ[0]}"
-    q = (
-        streaming_window_counts(
-            stream_events(spark, snap), hours=1, watermark="0 seconds"
+    # state-partition sizing (round-6 VERDICT next #6): the state shuffle
+    # inherits spark.sql.shuffle.partitions (64 here), but streaming state
+    # cost is per-partition store open/commit PER MICROBATCH — at this
+    # snapshot's state size (3.6k windows) 64 partitions is pure overhead.
+    # Profiled: addBatch dominates the wall (batch twin 0.7 s vs stream
+    # 4+ s); 8 state partitions cut the window gate 2.3 -> 1.0 s with
+    # identical output.  Production sizing scales this with STATE size,
+    # not the session's join-shuffle width.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            streaming_window_counts(
+                stream_events(spark, snap), hours=1, watermark="0 seconds"
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "streaming window gate: availableNow query did not terminate "
-            "within 600s"
-        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming window gate: availableNow query did not terminate "
+                "within 600s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).select(
         F.unix_micros("window_start").alias("wstart_us"),
         "event_type",
@@ -631,25 +644,34 @@ def _q_events_sessionize_streaming(spark, sf_dir):
 
     _SESS_STREAM_SEQ[0] += 1
     name = f"sess_stream_gate_{_SESS_STREAM_SEQ[0]}"
-    q = (
-        streaming_sessionize(
-            stream_events(spark, snap), gap_minutes=30, watermark="0 seconds"
+    # 8 state partitions: see the window gate's sizing note — profiled
+    # 5.2 -> 3.8-4.6 s here (state = ~5k user sessions; the second
+    # microbatch is the inherent watermark/timeout pass and scans every
+    # state partition, so partition count is paid twice per run)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            streaming_sessionize(
+                stream_events(spark, snap), gap_minutes=30, watermark="0 seconds"
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    # awaitTermination(timeout) returns False on timeout with the query
-    # still running — a partial memory table would surface downstream as a
-    # confusing hash mismatch, so fail loudly instead (round-5 ADVICE)
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            "streaming sessionize gate: availableNow query did not "
-            "terminate within 600s"
-        )
+        # awaitTermination(timeout) returns False on timeout with the query
+        # still running — a partial memory table would surface downstream as
+        # a confusing hash mismatch, so fail loudly instead (round-5 ADVICE)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming sessionize gate: availableNow query did not "
+                "terminate within 600s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).select(
         "user_id",
         F.col("session_id").cast("long").alias("session_id"),
