@@ -10,8 +10,10 @@ Spark-first design:
   matmul (mapInPandas over the database side with the query block broadcast)
   + distributed TakeOrdered merge — the scalable brute-force baseline.
 - ``lsh_cosine_pairs``: random-hyperplane LSH bucketing (sign sketch,
-  banded like SimHash) -> candidate equi-join -> exact verification; the
-  scale path for threshold joins over 10^8+ vectors.
+  banded like SimHash) -> candidate equi-join -> exact verification.
+  EXPLICIT-only: measured second to IVF at 20k/100k and DNF at 10^6 on a
+  single node (candidate-shuffle bound); its linear candidate volume is
+  a cluster-shuffle-bandwidth bet, not the default (SCALE.md round 7).
 """
 
 from __future__ import annotations
@@ -1018,42 +1020,46 @@ def ivf_cosine_pairs(
 #     RECALL-1 fallback up to ~10^6 when the threshold is too low for the
 #     sketches (derived LSH banding reaches only ~0.64 expected recall at
 #     20k/0.4; IVF at fixed nprobe=2 measured 0.689 there);
-#   - IVF (N^1.5 via the sqrt(N) codebook) owns the 10^4..10^6 mid-regime
-#     at near-dup thresholds (recall 1.000 measured at 20k/0.95, 0.99999
-#     planted-truth at 100k);
-#   - hyperplane LSH (output-bound) takes over at >= 10^6 wherever its
-#     collision curve can still hit the recall target, and IVF covers the
-#     low-threshold remainder (with a loud warning: nothing is exact-
-#     feasible there).
+#   - IVF (N^1.5 via the sqrt(N) codebook) owns EVERYTHING above 10^4 at
+#     sketchable thresholds on measured evidence: recall 1.000 at
+#     20k/0.95 (4.2 s vs LSH 4.1 s — tie), 13.3 s vs LSH 23.5 s at 100k,
+#     and 657 s recall-1.000 at 10^6 where derived-banding LSH DID NOT
+#     FINISH (its ~b*occ/2 ~ 600 candidate rows PER VECTOR are linear in
+#     N but the constant is brutal: >80 GB of candidate shuffle spill at
+#     1M on local[32] — SCALE.md round 7).  Hyperplane LSH therefore
+#     stays an EXPLICIT method, not an auto choice: its linear candidate
+#     volume can only beat IVF's N^1.5 compute on a cluster whose
+#     aggregate shuffle bandwidth outruns its matmul throughput —
+#     re-measure there before preferring it.
 # ---------------------------------------------------------------------------
 
 SIMILARITY_EXACT_MAX_N = 10_000
-SIMILARITY_SKETCH_ONLY_MIN_N = 1_000_000
+SIMILARITY_EXACT_FEASIBLE_MAX_N = 1_000_000
 
 
 def choose_similarity_method(n: int, threshold: float) -> str:
-    """Pick 'exact' | 'ivf' | 'lsh' for a cosine-threshold self-join over
-    ``n`` vectors — the measured-crossover dispatch documented above.
-    "Sketchable" means the derived LSH banding can reach the >= 0.99
-    recall target at this (n, threshold); below the sketch recall floor
-    the recall-1 exact plan is chosen as long as it is feasible
-    (n <= 10^6), and above that IVF is the only sub-quadratic option —
-    chosen with a loud warning about its reduced low-threshold recall."""
+    """Pick 'exact' | 'ivf' for a cosine-threshold self-join over ``n``
+    vectors — the measured-crossover dispatch documented above ('lsh' is
+    explicit-only; see the module comment).  "Sketchable" means the
+    derived LSH banding can reach the >= 0.99 recall target at this
+    (n, threshold) — the collision curve is the best available proxy for
+    how hard the angular regime is for ANY sketch; below that floor the
+    recall-1 exact plan is chosen as long as it is feasible (n <= 10^6),
+    and above that IVF is the only sub-quadratic option — chosen with a
+    loud warning about its reduced low-threshold recall."""
     import warnings
 
     _, _, lsh_recall = _lsh_banding_recall(n, threshold)
     sketchable = lsh_recall >= LSH_RECALL_TARGET
     if n <= SIMILARITY_EXACT_MAX_N:
         return "exact"
-    if not sketchable and n <= SIMILARITY_SKETCH_ONLY_MIN_N:
+    if not sketchable and n <= SIMILARITY_EXACT_FEASIBLE_MAX_N:
         return "exact"
-    if n < SIMILARITY_SKETCH_ONLY_MIN_N:
-        return "ivf"
     if sketchable:
-        return "lsh"
+        return "ivf"
     warnings.warn(
         f"similar_pairs: N={n} is past the exact-feasible ceiling "
-        f"({SIMILARITY_SKETCH_ONLY_MIN_N}) and threshold {threshold} sits "
+        f"({SIMILARITY_EXACT_FEASIBLE_MAX_N}) and threshold {threshold} sits "
         f"below the sketch recall floor (derived LSH banding reaches only "
         f"{lsh_recall:.3f}); dispatching to IVF with threshold-derived "
         "nprobe — recall < 1. Raise the threshold, or pass an explicit "
@@ -1101,10 +1107,15 @@ def similar_pairs(
     """Cosine-threshold self-join front door -> (rid, sid, cosine) with
     rid < sid: picks the physical strategy from the data when
     ``method='auto'`` (one parquet-metadata count decides) — exact
-    brute-force, IVF probed-list candidates, or hyperplane LSH — per the
-    measured crossovers (:func:`choose_similarity_method`).  Explicit
-    ``method`` values route directly; the sketch knobs (``num_planes``/
-    ``bands``, ``nlist``/``nprobe``) stay derived unless pinned."""
+    brute-force below 10^4 (and as the recall-1 fallback below 10^6 at
+    low thresholds), IVF probed-list candidates everywhere else — per the
+    measured crossovers (:func:`choose_similarity_method`).  Hyperplane
+    LSH is EXPLICIT-only (``method='lsh'``): measured second to IVF at
+    every point up to 10^6, where its linear-but-huge candidate volume
+    did not finish on a single node (SCALE.md round 7); its linearity can
+    still pay on shuffle-rich clusters.  Explicit ``method`` values route
+    directly; the sketch knobs (``num_planes``/``bands``, ``nlist``/
+    ``nprobe``) stay derived unless pinned."""
     if method == "auto":
         method = choose_similarity_method(emb.count(), threshold)
     if method == "exact":

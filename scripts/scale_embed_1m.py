@@ -1,10 +1,17 @@
 #!/usr/bin/env python
-"""Fourth embedding scale point: 10^6 x 64-dim (x500 replication of the
-sf0.1 embeddings, same seeded 2%-noise scheme as scale_embed_100k.py) —
-the decade the SCALE.md narrative predicts as the IVF->LSH crossover but
-round 6 had not measured (round-6 VERDICT next #7).
+"""Fourth embedding scale point: 10^6 x 64-dim — the decade the SCALE.md
+narrative predicts as the IVF->LSH crossover but round 6 had not measured
+(round-6 VERDICT next #7).
 
-Ground truth is the PLANTED near-dup family (replicas of one source are
+Table shape: 50,000 seeded synthetic source directions x 20 replicas at
+the 2%-relative-noise scheme of scale_embed_100k.py — keeping near-dup
+DENSITY realistic (9.5M planted pairs ~ 2e-5 of all pairs).  A first
+attempt replicated the 2k sf0.1 vectors x500: 249.5M planted pairs (25%
+of ALL pairs near-dup) drove billions of in-family LSH candidate rows and
+filled the disk mid-shuffle — a density no dedup corpus has; scale probes
+must scale SOURCES, not duplicates-per-source.
+
+Ground truth is the planted near-dup family (replicas of one source are
 each other's cos>=0.95 partners), computed DISTRIBUTED per family this
 time — 1M x 64 doubles do not belong on the driver.  Reports, interleaved
 min-of-REPEATS: ivf_cosine_pairs (derived nprobe) and lsh_cosine_pairs
@@ -31,10 +38,11 @@ for a in sys.argv[1:]:
     elif a == "--skip-lsh":
         SKIP_LSH = True
 
-SF01 = "/root/testdata/sf0.1"
 OUT_DIR = "/tmp/spark_graft_scale_emb1m"
-REP = 500
-STRIDE = 512
+N_SOURCES = 50_000
+DIM = 64
+REP = 20
+STRIDE = 32
 SEED = 20260815
 THR = 0.95
 
@@ -42,19 +50,19 @@ THR = 0.95
 def build(spark) -> None:
     import pandas as pd
 
-    marker = os.path.join(OUT_DIR, f"_BUILT_{REP}_{SEED}")
+    marker = os.path.join(OUT_DIR, f"_BUILT_{N_SOURCES}_{REP}_{SEED}")
     if os.path.exists(marker):
         return
-    emb = spark.read.parquet(f"{SF01}/embeddings.parquet").repartition(64)
+    src = spark.range(N_SOURCES).repartition(64)
 
     def perturb(it):
         for pdf in it:
-            for vid, v in zip(pdf["vec_id"], pdf["embedding"]):
-                v = np.asarray(v, dtype=np.float32)
+            for vid in pdf["id"]:
+                rng = np.random.default_rng((SEED, int(vid)))
+                v = rng.standard_normal(DIM).astype(np.float32)
                 scale = 0.02 * float(np.linalg.norm(v)) / max(
                     1.0, np.sqrt(v.size)
                 )
-                rng = np.random.default_rng((SEED, int(vid)))
                 noise = rng.normal(0.0, scale, size=(REP, v.size)).astype(
                     np.float32
                 )
@@ -67,7 +75,7 @@ def build(spark) -> None:
                     }
                 )
 
-    emb.mapInPandas(perturb, "vec_id long, embedding array<double>").write.mode(
+    src.mapInPandas(perturb, "vec_id long, embedding array<double>").write.mode(
         "overwrite"
     ).parquet(f"{OUT_DIR}/embeddings.parquet")
     open(marker, "w").close()
@@ -75,7 +83,7 @@ def build(spark) -> None:
 
 def planted_count(spark, big) -> int:
     """Planted same-source pairs with true cos >= THR, computed per family
-    with applyInPandas (2k families x 500 replicas — never collected)."""
+    with applyInPandas (50k families x 20 replicas — never collected)."""
     import pandas as pd
     from pyspark.sql import functions as F
 

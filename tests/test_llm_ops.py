@@ -878,9 +878,10 @@ def test_similarity_auto_dispatch_boundaries():
     """Pin the method='auto' dispatch to the MEASURED crossovers
     (round-6 VERDICT next #1, SCALE.md): exact below ~10^4 always and as
     the recall-1 fallback below ~10^6 when the threshold sits under the
-    sketch recall floor; IVF in the 10^4..10^6 mid-regime; LSH at >= 10^6
-    where its collision curve still reaches the target, IVF (with a loud
-    reduced-recall warning) where it cannot."""
+    sketch recall floor; IVF everywhere else (measured winner at 20k,
+    100k AND the 10^6 point, where derived-banding LSH did not finish —
+    so LSH is explicit-only); past 10^6 at unsketchable thresholds IVF is
+    chosen with a loud reduced-recall warning."""
     from melody_join_spark.operators.similarity import (
         choose_similarity_method,
         derive_nprobe,
@@ -892,7 +893,11 @@ def test_similarity_auto_dispatch_boundaries():
     assert choose_similarity_method(100_000, 0.95) == "ivf"
     assert choose_similarity_method(20_000, 0.4) == "exact"
     assert choose_similarity_method(20_000, 0.95) == "ivf"
-    assert choose_similarity_method(10_000_000, 0.95) == "lsh"
+    # LSH is explicit-only: at the measured 10^6 point IVF finished in
+    # 657 s at recall 1.000 while derived-banding LSH exhausted >80 GB of
+    # candidate-shuffle spill (SCALE.md round 7)
+    assert choose_similarity_method(1_000_000, 0.95) == "ivf"
+    assert choose_similarity_method(10_000_000, 0.95) == "ivf"
     # ADVICE clamp case: at 10M/0.8 LSH cannot reach the target -> IVF,
     # loudly (exact is infeasible at that N)
     with pytest.warns(UserWarning, match="recall"):
