@@ -587,3 +587,35 @@ def test_jpeg_progressive_corpus_decodes_and_sniffs():
         h1 = jpeg_decoder(data, 27)
         h2 = sniff_decoder(data, 27)
         assert h1.sum() > 0 and (h1 == h2).all()
+
+def test_jpeg_progressive_long_eob_runs():
+    """A constant-color image has all-zero AC everywhere: the progressive
+    AC scans become pure cross-block EOB-runs, forcing the (r, 0) run
+    codes with r > 0 and the decoder's eobrun bookkeeping across blocks
+    (the path per-block EOBs never exercise).  A smooth gradient then
+    exercises refinement runs with buffered correction bits."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from make_jpeg_fixtures import encode_jpeg_progressive
+    from make_media_fixtures import hist27
+
+    from melody_join_spark.operators.multimodal import jpeg_decoder
+
+    flat = np.full((24, 40, 3), 180, dtype=np.uint8)
+    y, x = np.mgrid[0:24, 0:40]
+    grad = np.stack(
+        [(y * 5 + 30) % 256, (x * 3 + 60) % 256, ((x + y) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    for img in (flat, grad):
+        for mode in ("gray", "444", "420"):
+            data, exp = encode_jpeg_progressive(img, mode, 75)
+            got = jpeg_decoder(data, 27)
+            rgb = [
+                tuple(int(v) for v in exp[yy, xx])
+                for yy in range(exp.shape[0])
+                for xx in range(exp.shape[1])
+            ]
+            assert np.array_equal(got, np.asarray(hist27(rgb))), mode
