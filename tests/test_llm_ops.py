@@ -927,3 +927,40 @@ def test_similar_pairs_auto_small_n_is_exact(emb):
         for r in similar_pairs(emb, 0.25, method="auto").collect()
     }
     assert auto == exact  # same pairs AND the same doubles
+
+def test_similar_pairs_explicit_routes_are_subsets(emb):
+    """The front door's explicit methods route to the right plans: both
+    sketch routes return subsets of the exact pair set with exact cosines
+    (recall < 1 is allowed; wrong values are not)."""
+    from melody_join_spark.operators.similarity import similar_pairs
+
+    exact = {
+        (r.rid, r.sid): r.cosine
+        for r in similar_pairs(emb, 0.25, method="exact").collect()
+    }
+    for m in ("ivf", "lsh"):
+        got = {
+            (r.rid, r.sid): r.cosine
+            for r in similar_pairs(emb, 0.25, method=m).collect()
+        }
+        assert set(got) <= set(exact), m
+        assert all(got[p] == pytest.approx(exact[p], abs=1e-9) for p in got), m
+
+
+def test_jaccard_tokens_spread_guard(spark):
+    """Regression pin for the round-7 minhash fix: the verification token
+    relation must never execute its tokenize as a single task when the
+    corpus arrives as one split — `_verify_jaccard`'s sizing agg runs the
+    whole upstream chain, so a 1-partition input would serialize the
+    shingle work on one core (measured 4-6.5 s of one-core wall inside
+    dedup_minhash_lsh at sf0.1)."""
+    from melody_join_spark.operators.dedup import _jaccard_tokens
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with several words") for i in range(300)],
+        "doc_id long, text string",
+    ).coalesce(1)
+    assert docs.rdd.getNumPartitions() == 1
+    toks = _jaccard_tokens(docs, "doc_id", "text", 5)
+    par = spark.sparkContext.defaultParallelism
+    assert toks.rdd.getNumPartitions() >= max(2, par // 2)
