@@ -136,7 +136,10 @@ def main() -> None:
                 "n_runs": len(busy_per_run),
                 "host_busy_per_run": busy_per_run,
                 "host_steal_per_run": steal_per_run,
-                "queries": {k: round(v, 2) for k, v in timings.items()},
+                # 4 decimals: sub-second A/B ratios computed from the
+                # recorded headline lost ~1% at 2 (round-7 ADVICE); the
+                # full-precision per-run arrays stay in the first record
+                "queries": {k: round(v, 4) for k, v in timings.items()},
                 "value": total,  # sum of per-query min across runs
             }
         )

@@ -1223,6 +1223,8 @@ def dedupe_embeddings(
     num_planes: int | None = None,
     bands: int | None = None,
     seed: int = 42,
+    n: int | None = None,
+    recall_target: float | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate REMOVAL over the documents table:
     a document is dropped when its embedding has cosine >= ``threshold``
@@ -1241,14 +1243,21 @@ def dedupe_embeddings(
     threshold-derived nprobe) and ``'lsh'`` (random-hyperplane sketch,
     the 10^8-vector scale path, (N, threshold)-derived banding) pin the
     plan.  The sketch routes have candidate recall < 1 — auto only
-    selects them where the derivations predict the recall target holds.
-    Documents without an embedding row are kept (nothing to compare).
-    One anti-join either way."""
+    selects them where the derivations predict the recall target holds;
+    callers for whom a missed near-dup is a correctness bug pass
+    ``recall_target=1.0`` (forces the exact plan wherever feasible — the
+    pre-round-7 default semantics), and fractional targets escalate the
+    IVF probe count (:func:`similarity.derive_nprobe`).  ``n=`` skips the
+    dispatch count when the embedding count is already known (a DERIVED
+    embedding relation is otherwise persisted around dispatch so its
+    upstream executes once, not twice).  Documents without an embedding
+    row are kept (nothing to compare).  One anti-join either way."""
     from .similarity import similar_pairs
 
     pairs = similar_pairs(
         emb, threshold, method=method, id_col=emb_id_col, vec_col=vec_col,
         seed=seed, num_planes=num_planes, bands=bands,
+        n=n, recall_target=recall_target,
     )
     # pairs carry rid < sid; the larger id of every qualifying pair drops
     dropped = pairs.select(F.col("sid").alias(id_col)).distinct()

@@ -18,12 +18,15 @@ Spark-first design:
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger("melody_join_spark.similarity")
 
 __all__ = [
     "cosine_expr",
@@ -38,6 +41,7 @@ __all__ = [
     "ivf_search",
     "similar_pairs",
     "choose_similarity_method",
+    "derive_nlist",
     "derive_nprobe",
 ]
 
@@ -679,6 +683,7 @@ def lsh_cosine_pairs(
     bands: int | None = None,
     seed: int = 42,
     dim: int | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH: sign sketch over ``num_planes`` hyperplanes,
     banded into ``bands`` keys; bucket equi-join for candidates; exact cosine
@@ -703,7 +708,9 @@ def lsh_cosine_pairs(
                 "lsh_cosine_pairs: pass num_planes and bands together (or "
                 "neither, to derive both from N and the threshold)"
             )
-        r, bands = _derive_lsh_banding(emb.count(), threshold)
+        r, bands = _derive_lsh_banding(
+            n if n is not None else emb.count(), threshold
+        )
         num_planes = r * bands
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
@@ -780,6 +787,16 @@ def _fold_dots(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     return np.cumsum(A * B, axis=1)[:, -1]
 
 
+def derive_nlist(n: int) -> int:
+    """sqrt(N) codebook size: ~sqrt(N) vectors per list keeps IVF verify
+    work at ~N^1.5 (sum over lists of |list|^2) — the no-hand-tuned-
+    scale-constants default shared by :func:`ivf_cosine_pairs` and the
+    :func:`similar_pairs` front door (which derives it from its ONE
+    dispatch count and passes it through, so a derived input relation is
+    never counted twice)."""
+    return max(8, int(round(float(n) ** 0.5)))
+
+
 def ivf_cosine_pairs(
     emb: DataFrame,
     threshold: float,
@@ -791,6 +808,7 @@ def ivf_cosine_pairs(
     kmeans_iters: int = 5,
     seed: int = 42,
     list_cap: int = 4096,
+    recall_target: float | None = None,
 ) -> DataFrame:
     """IVF-candidate cosine pairs: the sub-quadratic similarity path for
     the 10^5-10^6-vector MID-regime (round-5 VERDICT next #4), between the
@@ -835,13 +853,16 @@ def ivf_cosine_pairs(
     )
     if nlist is None:
         # sqrt(N) lists: ~sqrt(N) vectors per list -> N^1.5 candidate work
-        nlist = max(8, int(round(float(emb.count()) ** 0.5)))
+        # (similar_pairs passes nlist through so its dispatch count is the
+        # only count — a derived input relation must not scan twice)
+        nlist = derive_nlist(emb.count())
     if nprobe is None:
         # threshold-derived probes (see derive_nprobe): wider angular caps
         # need more lists probed for the probe sets of a qualifying pair
         # to overlap — fixed nprobe=2 measured recall 0.689 at theta 0.4
-        # while being exactly right (1.000) at 0.95
-        nprobe = derive_nprobe(nlist, threshold)
+        # while being exactly right (1.000) at 0.95; recall_target
+        # escalates along the calibrated miss-decay model
+        nprobe = derive_nprobe(nlist, threshold, recall_target)
     C = _ivf_codebook(
         e.select(F.col("id").alias(id_col), F.col("v").alias(vec_col)),
         nlist, id_col, vec_col, kmeans_sample, kmeans_iters, seed,
@@ -1037,7 +1058,9 @@ SIMILARITY_EXACT_MAX_N = 10_000
 SIMILARITY_EXACT_FEASIBLE_MAX_N = 1_000_000
 
 
-def choose_similarity_method(n: int, threshold: float) -> str:
+def choose_similarity_method(
+    n: int, threshold: float, recall_target: float | None = None
+) -> str:
     """Pick 'exact' | 'ivf' for a cosine-threshold self-join over ``n``
     vectors — the measured-crossover dispatch documented above ('lsh' is
     explicit-only; see the module comment).  "Sketchable" means the
@@ -1046,31 +1069,76 @@ def choose_similarity_method(n: int, threshold: float) -> str:
     how hard the angular regime is for ANY sketch; below that floor the
     recall-1 exact plan is chosen as long as it is feasible (n <= 10^6),
     and above that IVF is the only sub-quadratic option — chosen with a
-    loud warning about its reduced low-threshold recall."""
+    loud warning about its reduced low-threshold recall.
+
+    ``recall_target >= 1.0`` demands TOTAL recall: the exact plan is
+    forced wherever it is feasible (n <= 10^6) even in the IVF regime —
+    callers for whom a missed near-dup pair is a correctness bug (the
+    old ``dedupe_embeddings(method='exact')`` default) say so here
+    instead of hand-picking the method.  Past the exact ceiling the IVF
+    route escalates to exhaustive probing (see :func:`derive_nprobe`)."""
     import warnings
 
     _, _, lsh_recall = _lsh_banding_recall(n, threshold)
     sketchable = lsh_recall >= LSH_RECALL_TARGET
     if n <= SIMILARITY_EXACT_MAX_N:
         return "exact"
+    if recall_target is not None and recall_target >= 1.0:
+        if n <= SIMILARITY_EXACT_FEASIBLE_MAX_N:
+            return "exact"
+        warnings.warn(
+            f"similar_pairs: recall_target={recall_target} demands total "
+            f"recall but N={n} is past the exact-feasible ceiling "
+            f"({SIMILARITY_EXACT_FEASIBLE_MAX_N}); dispatching to IVF with "
+            "EXHAUSTIVE probing (nprobe=nlist — recall 1 by construction, "
+            "but quadratic verify work). Lower recall_target to regain the "
+            "sub-quadratic plan.",
+            UserWarning,
+            stacklevel=3,
+        )
+        return "ivf"
     if not sketchable and n <= SIMILARITY_EXACT_FEASIBLE_MAX_N:
         return "exact"
     if sketchable:
+        # ADVICE r7: auto replacing the old exact default must not be
+        # silent about picking a recall<1-CAPABLE route — measured recall
+        # at the derived nprobe is 1.000/0.99999 at theta 0.95
+        # (20k/100k/10^6, SCALE.md) but that is empirical, not a proof.
+        _log.info(
+            "similar_pairs auto: N=%d threshold=%.3g -> IVF (measured "
+            "recall 1.0 at the 0.95-threshold operating points; pass "
+            "recall_target=1.0 to force the exact plan, or recall_target="
+            "<r> to escalate nprobe).",
+            n, threshold,
+        )
         return "ivf"
     warnings.warn(
         f"similar_pairs: N={n} is past the exact-feasible ceiling "
         f"({SIMILARITY_EXACT_FEASIBLE_MAX_N}) and threshold {threshold} sits "
         f"below the sketch recall floor (derived LSH banding reaches only "
         f"{lsh_recall:.3f}); dispatching to IVF with threshold-derived "
-        "nprobe — recall < 1. Raise the threshold, or pass an explicit "
-        "method to override.",
+        "nprobe — recall < 1. Pass recall_target= to buy recall with more "
+        "probes (recall_target=1.0 probes exhaustively), raise the "
+        "threshold, or pass an explicit method to override.",
         UserWarning,
         stacklevel=3,
     )
     return "ivf"
 
 
-def derive_nprobe(nlist: int, threshold: float) -> int:
+# Calibration anchor for recall_target escalation: the derived nprobe's
+# measured pair-miss mass in the HARDEST sketchable regime probed so far
+# (20k x 64, theta 0.4, nlist 141, derived nprobe 7 -> recall 0.942,
+# SCALE.md round 7).  The escalation model treats the miss as geometric in
+# the probe count — each extra block of `base` probes multiplies the miss
+# by this factor — which the measured recall-vs-nprobe curve at the same
+# operating point validates as conservative (see SCALE.md round 8).
+IVF_MISS_AT_DERIVED = 0.058
+
+
+def derive_nprobe(
+    nlist: int, threshold: float, recall_target: float | None = None
+) -> int:
     """Threshold-derived probe count for :func:`ivf_cosine_pairs` — the
     same no-hand-tuned-scale-constants policy as the LSH banding and the
     sqrt(N) codebook (round-6 VERDICT next #1: fixed nprobe=2 left 31% of
@@ -1084,12 +1152,74 @@ def derive_nprobe(nlist: int, threshold: float) -> int:
     operating points: 2 at theta 0.95 (recall 1.000 at 20k and 0.99999 at
     100k) and 7 at theta 0.4 / nlist 141 (vs 0.689 recall at the fixed 2).
     Floored at 2 (multi-probe is what rescues boundary-straddling pairs),
-    capped at nlist."""
+    capped at nlist.
+
+    ``recall_target`` buys recall with probes (round-7 VERDICT next #3:
+    the low-threshold warning had no knob to act on).  The model is
+    geometric miss decay anchored at the measured calibration point:
+    miss(nprobe) = IVF_MISS_AT_DERIVED ** (nprobe / base), so
+    nprobe(target) = base * log(1-target) / log(miss_anchor), never below
+    the base derivation and capped at nlist.  Anchoring at the theta-0.4
+    miss is CONSERVATIVE at easier thresholds (measured miss at 0.95 is
+    0 already at the base nprobe — extra probes there only cost wall).
+    ``recall_target >= 1.0`` returns nlist: with every vector assigned to
+    every list, any pair shares a list — recall 1 by construction at
+    quadratic verify cost (prefer the exact plan below 10^6;
+    :func:`choose_similarity_method` does)."""
     import math
 
     t = min(max(threshold, -1.0), 1.0)
     frac = math.acos(t) / math.pi
-    return int(np.clip(math.ceil(nlist**frac), 2, max(nlist, 2)))
+    base = int(np.clip(math.ceil(nlist**frac), 2, max(nlist, 2)))
+    if recall_target is None:
+        return base
+    if recall_target >= 1.0:
+        return max(nlist, 2)
+    scale = math.log(max(1.0 - recall_target, 1e-12)) / math.log(
+        IVF_MISS_AT_DERIVED
+    )
+    return int(np.clip(math.ceil(base * max(scale, 1.0)), base, max(nlist, 2)))
+
+
+# Logical-plan node names whose count() does not execute real upstream
+# compute: column-pruned file scans (parquet counts read footer row counts /
+# empty-schema batches), an already-materialized cache, or literal rows.
+# Anything else (Filter, Join, Aggregate, Generate, UDF stages, LogicalRDD
+# of unknown provenance, ...) means count() may execute the full upstream
+# plan once — the auto dispatch must persist first or be handed n=.
+_CHEAP_COUNT_NODES = frozenset(
+    {"Project", "Relation", "LogicalRelation", "LocalRelation"}
+)
+
+
+def _count_is_cheap(df: DataFrame) -> bool:
+    """True when ``df.count()`` is a metadata-class scan (see
+    ``_CHEAP_COUNT_NODES``) — the double-scan guard for
+    :func:`similar_pairs`'s auto dispatch.  An ``InMemoryRelation`` is
+    cheap as a whole (count reads the cache), so its nested PHYSICAL plan
+    lines (ColumnarToRow/FileScan/...) are skipped by indentation.
+    Conservative on any plan it cannot read (returns False -> the caller
+    persists, which is always safe)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    skip_deeper_than: int | None = None
+    for line in plan.splitlines():
+        if not line.strip():
+            continue
+        stripped = line.lstrip(" :+-")
+        indent = len(line) - len(stripped)
+        if skip_deeper_than is not None and indent > skip_deeper_than:
+            continue  # inside a cached subtree: its physical plan, not ours
+        skip_deeper_than = None
+        node = stripped.split(" ", 1)[0].split("[", 1)[0]
+        if node == "InMemoryRelation":
+            skip_deeper_than = indent
+            continue
+        if node and node not in _CHEAP_COUNT_NODES:
+            return False
+    return True
 
 
 def similar_pairs(
@@ -1103,31 +1233,69 @@ def similar_pairs(
     bands: int | None = None,
     nlist: int | None = None,
     nprobe: int | None = None,
+    n: int | None = None,
+    recall_target: float | None = None,
 ) -> DataFrame:
     """Cosine-threshold self-join front door -> (rid, sid, cosine) with
     rid < sid: picks the physical strategy from the data when
-    ``method='auto'`` (one parquet-metadata count decides) — exact
-    brute-force below 10^4 (and as the recall-1 fallback below 10^6 at
-    low thresholds), IVF probed-list candidates everywhere else — per the
-    measured crossovers (:func:`choose_similarity_method`).  Hyperplane
-    LSH is EXPLICIT-only (``method='lsh'``): measured second to IVF at
-    every point up to 10^6, where its linear-but-huge candidate volume
-    did not finish on a single node (SCALE.md round 7); its linearity can
-    still pay on shuffle-rich clusters.  Explicit ``method`` values route
-    directly; the sketch knobs (``num_planes``/``bands``, ``nlist``/
-    ``nprobe``) stay derived unless pinned."""
+    ``method='auto'`` (ONE count decides) — exact brute-force below 10^4
+    (and as the recall-1 fallback below 10^6 at low thresholds), IVF
+    probed-list candidates everywhere else — per the measured crossovers
+    (:func:`choose_similarity_method`).  Hyperplane LSH is EXPLICIT-only
+    (``method='lsh'``): measured second to IVF at every point up to 10^6,
+    where its linear-but-huge candidate volume did not finish on a single
+    node (SCALE.md round 7); its linearity can still pay on shuffle-rich
+    clusters.  Explicit ``method`` values route directly; the sketch
+    knobs (``num_planes``/``bands``, ``nlist``/``nprobe``) stay derived
+    unless pinned.
+
+    Double-scan safety (round-7 VERDICT next #2): the dispatch count is
+    free on a bare scan (parquet metadata) but on a DERIVED relation it
+    would execute the whole upstream plan once for the count and again
+    for the chosen join — so when the optimized plan is not
+    metadata-countable the input is persisted for the query's lifetime
+    (released via the :mod:`..cache` two-phase protocol), and the derived
+    count/nlist are passed through so no route re-counts.  Callers that
+    already know N pass ``n=`` and skip the count entirely.
+
+    ``recall_target`` (round-7 VERDICT next #3): the recall the caller
+    requires from a sketch route.  >= 1.0 forces the exact plan wherever
+    feasible (n <= 10^6) and exhaustive probing past it; fractional
+    targets escalate the IVF probe count along the calibrated miss-decay
+    model (:func:`derive_nprobe`).  Ignored by explicit
+    ``method='exact'`` (already total) and ``'lsh'`` (banding has its own
+    >= 0.99 derivation + achievable-recall warning)."""
+    persisted = None
     if method == "auto":
-        method = choose_similarity_method(emb.count(), threshold)
+        if n is None:
+            if emb.isStreaming:
+                raise ValueError(
+                    "similar_pairs(method='auto') cannot count a streaming "
+                    "relation — pass n= (or an explicit method)"
+                )
+            if not _count_is_cheap(emb):
+                persisted = emb = emb.persist()
+            n = emb.count()
+        method = choose_similarity_method(n, threshold, recall_target)
+    if method == "ivf" and nlist is None and n is not None:
+        nlist = derive_nlist(n)  # ivf derives nprobe from it; no re-count
     if method == "exact":
-        return cosine_pairs(emb, threshold, id_col=id_col, vec_col=vec_col)
-    if method == "ivf":
-        return ivf_cosine_pairs(
+        out = cosine_pairs(emb, threshold, id_col=id_col, vec_col=vec_col)
+    elif method == "ivf":
+        out = ivf_cosine_pairs(
             emb, threshold, id_col=id_col, vec_col=vec_col,
             nlist=nlist, nprobe=nprobe, seed=seed,
+            recall_target=recall_target,
         )
-    if method == "lsh":
-        return lsh_cosine_pairs(
+    elif method == "lsh":
+        out = lsh_cosine_pairs(
             emb, threshold, id_col=id_col, vec_col=vec_col,
-            num_planes=num_planes, bands=bands, seed=seed,
+            num_planes=num_planes, bands=bands, seed=seed, n=n,
         )
-    raise ValueError(f"unknown method {method!r}")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    if persisted is not None:
+        from ..cache import release_on_gc
+
+        out = release_on_gc(out, persisted)
+    return out

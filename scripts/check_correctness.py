@@ -35,10 +35,45 @@ def canon(v):
     return str(v)
 
 
+def check_rotation() -> list[str]:
+    """Round-7 ADVICE guard: the registry rotates which 6 queries sit past
+    the driver's 50-entry correctness window.  Assert (a) the live tail
+    matches the latest ROTATION_TAILS entry and (b) no query is parked in
+    the tail two consecutive rounds — a skipped rotation round would
+    silently leave the same queries driver-unverified indefinitely."""
+    import __spark_entry__ as em
+
+    errs = []
+    names = list(em.queries())
+    tail = tuple(names[50:])
+    hist = em.ROTATION_TAILS
+    latest = max(hist)
+    if tail != hist[latest]:
+        errs.append(
+            f"registry tail {tail} != ROTATION_TAILS[{latest}] "
+            f"{hist[latest]} — append the new tail to the history"
+        )
+    for rnd in sorted(hist):
+        if rnd - 1 in hist:
+            stuck = set(hist[rnd]) & set(hist[rnd - 1])
+            if stuck:
+                errs.append(
+                    f"queries tailed two consecutive rounds "
+                    f"({rnd - 1}->{rnd}): {sorted(stuck)}"
+                )
+    return errs
+
+
 def main() -> int:
     import duckdb
 
     from melody_join_spark.session import get_spark
+
+    rot_errs = check_rotation()
+    for e in rot_errs:
+        print(f"  ROTATION: {e}")
+    if rot_errs:
+        return 2
 
     con = duckdb.connect()
     for t in TABLES:

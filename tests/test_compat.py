@@ -183,3 +183,28 @@ def test_generate_from_properties_ppm_pixel_features(spark, tmp_path):
         want = ppm_decoder(fh.read(), 27)
     # find the matching row by value (ids are path hashes here)
     assert any(np.allclose(v, want, atol=1e-12) for v in hist.values())
+
+
+def test_registry_rotation_policy():
+    """Round-7 ADVICE: the 50-entry driver window rotation must be
+    machine-checked — the live tail must match the latest ROTATION_TAILS
+    history entry and no query may be parked outside the window two
+    consecutive rounds (a skipped rotation would leave the same queries
+    driver-unverified indefinitely)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import check_correctness
+
+    assert check_correctness.check_rotation() == []
+
+    import __spark_entry__ as em
+
+    names = list(em.queries())
+    assert len(names) == len(set(names)) == 56
+    # every registered query has been INSIDE the window in at least one of
+    # the last two recorded rounds
+    hist = em.ROTATION_TAILS
+    latest = max(hist)
+    recent_tails = set(hist[latest]) & set(hist.get(latest - 1, ()))
+    assert not recent_tails

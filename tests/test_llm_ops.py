@@ -964,3 +964,128 @@ def test_jaccard_tokens_spread_guard(spark):
     toks = _jaccard_tokens(docs, "doc_id", "text", 5)
     par = spark.sparkContext.defaultParallelism
     assert toks.rdd.getNumPartitions() >= max(2, par // 2)
+
+
+def test_derive_nprobe_recall_target_properties():
+    """recall_target escalation (round-7 VERDICT next #3): monotone in the
+    target, never below the base derivation, exhaustive (nprobe=nlist) at
+    target 1.0, and the base derivation unchanged when no target is given.
+    The calibration-point prediction is pinned: at the measured anchor
+    (nlist 141, theta 0.4: base 7 at recall 0.942) a 0.99 target escalates
+    to 12 probes under the geometric miss-decay model — the measured
+    recall-vs-nprobe curve (SCALE.md round 8) validates that 12 probes
+    meets 0.99 at that operating point."""
+    from melody_join_spark.operators.similarity import derive_nprobe
+
+    assert derive_nprobe(141, 0.4) == 7                 # base unchanged
+    assert derive_nprobe(141, 0.4, None) == 7
+    assert derive_nprobe(141, 0.4, 1.0) == 141          # exhaustive
+    assert derive_nprobe(141, 0.4, 0.99) == 12          # calibration point
+    # monotone in the target, floored at the base
+    prev = 0
+    for t in (0.5, 0.9, 0.942, 0.99, 0.999, 0.9999, 1.0):
+        np_t = derive_nprobe(141, 0.4, t)
+        assert np_t >= derive_nprobe(141, 0.4)
+        assert np_t >= prev
+        prev = np_t
+    # easier thresholds escalate too (conservative: anchor miss is the
+    # hardest regime's) but never past nlist
+    assert 2 <= derive_nprobe(141, 0.95, 0.99) <= 141
+    assert derive_nprobe(8, 0.4, 0.99999) == 8          # nlist cap binds
+
+
+def test_choose_similarity_method_recall_target():
+    """recall_target >= 1.0 forces the exact plan wherever feasible (the
+    pre-round-7 dedupe_embeddings default semantics, round-7 ADVICE #2)
+    and escalates to exhaustive-probe IVF with a loud warning past the
+    exact ceiling."""
+    from melody_join_spark.operators.similarity import (
+        choose_similarity_method,
+    )
+
+    # the IVF mid-regime flips back to exact under a total-recall demand
+    assert choose_similarity_method(100_000, 0.95) == "ivf"
+    assert choose_similarity_method(100_000, 0.95, recall_target=1.0) == "exact"
+    assert choose_similarity_method(1_000_000, 0.95, recall_target=1.0) == "exact"
+    # fractional targets keep the sub-quadratic route (nprobe escalates)
+    assert choose_similarity_method(100_000, 0.95, recall_target=0.99) == "ivf"
+    # past the exact-feasible ceiling: IVF, loudly, exhaustive probing
+    with pytest.warns(UserWarning, match="EXHAUSTIVE"):
+        assert (
+            choose_similarity_method(10_000_000, 0.95, recall_target=1.0)
+            == "ivf"
+        )
+
+
+def test_count_is_cheap_plan_classifier(spark, emb):
+    """The auto dispatch's double-scan guard: metadata-class plans (bare
+    or column-pruned scans, caches, local rows) count for free; anything
+    with real upstream compute (python UDF stages, joins, aggregates,
+    filters) must be persisted before counting."""
+    from melody_join_spark.operators.similarity import _count_is_cheap
+
+    raw = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assert _count_is_cheap(raw)
+    assert _count_is_cheap(raw.select("vec_id", "embedding"))
+    assert _count_is_cheap(emb)  # module fixture: cached scan
+    # createDataFrame arrives as LogicalRDD — provenance unknown to the
+    # plan, so the guard stays conservative (persisting driver-local rows
+    # is trivial anyway)
+    local = spark.createDataFrame([(1, [0.5])], "vec_id long, embedding array<double>")
+    assert not _count_is_cheap(local)
+    assert not _count_is_cheap(raw.where(F.col("vec_id") > 10))
+    assert not _count_is_cheap(raw.join(raw.select("vec_id"), "vec_id"))
+    assert not _count_is_cheap(raw.groupBy("vec_id").count())
+
+    @F.udf("array<double>")
+    def ident(v):
+        return v
+
+    assert not _count_is_cheap(raw.select("vec_id", ident("embedding").alias("embedding")))
+
+
+def test_similar_pairs_auto_derived_relation_single_scan(spark, emb):
+    """Round-7 VERDICT next #2: method='auto' on a DERIVED (non-scan)
+    embedding relation must execute the upstream plan exactly ONCE — the
+    dispatch count persists the input first, so the chosen join reads the
+    cache instead of re-running the upstream (previously a silent double
+    scan at 100-TB scale).  An accumulator inside the upstream UDF counts
+    actual row executions."""
+    from melody_join_spark.operators.similarity import (
+        cosine_pairs,
+        similar_pairs,
+    )
+
+    n = emb.count()
+    acc = spark.sparkContext.accumulator(0)
+
+    def _tag(v):
+        acc.add(1)
+        return v
+
+    tag = F.udf(_tag, "array<float>")
+    derived = emb.select("vec_id", tag("embedding").alias("embedding"))
+    out = similar_pairs(derived, 0.25, method="auto")
+    got = {(r.rid, r.sid): r.cosine for r in out.collect()}
+    assert acc.value == n, "upstream executed more than once"
+    # and the result is still the exact plan's, bit for bit
+    exact = {(r.rid, r.sid): r.cosine for r in cosine_pairs(emb, 0.25).collect()}
+    assert got == exact
+    # n= hint skips the count entirely: no persist, same result
+    acc2 = spark.sparkContext.accumulator(0)
+
+    def _tag2(v):
+        acc2.add(1)
+        return v
+
+    tag2 = F.udf(_tag2, "array<float>")
+    derived2 = emb.select("vec_id", tag2("embedding").alias("embedding"))
+    got2 = {
+        (r.rid, r.sid): r.cosine
+        for r in similar_pairs(derived2, 0.25, method="auto", n=n).collect()
+    }
+    assert got2 == exact
+    # with n= the front door does not count or persist: the self-join's
+    # sides execute the upstream directly (how many times depends on the
+    # physical join — the caller opted out of the materialization)
+    assert acc2.value >= n
