@@ -29,11 +29,14 @@ sys.path.insert(0, "/root/repo/scripts")
 
 REPEATS = 2
 SKIP_100K = False
+ONLY_100K = False
 for a in sys.argv[1:]:
     if a.startswith("--repeats="):
         REPEATS = int(a.split("=", 1)[1])
     elif a == "--skip-100k":
         SKIP_100K = True
+    elif a == "--only-100k":
+        ONLY_100K = True
 
 SCALE_DIR = "/tmp/spark_graft_scale_pipeline"
 DIR_100K = "/tmp/spark_graft_scale_emb100k"
@@ -65,7 +68,10 @@ def main() -> None:
         spark.catalog.clearCache()
         return w, c
 
-    for thr, probes in ((0.4, (2, 7, 9, 12, 16, 24)), (0.7, (2, 4, 7, 8, 12))):
+    for thr, probes in (
+        () if ONLY_100K
+        else ((0.4, (2, 7, 9, 12, 16, 24)), (0.7, (2, 4, 7, 8, 12)))
+    ):
         base = derive_nprobe(nlist, thr)
         targets = {
             t: derive_nprobe(nlist, thr, t) for t in (0.99, 0.999)
