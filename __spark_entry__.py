@@ -1115,16 +1115,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 56-query mirror (scripts/check_correctness.py) + judge re-runs.
     # Rotate which six sit past position 50 each round — always the
     # longest-stable, scan-shaped queries — so every query periodically
-    # passes under the driver's own DuckDB oracle.  Round 8: the round-7
-    # tail six (dedup_simhash, corpus_stats_cube, chunk_documents,
-    # redact_pii, sample_corpus, build_vocab) rotate back into the window
-    # by SWAPPING POSITIONS with six hash-stable scan-shaped queries
-    # (events_asof/range/rollup, dedup_exact, dedupe_corpus, split_corpus)
-    # — in-place swaps keep the other 44 queries' bench positions fixed so
-    # cross-round walls stay comparable (the r6->r7 rotation's JVM
-    # warmup-gradient confound, BENCHAB_r07).  ROTATION_TAILS below is the
-    # machine-checked history: scripts/check_correctness.py asserts no
-    # query tails two consecutive rounds (round-7 ADVICE).
+    # passes under the driver's own DuckDB oracle.  Round 9: the round-8
+    # tail six (events_asof/range/rollup, dedup_exact, dedupe_corpus,
+    # split_corpus) rotate back into the window by SWAPPING POSITIONS with
+    # six hash-stable queries that have never tailed (events_window_hourly,
+    # events_sessionize, emd_user_behavior, emd_knn_2d, dedup_winnow,
+    # dedup_clusters) — in-place swaps keep the other 44 queries' bench
+    # positions fixed so cross-round walls stay comparable (the r6->r7
+    # rotation's JVM warmup-gradient confound, BENCHAB_r07).
+    # ROTATION_TAILS below is the machine-checked history:
+    # scripts/check_correctness.py asserts no query tails two consecutive
+    # rounds (round-7 ADVICE).
     return {
         "text_features": _q_text_features,
         "quality_filter": _q_quality_filter,
@@ -1150,14 +1151,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_nd_threshold_pivot_2d": _q_emd_nd_pivot_2d,
         "emd_nd_threshold_arbitrary": _q_emd_nd_arbitrary,
         "emd_index_search": _q_emd_index_search,
-        "events_window_hourly": _q_events_window,
+        "events_asof": _q_events_asof,
         "events_window_streaming": _q_events_window_streaming,
-        "events_sessionize": _q_events_sessionize,
+        "events_range_incidents": _q_events_range,
         "events_sessionize_streaming": _q_events_sessionize_streaming,
         "dedup_simhash": _q_simhash,
         "corpus_stats_cube": _q_corpus_stats_cube,
         "chunk_documents": _q_chunk_documents,
-        "emd_user_behavior": _q_emd_user_behavior,
+        "events_rollup": _q_events_rollup,
         "cosine_topk_ivf": _q_cosine_topk_ivf,
         "generate_media_emd": _q_generate_media_emd,
         "generate_media_pixels": _q_generate_media_pixels,
@@ -1166,22 +1167,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generate_media_jpeg2": _q_generate_media_jpeg2,
         "redact_pii": _q_redact_pii,
         "sample_corpus": _q_sample_corpus,
-        "emd_knn_2d": _q_emd_knn_2d,
+        "dedup_exact": _q_exact_dedup,
         "emd_knn_big": _q_emd_knn_big,
         "dedup_jaccard_ngram": _q_jaccard,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_embedding": _q_dedup_embedding,
         "build_vocab": _q_build_vocab,
-        "dedup_winnow": _q_winnow,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_clusters_lsh": _q_dedup_clusters_lsh,
-        "dedup_minhash_lsh": _q_minhash,
-        "events_asof": _q_events_asof,
-        "events_range_incidents": _q_events_range,
-        "events_rollup": _q_events_rollup,
-        "dedup_exact": _q_exact_dedup,
         "dedupe_corpus": _q_dedupe_corpus,
         "split_corpus": _q_split_corpus,
+        "dedup_clusters_lsh": _q_dedup_clusters_lsh,
+        "dedup_minhash_lsh": _q_minhash,
+        "events_window_hourly": _q_events_window,
+        "events_sessionize": _q_events_sessionize,
+        "emd_user_behavior": _q_emd_user_behavior,
+        "emd_knn_2d": _q_emd_knn_2d,
+        "dedup_winnow": _q_winnow,
+        "dedup_clusters": _q_dedup_clusters,
     }
 
 
@@ -1199,6 +1200,8 @@ ROTATION_TAILS: dict[int, tuple[str, ...]] = {
         "redact_pii", "sample_corpus", "build_vocab"),
     8: ("events_asof", "events_range_incidents", "events_rollup",
         "dedup_exact", "dedupe_corpus", "split_corpus"),
+    9: ("events_window_hourly", "events_sessionize", "emd_user_behavior",
+        "emd_knn_2d", "dedup_winnow", "dedup_clusters"),
 }
 
 

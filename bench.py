@@ -6,8 +6,11 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 
 Bench hygiene (round-2 VERDICT item 7): this host shows 10x CPU swings from
 noisy neighbors, so single-shot wall-clock is not evidence.  The harness
-runs the whole query list $SPARK_GRAFT_BENCH_RUNS times (default 3,
-interleaved at the run level), reports each query's MIN across runs as the
+runs the whole query list until $SPARK_GRAFT_BENCH_RUNS runs with whole-run
+steal <= $SPARK_GRAFT_BENCH_STEAL_MAX (default 3 clean runs at <=0.5% —
+contended runs don't count toward the target but still feed the min), up to
+2*n+2 total runs or $SPARK_GRAFT_BENCH_BUDGET seconds (default 3000, a
+runaway backstop).  Reports each query's MIN across all runs as the
 headline number (the least-contended observation), and carries the per-run
 arrays plus per-run host busy/steal so regressions can be called on
 min-of-n with the contention context attached.
@@ -60,14 +63,29 @@ def main() -> None:
     # tables become interpretable without re-running
     query_busy: dict[str, list[float]] = {name: [] for name in qs}
     query_t0: dict[str, list[float]] = {name: [] for name in qs}
-    # degrade gracefully on a pathologically contended host: finish the
-    # current full run, then stop if the budget is spent (min-of-n still
-    # holds over however many runs completed)
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1000"))
+    # Contention-aware stopping (round-8 VERDICT next #1): the old fixed
+    # 1000-s budget truncated a contended round to min-of-2, defeating the
+    # exact defense min-of-n exists for.  Now a run only counts as CLEAN
+    # when its whole-run steal is at or below $SPARK_GRAFT_BENCH_STEAL_MAX
+    # (default 0.5% — quiet rounds measure 0.05-0.15%, the contaminated r8
+    # host 1.7-2.5%), and the harness keeps running until it has n_runs
+    # clean runs, up to a hard cap of 2*n_runs+2 total runs or the budget
+    # (default raised to 3000 s ~ 6x a quiet full pass, so the budget is a
+    # runaway backstop, not the binding constraint).  Contended runs still
+    # feed min-of-n — contention only ever inflates walls, so extra
+    # observations can't corrupt the min — they just don't satisfy the
+    # stopping rule.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "3000"))
+    steal_max = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "0.5"))
+    max_runs = 2 * n_runs + 2
+    clean_runs = 0
     t_start = time.time()
-    for r in range(n_runs):
+    for r in range(max_runs):
+        if clean_runs >= n_runs:
+            break
         if r > 0 and time.time() - t_start > budget:
-            print(f"# bench budget spent after {r} runs", file=sys.stderr)
+            print(f"# bench budget spent after {r} runs "
+                  f"({clean_runs} clean)", file=sys.stderr)
             break
         stat0 = _cpu_stat()
         for name, fn in qs.items():
@@ -98,6 +116,12 @@ def main() -> None:
         steal, busy = _pcts(stat0, _cpu_stat())
         busy_per_run.append(busy)
         steal_per_run.append(steal)
+        if steal is None or steal <= steal_max:
+            clean_runs += 1
+        else:
+            print(f"# run{r} contended (steal {steal}% > {steal_max}%): "
+                  "does not count toward the clean-run target",
+                  file=sys.stderr, flush=True)
 
     timings = {name: min(ts) for name, ts in runs.items() if ts}
     total = round(sum(timings.values()), 3)
@@ -116,6 +140,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_runs": len(busy_per_run),
+                "clean_runs": clean_runs,
+                "steal_max_pct": steal_max,
                 "runs": runs,
                 "query_host_busy": query_busy,
                 "query_t_start": query_t0,
@@ -134,6 +160,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_runs": len(busy_per_run),
+                "clean_runs": clean_runs,
+                "steal_max_pct": steal_max,
                 "host_busy_per_run": busy_per_run,
                 "host_steal_per_run": steal_per_run,
                 # 4 decimals: sub-second A/B ratios computed from the

@@ -73,16 +73,50 @@ def _sides(emb: DataFrame, id_col: str, vec_col: str) -> tuple[DataFrame, DataFr
     return a, b
 
 
+# Pair evaluations one exact cross-join task should hold: ~2e6 dim<=64 dot
+# products keeps a task in the tens-of-ms band (measured: sf0.1's 6.4k
+# vectors = 2.0e7 pairs over 32 tasks ~ 1 s total), small enough for AQE /
+# speculation to absorb stragglers without per-task overhead dominating.
+_CROSS_PAIRS_PER_TASK = 2_000_000
+# ... but never more than this many task WAVES per core: past the point
+# where every core has 8 tasks queued, extra splits only add scheduler and
+# Arrow-batch overhead (the skew-resilience payoff has flattened).
+_CROSS_MAX_WAVES = 8
+
+
+def _cross_width(spark, n: int | None = None) -> int:
+    """Task width for the exact all-pairs cross join — derived, never
+    hard-coded (round-8 VERDICT next #5: a literal 32 was a cluster-wide
+    parallelism ceiling once ``recall_target>=1.0`` started routing up to
+    10^6 vectors here).  Floor = ``defaultParallelism`` (every core gets
+    work on any cluster size); when the caller knows N, widen toward one
+    task per ``_CROSS_PAIRS_PER_TASK`` pair evaluations, capped at
+    ``_CROSS_MAX_WAVES`` waves so a 10^6-vector exact join becomes many
+    bounded tasks instead of 32 monsters — on local[32] every driver/bench
+    shape (N <= ~11k) resolves to exactly the old width of 32, so walls
+    and hashes are unchanged where it was already right."""
+    dp = int(spark.sparkContext.defaultParallelism)
+    if n is None:
+        return dp
+    need = -(-(n * n // 2) // _CROSS_PAIRS_PER_TASK)
+    return int(min(max(dp, need), _CROSS_MAX_WAVES * dp))
+
+
 def cosine_pairs(
     emb: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine >= threshold -> (rid, sid, cosine).  Brute-force
-    cross join — the correctness oracle for the LSH variant."""
+    cross join — the correctness oracle for the LSH variant.  ``n`` (row
+    count, when the caller already knows it — :func:`similar_pairs` passes
+    its dispatch count through) sizes the task width via
+    :func:`_cross_width`; results never depend on it."""
     a, b = _sides(emb, id_col, vec_col)
-    pairs = a.repartition(32).crossJoin(b).where(F.col("rid") < F.col("sid"))
+    width = _cross_width(emb.sparkSession, n)
+    pairs = a.repartition(width).crossJoin(b).where(F.col("rid") < F.col("sid"))
     return pairs.select("rid", "sid", cosine_expr().alias("cosine")).where(
         F.col("cosine") >= threshold
     )
@@ -1300,7 +1334,7 @@ def similar_pairs(
     if method == "ivf" and nlist is None and n is not None:
         nlist = derive_nlist(n)  # ivf derives nprobe from it; no re-count
     if method == "exact":
-        out = cosine_pairs(emb, threshold, id_col=id_col, vec_col=vec_col)
+        out = cosine_pairs(emb, threshold, id_col=id_col, vec_col=vec_col, n=n)
     elif method == "ivf":
         out = ivf_cosine_pairs(
             emb, threshold, id_col=id_col, vec_col=vec_col,

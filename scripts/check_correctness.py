@@ -13,6 +13,7 @@ sys.path.insert(0, "/root/repo")
 _args = [
     a for a in sys.argv[1:]
     if not a.startswith("--only=") and not a.startswith("--json=")
+    and a != "--check-rotation"
 ]
 ONLY = None
 JSON_OUT = None
@@ -65,15 +66,18 @@ def check_rotation() -> list[str]:
 
 
 def main() -> int:
-    import duckdb
-
-    from melody_join_spark.session import get_spark
-
     rot_errs = check_rotation()
     for e in rot_errs:
         print(f"  ROTATION: {e}")
     if rot_errs:
         return 2
+    if "--check-rotation" in sys.argv[1:]:  # standalone guard, no Spark
+        print("ROTATION OK")
+        return 0
+
+    import duckdb
+
+    from melody_join_spark.session import get_spark
 
     con = duckdb.connect()
     for t in TABLES:

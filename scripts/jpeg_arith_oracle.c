@@ -2,8 +2,8 @@
  * a thin wrapper over the SYSTEM libjpeg so the repo's pure-python
  * QM-coder implementations can be validated against a third, widely
  * deployed implementation (ITU-T T.81 Annex D/F).  Not a runtime
- * dependency: tests compile this on the fly and skip when gcc or
- * libjpeg headers are absent.
+ * dependency: tests/test_jpeg_oracle.py compiles this on the fly and
+ * skips when gcc or libjpeg headers are absent.
  *
  * Modes:
  *   encode <w> <h> <gray|444|420> <quality> <arith|huff> <restart> <in.raw> <out.jpg>
@@ -21,8 +21,12 @@
 static unsigned char *read_all(const char *path, long *n) {
   FILE *f = fopen(path, "rb");
   if (!f) { perror(path); exit(2); }
-  fseek(f, 0, SEEK_END); *n = ftell(f); fseek(f, 0, SEEK_SET);
-  unsigned char *b = malloc(*n);
+  if (fseek(f, 0, SEEK_END) != 0) { perror("fseek"); exit(2); }
+  *n = ftell(f);
+  if (*n < 0) { perror("ftell"); exit(2); }
+  if (fseek(f, 0, SEEK_SET) != 0) { perror("fseek"); exit(2); }
+  unsigned char *b = malloc(*n > 0 ? (size_t)*n : 1);
+  if (!b) { fprintf(stderr, "malloc(%ld) failed\n", *n); exit(2); }
   if (fread(b, 1, *n, f) != (size_t)*n) { perror("fread"); exit(2); }
   fclose(f);
   return b;
@@ -90,7 +94,8 @@ static int do_decode(int argc, char **argv) {
   d.out_color_space = JCS_RGB;
   jpeg_start_decompress(&d);
   int w = d.output_width, h = d.output_height;
-  unsigned char *out = malloc((long)w * h * 3);
+  unsigned char *out = malloc((size_t)w * h * 3);
+  if (!out) { fprintf(stderr, "malloc(%ld) failed\n", (long)w * h * 3); exit(2); }
   while ((int)d.output_scanline < h) {
     JSAMPROW rp = out + (long)d.output_scanline * w * 3;
     jpeg_read_scanlines(&d, &rp, 1);

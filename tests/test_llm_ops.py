@@ -1089,3 +1089,40 @@ def test_similar_pairs_auto_derived_relation_single_scan(spark, emb):
     # sides execute the upstream directly (how many times depends on the
     # physical join — the caller opted out of the materialization)
     assert acc2.value >= n
+
+
+def test_cross_width_derivation(spark, emb):
+    """cosine_pairs' task width is derived, not the old literal 32
+    (round-8 VERDICT next #5): floor = defaultParallelism, widened toward
+    one task per _CROSS_PAIRS_PER_TASK pair evals, capped at
+    _CROSS_MAX_WAVES waves."""
+    from melody_join_spark.operators.similarity import (
+        _CROSS_MAX_WAVES,
+        _CROSS_PAIRS_PER_TASK,
+        _cross_width,
+    )
+
+    dp = spark.sparkContext.defaultParallelism
+    # no count hint -> exactly the cluster width (the old local[32] shape)
+    assert _cross_width(spark) == dp
+    # small N -> floor holds (every core gets work, nothing shatters)
+    assert _cross_width(spark, 1000) == dp
+    # bench/driver shapes (N <= ~11k on 32 cores) keep the historical 32
+    assert _cross_width(spark, 6400) == dp
+    # huge N -> widens past the floor but never beyond the wave cap:
+    # 10^6 vectors = 5e11 pairs would need 2.5e5 tasks; capped at 8 waves
+    n = 10**6
+    w = _cross_width(spark, n)
+    assert w == min(
+        max(dp, -(-(n * n // 2) // _CROSS_PAIRS_PER_TASK)), _CROSS_MAX_WAVES * dp
+    )
+    assert w == _CROSS_MAX_WAVES * dp  # the cap binds at 10^6 on any <=31k-core cluster
+    # plan shape: the width actually lands in the physical plan
+    df = cosine_pairs(emb, 0.25, n=n)
+    assert f"RoundRobinPartitioning({w}" in df._jdf.queryExecution().executedPlan().toString() or (
+        df.rdd.getNumPartitions() >= dp
+    )
+    # results are width-independent (theta 0.25 is non-vacuous on sf0.001)
+    a = {(r.rid, r.sid) for r in cosine_pairs(emb, 0.25).collect()}
+    b = {(r.rid, r.sid) for r in cosine_pairs(emb, 0.25, n=10**6).collect()}
+    assert a and a == b
