@@ -526,6 +526,42 @@ def _q_generate_media_jpeg2(spark, sf_dir):
     return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
 
 
+MEDIA_JPEG_ARITH_DIR = "/root/repo/fixtures/media/jpeg_arith"
+MEDIA_JPEG_ARITH_THETA = 1.0  # RGB-cube lattice units; 35 fixture pairs pass
+
+
+def _q_generate_media_jpeg_arith(spark, sf_dir):
+    """ARITHMETIC-coded-JPEG Generate->Join (round-8 VERDICT next #7, the
+    last S6 codec sliver): the committed SOF9 corpus — grayscale / 4:4:4 /
+    4:2:0, four quality levels, restart intervals, and non-default DAC Kx
+    conditioning on some images — is decoded by the pure-python QM-coder
+    path (multimodal._jpeg_decode_arith: T.81 Annex D interval decoder
+    with the Table D.3 state machine, F.2.2 DC/AC conditioning contexts,
+    RSTn re-initialization), then the same 3x3x3 RGB-cube quantization +
+    exact d=3 EMD join as the other media gates.  Oracle: all-pairs
+    fixture over the EXPECTED DECODE, computed from the coefficients of an
+    INDEPENDENT pure-python QM ENCODER (its own carry/stuffing byte
+    pipeline, scripts/make_jpeg_fixtures.py) + the scalar-loop IDCT with
+    the knife-edge rounding guard; the same bytes are also cross-decoded
+    by the system libjpeg in tests/test_jpeg_oracle.py (three-way
+    agreement; utils/GenerateUtil.java:44-60's Lire role, codec-free)."""
+    from melody_join_spark.operators.multimodal import (
+        jpeg_decoder,
+        ppm_bin_points,
+        read_binary_dir,
+    )
+
+    media = read_binary_dir(spark, MEDIA_JPEG_ARITH_DIR).withColumn(
+        "media_id",
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.jpg", 1).cast("long"),
+    )
+    hist = generate_histograms(spark, media=media, bins=27, decoder=jpeg_decoder)
+    res = emd_join_nd(
+        hist, ppm_bin_points(27), MEDIA_JPEG_ARITH_THETA, strategy="grid"
+    )
+    return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
+
+
 USER_THETA = 1.0  # behavior-histogram EMD threshold (value-bucket units)
 
 
@@ -1156,7 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_incidents": _q_events_range,
         "events_sessionize_streaming": _q_events_sessionize_streaming,
         "dedup_simhash": _q_simhash,
-        "corpus_stats_cube": _q_corpus_stats_cube,
+        "generate_media_jpeg_arith": _q_generate_media_jpeg_arith,
         "chunk_documents": _q_chunk_documents,
         "events_rollup": _q_events_rollup,
         "cosine_topk_ivf": _q_cosine_topk_ivf,
@@ -1183,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_knn_2d": _q_emd_knn_2d,
         "dedup_winnow": _q_winnow,
         "dedup_clusters": _q_dedup_clusters,
+        "corpus_stats_cube": _q_corpus_stats_cube,
     }
 
 
@@ -1200,8 +1237,12 @@ ROTATION_TAILS: dict[int, tuple[str, ...]] = {
         "redact_pii", "sample_corpus", "build_vocab"),
     8: ("events_asof", "events_range_incidents", "events_rollup",
         "dedup_exact", "dedupe_corpus", "split_corpus"),
+    # round 9 grew the registry to 57 (generate_media_jpeg_arith enters the
+    # driver window in corpus_stats_cube's old slot so the NEW decoder gets
+    # driver-hash-gated immediately; corpus_stats_cube — tailed r7, so not
+    # consecutive — joins the tail, now 7 entries)
     9: ("events_window_hourly", "events_sessionize", "emd_user_behavior",
-        "emd_knn_2d", "dedup_winnow", "dedup_clusters"),
+        "emd_knn_2d", "dedup_winnow", "dedup_clusters", "corpus_stats_cube"),
 }
 
 
@@ -1593,6 +1634,10 @@ WHERE emd <= {MEDIA_JPEG_THETA} + 1e-4 ORDER BY rid, sid""",
 SELECT rid, sid, round(emd, 6) + 0 AS emd
 FROM read_parquet('/root/repo/fixtures/media_jpeg2_pairs.parquet')
 WHERE emd <= {MEDIA_JPEG2_THETA} + 1e-4 ORDER BY rid, sid""",
+        "generate_media_jpeg_arith": f"""
+SELECT rid, sid, round(emd, 6) + 0 AS emd
+FROM read_parquet('/root/repo/fixtures/media_jpeg_arith_pairs.parquet')
+WHERE emd <= {MEDIA_JPEG_ARITH_THETA} + 1e-4 ORDER BY rid, sid""",
         "text_features": text_features_oracle_sql(),
         "quality_filter": f"""
 WITH qf AS ({quality_filter_oracle_sql()})

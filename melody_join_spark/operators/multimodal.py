@@ -53,6 +53,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ._qm_table import QM_TABLE as _QM_TABLE
+
 __all__ = [
     "MEDIA_SCHEMA",
     "UnsupportedMediaFormatError",
@@ -471,12 +473,14 @@ def jpeg_decoder(content: bytes, bins: int) -> np.ndarray:
             break
         if m == 0xC2:  # SOF2: huffman progressive — separate multi-scan path
             return _jpeg_decode_progressive(d, bins)
-        if m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        if m == 0xC9:  # SOF9: sequential arithmetic — QM-coder path
+            return _jpeg_decode_arith(d, bins)
+        if m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                  0xCD, 0xCE, 0xCF):
             raise UnsupportedMediaFormatError(
                 f"unsupported JPEG frame type 0xFF{m:02X} (extended/"
-                "lossless/arithmetic); only huffman SOF0/SOF2 decode "
-                "codec-free"
+                "lossless/progressive-arithmetic); huffman SOF0/SOF2 and "
+                "arithmetic SOF9 decode codec-free"
             )
         ln = int.from_bytes(d[i:i + 2], "big")
         seg = d[i + 2:i + ln]
@@ -958,6 +962,362 @@ def _jpeg_progressive_scan(
             return p
         p += 1
     return len(d)
+
+
+class _QMDecoder:
+    """ITU-T T.81 Annex D arithmetic (QM-coder) DECODER — pure python, no
+    codec library.  Registers per the standard: A is the current interval
+    (renormalized into [0x8000, 0x10000)), ``cx`` the 16-bit code window
+    compared against Qe, with code bits shifted in one at a time during
+    renormalization.  Probability estimation rides the standard's Table
+    D.3 state machine (:mod:`._qm_table`): each context is one byte —
+    MPS sense in bit 7, state index in bits 0-6 — and conditional
+    MPS/LPS exchange applies when the Qe subinterval exceeds the MPS
+    subinterval.  Byte feed follows F.2.2.5: 0xFF 0x00 is a stuffed
+    literal 0xFF; 0xFF + anything else is a marker, after which zero bits
+    feed forever (markers inside entropy data are legal in arithmetic
+    coding — that is how segments meet their RSTn)."""
+
+    __slots__ = ("_d", "_p", "_marker", "_marker_pos", "_byte", "_nbits",
+                 "a", "cx", "_fixed")
+
+    def __init__(self, data: bytes, pos: int):
+        self._d = data
+        self._p = pos
+        self._marker: int | None = None
+        self._marker_pos = len(data)
+        self._byte = 0
+        self._nbits = 0
+        self.a = 0x10000
+        self.cx = (self._next_byte() << 8) | self._next_byte()
+        self._fixed = bytearray((113,))  # non-adapting equiprobable state
+
+    def _next_byte(self) -> int:
+        if self._marker is not None:
+            return 0
+        d, p = self._d, self._p
+        if p >= len(d):
+            self._marker = 0xD9  # ran off the end: treat as EOI
+            self._marker_pos = len(d)
+            return 0
+        b = d[p]
+        if b != 0xFF:
+            self._p = p + 1
+            return b
+        q = p + 1
+        while q < len(d) and d[q] == 0xFF:
+            q += 1  # fill bytes
+        if q < len(d) and d[q] == 0x00:
+            self._p = q + 1
+            return 0xFF  # stuffed data byte
+        self._marker = d[q] if q < len(d) else 0xD9
+        self._marker_pos = q + 1 if q < len(d) else len(d)
+        return 0
+
+    def decode(self, stats: bytearray, i: int) -> int:
+        """Decode one binary decision in context ``stats[i]`` (D.2.2).
+        The MPS subinterval sits at the BOTTOM ([0, A-Qe)) and the Qe/LPS
+        subinterval at the TOP ([A-Qe, A)), so the code is compared
+        against A-Qe and the bottom size is subtracted on a top hit;
+        conditional exchange swaps the symbol senses whenever the Qe
+        subinterval is the larger one (Qe > A-Qe)."""
+        s = stats[i]
+        mps = s >> 7
+        qe, nmps, nlps, sw = _QM_TABLE[s & 0x7F]
+        a = self.a - qe
+        cx = self.cx
+        if cx >= a:
+            # code point in the top (Qe-sized) subinterval
+            cx -= a
+            if a < qe:  # conditional exchange: the top codes the MPS here
+                d = mps
+                stats[i] = (mps << 7) | nmps
+            else:
+                d = mps ^ 1
+                stats[i] = ((mps ^ sw) << 7) | nlps
+            a = qe
+        else:
+            if a & 0x8000:
+                self.a, self.cx = a, cx
+                return mps  # no renormalization, no estimation update
+            if a < qe:  # conditional exchange: the bottom codes the LPS
+                d = mps ^ 1
+                stats[i] = ((mps ^ sw) << 7) | nlps
+            else:
+                d = mps
+                stats[i] = (mps << 7) | nmps
+        nbits, byte = self._nbits, self._byte
+        while a < 0x8000:
+            if nbits == 0:
+                byte = self._next_byte()
+                nbits = 8
+            nbits -= 1
+            a <<= 1
+            cx = (cx << 1) | ((byte >> nbits) & 1)
+        self.a, self.cx, self._nbits, self._byte = a, cx, nbits, byte
+        return d
+
+    def decode_fixed(self) -> int:
+        """Sign decision: the fixed 0.5-probability state (never adapts)."""
+        return self.decode(self._fixed, 0)
+
+    def resume_pos(self) -> int:
+        """Byte offset just past the marker that ended this segment; scans
+        forward when the feeder has not reached it yet (unconsumed bytes
+        cannot hide a marker: in-segment 0xFF is always followed by 0x00)."""
+        if self._marker is not None:
+            return self._marker_pos
+        d, p = self._d, self._p
+        while p + 1 < len(d):
+            if d[p] == 0xFF and d[p + 1] != 0x00:
+                return p + 2
+            p += 1
+        return len(d)
+
+
+def _qm_decode_dc(
+    dec: _QMDecoder, stats: bytearray, ctx: int, lo: int, hi: int
+) -> tuple[int, int]:
+    """One DC difference (T.81 F.2.2.1) -> (diff, next context index).
+    ``ctx`` is this component's conditioning context (0/4/8/12/16 from the
+    previous diff's classification); ``lo``/``hi`` the DAC L/U bounds
+    already mapped to (1 << L) >> 1 and (1 << U) >> 1."""
+    if dec.decode(stats, ctx) == 0:
+        return 0, 0
+    sign = dec.decode(stats, ctx + 1)
+    m = 0
+    pos = ctx + 2 + sign
+    if dec.decode(stats, pos):
+        m = 1
+        pos = 20  # X1 (Table F.4)
+        while dec.decode(stats, pos):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arithmetic JPEG DC magnitude overflow")
+            pos += 1
+    # conditioning category of THIS diff, consumed by the next block
+    if m < lo:
+        nctx = 0
+    elif m > hi:
+        nctx = 12 + 4 * sign
+    else:
+        nctx = 4 + 4 * sign
+    v = m
+    pos += 14  # the matching M bin
+    mm = m >> 1
+    while mm:
+        if dec.decode(stats, pos):
+            v |= mm
+        mm >>= 1
+    v += 1
+    return (-v if sign else v), nctx
+
+
+def _qm_decode_ac(
+    dec: _QMDecoder, stats: bytearray, kx: int, coef_zz: np.ndarray
+) -> None:
+    """One block's AC coefficients (T.81 F.2.2.2) into ``coef_zz[1:]``.
+    Three bins per zigzag index k: EOB at 3(k-1), significance at +1,
+    first/second magnitude decisions share +2; magnitude-category chains
+    live at 189 (k <= Kx) / 217 (k > Kx) with mantissa bins 14 above;
+    signs use the fixed equiprobable state."""
+    k = 1
+    while k <= 63:
+        st = 3 * (k - 1)
+        if dec.decode(stats, st):
+            return  # EOB
+        while dec.decode(stats, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > 63:
+                raise ValueError("arithmetic JPEG AC run overflow")
+        sign = dec.decode_fixed()
+        m = 0
+        pos = st + 2
+        if dec.decode(stats, pos):
+            m = 1
+            if dec.decode(stats, pos):
+                m = 2
+                pos = 189 if k <= kx else 217
+                while dec.decode(stats, pos):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError(
+                            "arithmetic JPEG AC magnitude overflow"
+                        )
+                    pos += 1
+        v = m
+        pos += 14
+        mm = m >> 1
+        while mm:
+            if dec.decode(stats, pos):
+                v |= mm
+            mm >>= 1
+        v += 1
+        coef_zz[k] = -v if sign else v
+        k += 1
+
+
+def _jpeg_decode_arith(d: bytes, bins: int) -> np.ndarray:
+    """Sequential ARITHMETIC-coded JPEG (SOF9) decode — pure python/numpy,
+    the QM-coder sibling of the baseline path (round-8 VERDICT next #7,
+    the last S6 codec sliver; utils/GenerateUtil.java:44-60 needed Lire
+    for any of these).  Marker walk mirrors the baseline decoder, with
+    DAC (0xCC) conditioning segments replacing DHT: per-table DC bounds
+    (L, U — default 0, 1) classify the previous diff into one of five
+    contexts, and the AC Kx (default 5) splits the low/high-frequency
+    magnitude conditioning areas.  Entropy decode is :class:`_QMDecoder`
+    + the F.2.2 DC/AC procedures; statistics areas are 64 bytes per DC
+    table and 256 per AC table, zeroed at scan start and at every RSTn
+    (which also re-initializes the decoder registers and DC predictions,
+    per D.2.8).  Dequantize/IDCT/upsample/histogram share the baseline
+    reconstruction tail.  Validated against the system libjpeg through
+    the dev-time oracle (tests/test_jpeg_oracle.py): gray/444/420,
+    quality sweep, restart intervals."""
+    qt: dict[int, np.ndarray] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}  # tbl -> (L, U)
+    ac_cond: dict[int, int] = {}  # tbl -> Kx
+    frame = None
+    restart_interval = 0
+    scan_pos = None
+    scan_comps = None
+    i = 2
+    while i < len(d):
+        if d[i] != 0xFF:
+            raise ValueError("corrupt JPEG marker stream")
+        while i < len(d) and d[i] == 0xFF:
+            i += 1
+        m = d[i]
+        i += 1
+        if m == 0xD9:
+            break
+        ln = int.from_bytes(d[i:i + 2], "big")
+        seg = d[i + 2:i + ln]
+        if m == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq == 0:
+                    tab = np.frombuffer(seg, np.uint8, 64, p).astype(np.int64)
+                    p += 64
+                else:
+                    tab = np.frombuffer(seg, ">u2", 64, p).astype(np.int64)
+                    p += 128
+                qt[tq] = tab
+        elif m == 0xCC:  # DAC: arithmetic conditioning
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 15
+                cs = seg[p + 1]
+                p += 2
+                if tc == 0:
+                    dc_cond[tb] = (cs & 15, cs >> 4)
+                else:
+                    ac_cond[tb] = cs
+        elif m == 0xC9:  # SOF9: sequential DCT, arithmetic coding
+            prec = seg[0]
+            if prec != 8:
+                raise UnsupportedMediaFormatError(
+                    f"unsupported JPEG sample precision {prec}"
+                )
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise UnsupportedMediaFormatError(
+                    f"unsupported JPEG component count {nc}"
+                )
+            comps = []
+            for c in range(nc):
+                cid, hv, tq_id = seg[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq_id))
+            if h == 0 or w == 0:
+                raise ValueError("corrupt JPEG dimensions")
+            frame = (h, w, comps)
+        elif m == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            if frame is not None and ns != len(frame[2]):
+                raise UnsupportedMediaFormatError(
+                    f"non-interleaved arithmetic JPEG scan ({ns} of "
+                    f"{len(frame[2])} frame components in SOS)"
+                )
+            scan_comps = []
+            for c in range(ns):
+                cid, tdta = seg[1 + 2 * c:3 + 2 * c]
+                scan_comps.append((cid, tdta >> 4, tdta & 15))
+            scan_pos = i + ln
+            break
+        i += ln
+    if frame is None or scan_pos is None:
+        raise ValueError("JPEG missing SOF9/SOS")
+    h, w, comps = frame
+    by_cid = {cid: (hs, vs, tq_id) for cid, hs, vs, tq_id in comps}
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    A = _jpeg_idct_basis()
+    planes: dict[int, np.ndarray] = {}
+    for cid, hs, vs, _ in comps:
+        planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8))
+
+    def fresh_stats() -> tuple[dict, dict]:
+        return (
+            {td: bytearray(64) for _, td, _ in scan_comps},
+            {ta: bytearray(256) for _, _, ta in scan_comps},
+        )
+
+    dc_stats, ac_stats = fresh_stats()
+    dc_bounds = {
+        td: dc_cond.get(td, (0, 1)) for _, td, _ in scan_comps
+    }
+    dc_lohi = {
+        td: ((1 << lo) >> 1, (1 << hi) >> 1)
+        for td, (lo, hi) in dc_bounds.items()
+    }
+    ac_kx = {ta: ac_cond.get(ta, 5) for _, _, ta in scan_comps}
+    dec = _QMDecoder(d, scan_pos)
+    dc_last = {cid: 0 for cid, _, _, _ in comps}
+    dc_ctx = {cid: 0 for cid, _, _, _ in comps}
+    zz = _JPEG_ZIGZAG
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                # D.2.8: RSTn re-initializes the decoder, statistics and
+                # DC predictions/contexts
+                dec = _QMDecoder(d, dec.resume_pos())
+                dc_stats, ac_stats = fresh_stats()
+                dc_last = {cid: 0 for cid, _, _, _ in comps}
+                dc_ctx = {cid: 0 for cid, _, _, _ in comps}
+            mcu_count += 1
+            for cid, td, ta in scan_comps:
+                hs, vs, tq_id = by_cid[cid]
+                q = qt[tq_id]
+                lo, hi = dc_lohi[td]
+                for byy in range(vs):
+                    for bxx in range(hs):
+                        coef_zz = np.zeros(64, dtype=np.int64)
+                        diff, nctx = _qm_decode_dc(
+                            dec, dc_stats[td], dc_ctx[cid], lo, hi
+                        )
+                        dc_ctx[cid] = nctx
+                        dc_last[cid] += diff
+                        coef_zz[0] = dc_last[cid]
+                        _qm_decode_ac(dec, ac_stats[ta], ac_kx[ta], coef_zz)
+                        blk = np.zeros(64)
+                        blk[zz] = (coef_zz * q).astype(np.float64)
+                        px = A.T @ blk.reshape(8, 8) @ A + 128.0
+                        y0 = (my * vs + byy) * 8
+                        x0 = (mx * hs + bxx) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = px
+    return _jpeg_planes_to_hist(planes, comps, hmax, vmax, h, w, bins)
 
 
 def wav_pcm_decoder(content: bytes, bins: int) -> np.ndarray:

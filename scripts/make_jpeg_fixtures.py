@@ -503,6 +503,49 @@ def main() -> None:
     frac2 = np.abs((e2 * 1e6) % 1 - 0.5)
     print("  min |frac-0.5| at 6dp:", frac2.min())
 
+    # --- arithmetic corpus (round-9): same contract, SOF9 QM coding ---
+    jpeg3_dir = os.path.join(_FIXDIR, "media", "jpeg_arith")
+    out_pairs3 = os.path.join(_FIXDIR, "media_jpeg_arith_pairs.parquet")
+    os.makedirs(jpeg3_dir, exist_ok=True)
+    n3 = 24
+    hists3 = []
+    for i in range(n3):
+        img = synth_rgb(rng)  # rng continues after the progressive corpus
+        mode = ["444", "420", "gray"][i % 3]
+        quality = [75, 90, 60, 85][i % 4]
+        rst = [0, 0, 3, 0, 2][i % 5]
+        kx = [5, 5, 5, 3, 8][i % 5]  # non-default Kx exercises DAC parsing
+        data, exp = encode_jpeg_arith(img, mode, quality, restart=rst, kx=kx)
+        with open(os.path.join(jpeg3_dir, f"img_{i:03d}.jpg"), "wb") as f:
+            f.write(data)
+        rgb = [tuple(int(v) for v in exp[y, x])
+               for y in range(exp.shape[0]) for x in range(exp.shape[1])]
+        hists3.append(hist27(rgb))
+    W3 = np.array(hists3)
+    rid3, sid3, emd3 = [], [], []
+    for i in range(n3):
+        for j in range(i + 1, n3):
+            rid3.append(i)
+            sid3.append(j)
+            emd3.append(ssp_emd(W3[i], W3[j], C))
+    pq.write_table(
+        pa.table(
+            {
+                "rid": pa.array(rid3, type=pa.int64()),
+                "sid": pa.array(sid3, type=pa.int64()),
+                "emd": pa.array(emd3, type=pa.float64()),
+            }
+        ),
+        out_pairs3,
+    )
+    e3 = np.array(emd3)
+    print(f"wrote {out_pairs3}: {len(e3)} pairs, range "
+          f"[{e3.min():.4f}, {e3.max():.4f}]")
+    for th in (0.3, 0.5, 0.7, 1.0, 1.3):
+        print(f"  pairs <= {th}+1e-4: {(e3 <= th + 1e-4).sum()}")
+    frac3 = np.abs((e3 * 1e6) % 1 - 0.5)
+    print("  min |frac-0.5| at 6dp:", frac3.min())
+
 
 
 
@@ -872,6 +915,391 @@ def encode_jpeg_progressive(
     # expected decode: identical tail to encode_jpeg
     full = {}
     for cid, hs, vs, _tq, _q in comps:
+        p = dec_coef[cid]
+        if hs < hmax or vs < vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full[cid] = p[:h, :w]
+
+    def guard_round(x: np.ndarray) -> np.ndarray:
+        frac = np.abs(x - np.floor(x) - 0.5)
+        assert frac.min() > 1e-6, "knife-edge sample: regenerate the corpus"
+        return np.clip(np.round(x), 0, 255).astype(np.int64)
+
+    if mode == "gray":
+        g = guard_round(full[1])
+        exp = np.stack([g, g, g], axis=2)
+    else:
+        Yd = full[1]
+        Cbd = full[2] - 128.0
+        Crd = full[3] - 128.0
+        exp = np.stack(
+            [
+                guard_round(Yd + 1.402 * Crd),
+                guard_round(Yd - 0.344136 * Cbd - 0.714136 * Crd),
+                guard_round(Yd + 1.772 * Cbd),
+            ],
+            axis=2,
+        )
+    return bytes(out), exp
+
+
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic-coded (SOF9) encoder — round-9, the last S6 codec sliver.
+#
+# Same INDEPENDENT-implementation contract: the engine's QM decoder
+# (multimodal._jpeg_decode_arith) shares no code with this encoder — the
+# only common artifact is the standard's own Table D.3 state machine
+# (ITU-T T.81), which both sides transcribe from the published standard.
+# The encoder implements T.81 Annex D.1: interval subdivision with the
+# MPS at the bottom, conditional MPS/LPS exchange, renormalization with
+# byte-out at bit 19, carry resolution through a held-byte + stacked-0xFF
+# pipeline, 0xFF00 byte stuffing, CLEARBITS flush, and RSTn restarts that
+# re-initialize registers, statistics and DC conditioning state.
+# Validated three ways in tests/test_jpeg_oracle.py: our decoder, and the
+# system libjpeg (via the dev-time oracle) must both reproduce the
+# expected decode of these bytes.
+# ---------------------------------------------------------------------------
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from melody_join_spark.operators._qm_table import QM_TABLE  # noqa: E402
+
+
+class _QMEncoder:
+    """T.81 D.1 QM arithmetic encoder (dev-time, fixtures only)."""
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11  # D.1.7 INITENC: 11 spacer bits before the first byte
+        self.out = bytearray()
+        self._held: int | None = None
+        self._nff = 0  # completed 0xFF bytes awaiting carry resolution
+        self._fixed = bytearray((113,))
+
+    def _emit(self, b: int) -> None:
+        self.out.append(b)
+        if b == 0xFF:
+            self.out.append(0x00)  # byte stuffing
+
+    def _push(self, b: int) -> None:
+        """New completed byte enters the pipeline.  Invariant: _held (if
+        any) is <= 0xFE, _nff counts 0xFF bytes completed after it — only
+        that suffix is carry-mutable, everything before is final."""
+        if b == 0xFF:
+            self._nff += 1  # keep: a later carry may flip it to 0x00
+        else:
+            if self._held is not None:
+                self._emit(self._held)
+            for _ in range(self._nff):
+                self._emit(0xFF)
+            self._nff = 0
+            self._held = b
+
+    def _byteout(self) -> None:
+        t = self.c >> 19
+        self.c &= 0x7FFFF
+        if t > 0xFF:
+            # carry: the held byte absorbs it (held+1 <= 0xFF by the _push
+            # invariant); stacked 0xFFs roll to plain 0x00 data bytes
+            assert self._held is not None, "carry with empty byte pipeline"
+            self._emit(self._held + 1)
+            for _ in range(self._nff):
+                self.out.append(0x00)
+            self._nff = 0
+            self._held = None
+            self._push(t & 0xFF)
+        else:
+            self._push(t)
+
+    def encode(self, stats: bytearray, i: int, d: int) -> None:
+        s = stats[i]
+        mps = s >> 7
+        qe, nmps, nlps, sw = QM_TABLE[s & 0x7F]
+        self.a -= qe
+        if d == mps:
+            if self.a & 0x8000:
+                return
+            if self.a < qe:  # conditional exchange: MPS takes the top
+                self.c += self.a
+                self.a = qe
+            stats[i] = (mps << 7) | nmps
+        else:
+            if self.a < qe:
+                pass  # exchange: LPS takes the bottom — code base unchanged
+            else:
+                self.c += self.a
+                self.a = qe
+            stats[i] = ((mps ^ sw) << 7) | nlps
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+                self.ct = 8
+
+    def encode_fixed(self, d: int) -> None:
+        self.encode(self._fixed, 0, d)
+
+    def flush(self) -> bytes:
+        """D.1.9: choose the code point in [C, C+A) with the most trailing
+        zeros, push out the remaining register bits, drain the pipeline."""
+        t = (self.c + self.a - 1) & 0xFFFF0000
+        if t < self.c:
+            t += 0x8000
+        self.c = t
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= 8
+        self._byteout()
+        self.c <<= 8
+        self._byteout()
+        if self._held is not None:
+            self._emit(self._held)
+        for _ in range(self._nff):
+            self._emit(0xFF)
+        out = bytes(self.out)
+        # trailing zero bytes are redundant (the decoder feeds zeros);
+        # trimming them is what libjpeg does and keeps fixtures minimal
+        while out.endswith(b"\x00") and not out.endswith(b"\xff\x00"):
+            out = out[:-1]
+        return out
+
+
+def _qm_encode_dc(enc, stats, ctx, lo, hi, diff) -> int:
+    """T.81 F.1.4.1: one DC difference; returns the NEXT context index."""
+    if diff == 0:
+        enc.encode(stats, ctx, 0)
+        return 0
+    enc.encode(stats, ctx, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(stats, ctx + 1, sign)
+    sz = (diff if diff > 0 else -diff) - 1
+    pos = ctx + 2 + sign
+    m = 0
+    if sz == 0:
+        enc.encode(stats, pos, 0)
+    else:
+        enc.encode(stats, pos, 1)
+        m = 1
+        pos = 20  # X1
+        v2 = sz
+        while True:
+            v2 >>= 1
+            if not v2:
+                break
+            enc.encode(stats, pos, 1)
+            m <<= 1
+            pos += 1
+        enc.encode(stats, pos, 0)
+    if m < lo:
+        nctx = 0
+    elif m > hi:
+        nctx = 12 + 4 * sign
+    else:
+        nctx = 4 + 4 * sign
+    pos += 14
+    mm = m >> 1
+    while mm:
+        enc.encode(stats, pos, 1 if (sz & mm) else 0)
+        mm >>= 1
+    return nctx
+
+
+def _qm_encode_ac_block(enc, stats, kx, coef_zz) -> None:
+    """T.81 F.1.4.2: one block's AC coefficients (zigzag order)."""
+    last = 0
+    for k in range(63, 0, -1):
+        if coef_zz[k]:
+            last = k
+            break
+    k = 1
+    while k <= last:
+        st = 3 * (k - 1)
+        enc.encode(stats, st, 0)  # not EOB
+        while coef_zz[k] == 0:
+            enc.encode(stats, st + 1, 0)
+            st += 3
+            k += 1
+        enc.encode(stats, st + 1, 1)
+        v = coef_zz[k]
+        sign = 1 if v < 0 else 0
+        enc.encode_fixed(sign)
+        sz = (v if v > 0 else -v) - 1
+        pos = st + 2
+        m = 0
+        if sz == 0:
+            enc.encode(stats, pos, 0)
+        else:
+            enc.encode(stats, pos, 1)
+            m = 1
+            if sz >> 1 == 0:
+                enc.encode(stats, pos, 0)  # second decision shares the bin
+            else:
+                enc.encode(stats, pos, 1)
+                m = 2
+                pos = 189 if k <= kx else 217
+                v2 = sz >> 1
+                while True:
+                    v2 >>= 1
+                    if not v2:
+                        break
+                    enc.encode(stats, pos, 1)
+                    m <<= 1
+                    pos += 1
+                enc.encode(stats, pos, 0)
+        pos += 14
+        mm = m >> 1
+        while mm:
+            enc.encode(stats, pos, 1 if (sz & mm) else 0)
+            mm >>= 1
+        k += 1
+    if last < 63:
+        enc.encode(stats, 3 * (k - 1), 1)  # EOB
+
+
+def encode_jpeg_arith(
+    img: np.ndarray,
+    mode: str,
+    quality: int,
+    restart: int = 0,
+    kx: int = 5,
+) -> tuple[bytes, np.ndarray]:
+    """Encode (h, w, 3) uint8 RGB as a sequential ARITHMETIC-coded JPEG
+    (SOF9); returns (bytes, expected-decode RGB) with the same scalar
+    DCT / quantization / expected-decode contract as :func:`encode_jpeg`.
+    ``kx`` is the AC conditioning bound — a DAC segment is emitted when it
+    differs from the 5 the standard defaults to, so the decoder's DAC
+    parsing is exercised by the corpus."""
+    h, w, _ = img.shape
+    R = img[:, :, 0].astype(np.float64)
+    G = img[:, :, 1].astype(np.float64)
+    B = img[:, :, 2].astype(np.float64)
+    Y = 0.299 * R + 0.587 * G + 0.114 * B
+    Cb = 128.0 - 0.168736 * R - 0.331264 * G + 0.5 * B
+    Cr = 128.0 + 0.5 * R - 0.418688 * G - 0.081312 * B
+
+    qly = _scale_qt(QT_LUMA, quality)
+    qlc = _scale_qt(QT_CHROMA, quality)
+    if mode == "gray":
+        comps = [(1, 1, 1, 0, qly)]
+    elif mode == "444":
+        comps = [(1, 1, 1, 0, qly), (2, 1, 1, 1, qlc), (3, 1, 1, 1, qlc)]
+    elif mode == "420":
+        comps = [(1, 2, 2, 0, qly), (2, 1, 1, 1, qlc), (3, 1, 1, 1, qlc)]
+    else:
+        raise ValueError(mode)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    def comp_plane(cid):
+        src = {1: Y, 2: Cb, 3: Cr}[cid]
+        _, hs, vs, _, _ = next(c for c in comps if c[0] == cid)
+        if hs < hmax or vs < vmax:
+            fy, fx = vmax // vs, hmax // hs
+            hh = -(-h // fy) * fy
+            ww = -(-w // fx) * fx
+            p = np.zeros((hh, ww))
+            p[:h, :w] = src
+            p[h:hh, :w] = src[-1:, :]
+            p[:, w:ww] = p[:, w - 1:w]
+            src = p.reshape(hh // fy, fy, ww // fx, fx).mean(axis=(1, 3))
+        th_, tw_ = mcuy * vs * 8, mcux * hs * 8
+        p = np.zeros((th_, tw_))
+        sh, sw = src.shape
+        p[:sh, :sw] = src
+        if sh < th_:
+            p[sh:, :sw] = src[-1:, :]
+        if sw < tw_:
+            p[:, sw:] = p[:, sw - 1:sw]
+        return p
+
+    plane = {c[0]: comp_plane(c[0]) for c in comps}
+
+    # entropy state: DC conditioning defaults L=0, U=1 (lo=0, hi=1)
+    lo, hi = (1 << 0) >> 1, (1 << 1) >> 1
+
+    def fresh():
+        return (
+            {0: bytearray(64), 1: bytearray(64)},
+            {0: bytearray(256), 1: bytearray(256)},
+            {c[0]: 0 for c in comps},  # dc ctx
+            {c[0]: 0 for c in comps},  # dc last
+        )
+
+    enc = _QMEncoder()
+    dc_stats, ac_stats, dc_ctx, dc_last = fresh()
+    dec_coef: dict[int, np.ndarray] = {
+        c[0]: np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8)) for c in comps
+    }
+    scan_chunks: list[bytes] = []
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                scan_chunks.append(enc.flush())
+                scan_chunks.append(bytes([0xFF, 0xD0 + (rst_n & 7)]))
+                rst_n += 1
+                enc = _QMEncoder()
+                dc_stats, ac_stats, dc_ctx, dc_last = fresh()
+            mcu_count += 1
+            for cid, hs, vs, tq, qtab in comps:
+                for byy in range(vs):
+                    for bxx in range(hs):
+                        y0 = (my * vs + byy) * 8
+                        x0 = (mx * hs + bxx) * 8
+                        blk = plane[cid][y0:y0 + 8, x0:x0 + 8] - 128.0
+                        coef = _fdct_scalar(blk)
+                        qc = [
+                            int(round(coef.reshape(-1)[ZIGZAG[k]] / qtab[k]))
+                            for k in range(64)
+                        ]
+                        diff = qc[0] - dc_last[cid]
+                        dc_last[cid] = qc[0]
+                        dc_ctx[cid] = _qm_encode_dc(
+                            enc, dc_stats[tq], dc_ctx[cid], lo, hi, diff
+                        )
+                        _qm_encode_ac_block(enc, ac_stats[tq], kx, qc)
+                        deq = np.zeros(64)
+                        for k in range(64):
+                            deq[ZIGZAG[k]] = qc[k] * qtab[k]
+                        dec_coef[cid][y0:y0 + 8, x0:x0 + 8] = _idct_scalar(
+                            deq.reshape(8, 8)
+                        ) + 128.0
+    scan_chunks.append(enc.flush())
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(qly))
+    if mode != "gray":
+        out += _seg(0xDB, bytes([1]) + bytes(qlc))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([len(comps)])
+    for cid, hs, vs, tq, _ in comps:
+        sof += bytes([cid, hs << 4 | vs, tq])
+    out += _seg(0xC9, sof)  # SOF9: sequential DCT, arithmetic coding
+    if kx != 5:
+        # DAC: AC conditioning for both tables (DC stays at default 0/1)
+        out += _seg(0xCC, bytes([0x10, kx, 0x11, kx]))
+    if restart:
+        out += _seg(0xDD, restart.to_bytes(2, "big"))
+    sos = bytes([len(comps)])
+    for cid, _, _, tq, _ in comps:
+        sos += bytes([cid, tq << 4 | tq])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+    for ch in scan_chunks:
+        out += ch
+    out += b"\xff\xd9"
+
+    # expected decode: replication upsample, crop, color transform
+    full = {}
+    for cid, hs, vs, _, _ in comps:
         p = dec_coef[cid]
         if hs < hmax or vs < vmax:
             p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)

@@ -119,3 +119,105 @@ def test_baseline_decoder_vs_libjpeg_restart(oracle, tmp_path):
     ours = jpeg_decoder(jpg, 27)
     theirs = _oracle_decode_hist(oracle, tmp_path, jpg, 27)
     assert float(np.abs(ours - theirs).sum()) <= 0.02
+
+
+@pytest.mark.parametrize(
+    "mode,quality,tol",
+    [("gray", 92, 0.02), ("444", 92, 0.02), ("420", 85, 0.06)],
+)
+def test_arith_decoder_vs_libjpeg(oracle, tmp_path, mode, quality, tol):
+    """The SOF9 (QM arithmetic) decoder agrees with libjpeg on
+    libjpeg-ENCODED arithmetic files — the register discipline, Table D.3
+    state machine, conditioning contexts and magnitude procedures all have
+    to line up bit-exactly for even one MCU to survive, so this is a
+    strong whole-path gate; the histogram tolerance only absorbs IDCT/
+    upsampling rounding (same bounds as the huffman tests)."""
+    img = _test_image()
+    jpg = _encode(oracle, tmp_path, img, mode, quality, "arith")
+    assert b"\xff\xc9" in jpg  # really SOF9
+    ours = jpeg_decoder(jpg, 27)
+    theirs = _oracle_decode_hist(oracle, tmp_path, jpg, 27)
+    assert float(np.abs(ours - theirs).sum()) <= tol
+
+
+def test_arith_decoder_restart_and_quality_sweep(oracle, tmp_path):
+    """RSTn re-initialization (decoder registers + statistics + DC
+    contexts) against libjpeg restart streams, and a quality sweep to
+    exercise magnitude categories from near-zero to wide."""
+    img = _test_image(64, 24)
+    jpg = _encode(oracle, tmp_path, img, "444", 90, "arith", restart=2)
+    ours = jpeg_decoder(jpg, 27)
+    theirs = _oracle_decode_hist(oracle, tmp_path, jpg, 27)
+    assert float(np.abs(ours - theirs).sum()) <= 0.02
+    for q in (30, 60, 97):
+        jpg = _encode(oracle, tmp_path, img, "gray", q, "arith")
+        ours = jpeg_decoder(jpg, 27)
+        theirs = _oracle_decode_hist(oracle, tmp_path, jpg, 27)
+        assert float(np.abs(ours - theirs).sum()) <= 0.04, f"q={q}"
+
+
+def test_progressive_arith_still_refused(oracle):
+    """SOF10 (progressive arithmetic) stays a loud UnsupportedMediaFormat
+    refusal — only the frame types the pure-python paths actually decode
+    are accepted."""
+    from melody_join_spark.operators.multimodal import (
+        UnsupportedMediaFormatError,
+    )
+
+    fake = (b"\xff\xd8" + b"\xff\xca" + (17).to_bytes(2, "big")
+            + bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+            + bytes([1, 1, 0x11, 0]) + b"\xff\xd9")
+    with pytest.raises(UnsupportedMediaFormatError):
+        jpeg_decoder(fake, 27)
+
+
+def test_own_arith_encoder_three_way(oracle, tmp_path):
+    """The fixture QM ENCODER (scripts/make_jpeg_fixtures.encode_jpeg_arith)
+    closes the three-way agreement: (a) our decoder reproduces its expected
+    decode EXACTLY (bit-perfect entropy round trip — same buckets, L1 = 0),
+    and (b) the system libjpeg decodes the SAME bytes to the same picture
+    up to IDCT/upsampling rounding.  Covers restarts, non-default DAC Kx,
+    and all three sampling modes — the corpus shapes generate_media_jpeg_arith
+    commits."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    from make_jpeg_fixtures import encode_jpeg_arith  # noqa: E402
+    from make_media_fixtures import hist27  # noqa: E402
+
+    rng = np.random.default_rng(99)
+    yy, xx = np.mgrid[0:24, 0:32]
+    base = np.stack(
+        [(xx * 255) // 31, (yy * 255) // 23, ((xx + yy) * 255) // 54], -1
+    ).astype(np.uint8)
+    cases = [
+        # noisy content parks more pixels near bucket edges than the smooth
+        # ramps above, so the libjpeg rounding band is wider here; ours
+        # stays EXACTLY zero regardless
+        ("gray", 75, 0, 5, 0.04),
+        ("444", 90, 0, 5, 0.04),
+        ("420", 60, 0, 5, 0.20),  # libjpeg fancy-upsamples 4:2:0
+        ("444", 85, 2, 5, 0.04),
+        ("444", 75, 0, 3, 0.04),  # non-default Kx -> DAC segment
+    ]
+    for mode, q, rst, kx, lib_tol in cases:
+        noise = rng.integers(0, 12, size=base.shape, dtype=np.int64)
+        img = np.clip(base.astype(np.int64) + noise, 0, 255).astype(np.uint8)
+        jpg, exp = encode_jpeg_arith(img, mode, q, restart=rst, kx=kx)
+        assert b"\xff\xc9" in jpg
+        exp_hist = np.array(
+            hist27(
+                [
+                    tuple(int(v) for v in exp[y, x])
+                    for y in range(exp.shape[0])
+                    for x in range(exp.shape[1])
+                ]
+            )
+        )
+        ours = jpeg_decoder(jpg, 27)
+        assert float(np.abs(ours - exp_hist).sum()) == 0.0, (mode, q, rst, kx)
+        theirs = _oracle_decode_hist(oracle, tmp_path, jpg, 27)
+        assert float(np.abs(theirs - exp_hist).sum()) <= lib_tol
