@@ -1170,14 +1170,21 @@ def choose_similarity_method(
     return "ivf"
 
 
-# Calibration anchor for recall_target escalation: the derived nprobe's
-# measured pair-miss mass in the HARDEST sketchable regime probed so far
-# (20k x 64, theta 0.4, nlist 141, derived nprobe 7 -> recall 0.942,
-# SCALE.md round 7).  The escalation model treats the miss as geometric in
-# the probe count — each extra block of `base` probes multiplies the miss
-# by this factor — which the measured recall-vs-nprobe curve at the same
-# operating point validates as conservative (see SCALE.md round 8).
+# Calibration anchors for recall_target escalation: the derived nprobe's
+# measured pair-miss mass at two thresholds (20k x 64, nlist 141, vs true
+# exact).  The escalation model treats the miss as geometric in the probe
+# count — each extra block of `base` probes multiplies the miss by the
+# anchor — validated against the measured recall-vs-nprobe curves
+# (SCALE.md rounds 8-9).  theta 0.4 (base nprobe 7 -> recall 0.942):
+# miss 0.058; theta 0.25 (base nprobe 8 -> recall 0.799): miss 0.201 —
+# the round-8 anchor alone was OPTIMISTIC below 0.4 (its target-0.99
+# pick measured 0.9712 at theta 0.25), so thresholds below 0.4 ride the
+# 0.25 anchor, which the measured 0.25 curve shows is conservative
+# (its target-0.99 pick, nprobe 23, sits above the measured 0.99-recall
+# point at nprobe ~15-20; nprobe 20 measured 0.99935).
 IVF_MISS_AT_DERIVED = 0.058
+IVF_MISS_AT_DERIVED_LOW = 0.201
+IVF_MISS_ANCHOR_THRESHOLD = 0.4  # measured-anchor switch point
 
 
 def derive_nprobe(
@@ -1211,16 +1218,25 @@ def derive_nprobe(
     quadratic verify cost (prefer the exact plan below 10^6;
     :func:`choose_similarity_method` does).
 
-    Calibrated range (SCALE.md round 8, measured vs true exact at
+    Calibrated range (SCALE.md rounds 8-9, measured vs true exact at
     20k/nlist=141): at theta 0.4 the model's target-0.99 pick (nprobe 12)
     measured 0.99370 and the full curve {7: 0.942, 9: 0.971, 12: 0.994,
     16: 0.99887, 24: 1.0} brackets the model within ~0.003 everywhere; at
     the intermediate theta 0.7 (the previously unmeasured band) recall is
     already 1.0 at nprobe 2, so escalation there only buys margin; at
     theta 0.95 the base nprobe measured 1.0/0.99999/1.0 at 20k/100k/10^6.
-    Outside [0.4, 0.95] the model extrapolates the same geometry —
-    unmeasured, conservative direction unknown below 0.4."""
+    BELOW 0.4 the round-8 anchor measured OPTIMISTIC (theta 0.25: base
+    nprobe 8 -> recall 0.799, its target-0.99 pick 13 -> 0.9712), so
+    thresholds under ``IVF_MISS_ANCHOR_THRESHOLD`` ride the harder
+    measured anchor ``IVF_MISS_AT_DERIVED_LOW`` — at theta 0.25 its
+    target-0.99 pick is nprobe 23, above the measured curve's 0.99
+    crossing (nprobe 20 measured 0.99935): conservative.  Below theta
+    0.25 the low anchor extrapolates UNMEASURED and in the optimistic
+    direction (miss at base grows as the threshold drops), so a loud
+    warning fires — at those thresholds prefer ``recall_target=1.0``
+    (exact below 10^6, exhaustive probing past it)."""
     import math
+    import warnings
 
     t = min(max(threshold, -1.0), 1.0)
     frac = math.acos(t) / math.pi
@@ -1229,9 +1245,21 @@ def derive_nprobe(
         return base
     if recall_target >= 1.0:
         return max(nlist, 2)
-    scale = math.log(max(1.0 - recall_target, 1e-12)) / math.log(
-        IVF_MISS_AT_DERIVED
-    )
+    if t >= IVF_MISS_ANCHOR_THRESHOLD:
+        anchor = IVF_MISS_AT_DERIVED
+    else:
+        anchor = IVF_MISS_AT_DERIVED_LOW
+        if t < 0.25:
+            warnings.warn(
+                f"derive_nprobe: threshold {threshold} is below the lowest "
+                "measured calibration point (0.25) — the recall_target "
+                "escalation extrapolates in the OPTIMISTIC direction here; "
+                "pass recall_target=1.0 (exact/exhaustive) if a missed "
+                "pair is a correctness bug.",
+                UserWarning,
+                stacklevel=3,
+            )
+    scale = math.log(max(1.0 - recall_target, 1e-12)) / math.log(anchor)
     return int(np.clip(math.ceil(base * max(scale, 1.0)), base, max(nlist, 2)))
 
 

@@ -992,6 +992,18 @@ def test_derive_nprobe_recall_target_properties():
     # hardest regime's) but never past nlist
     assert 2 <= derive_nprobe(141, 0.95, 0.99) <= 141
     assert derive_nprobe(8, 0.4, 0.99999) == 8          # nlist cap binds
+    # below-0.4 thresholds ride the harder measured anchor (round-9: the
+    # 0.4 anchor's target-0.99 pick measured only 0.9712 at theta 0.25;
+    # the 0.201 anchor picks nprobe 23, above the measured 0.99 crossing)
+    assert derive_nprobe(141, 0.25) == 8                # base unchanged
+    assert derive_nprobe(141, 0.25, 0.99) == 23
+    assert derive_nprobe(141, 0.25, 0.999) == 35
+    # anchor switch is continuous in ordering: harder threshold never
+    # probes LESS for the same target
+    assert derive_nprobe(141, 0.25, 0.99) >= derive_nprobe(141, 0.4, 0.99)
+    # below the lowest measured point: still monotone, but warns loudly
+    with pytest.warns(UserWarning, match="OPTIMISTIC"):
+        assert derive_nprobe(141, 0.1, 0.99) >= derive_nprobe(141, 0.1)
 
 
 def test_choose_similarity_method_recall_target():
