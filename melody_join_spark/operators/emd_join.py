@@ -133,8 +133,11 @@ def emd_threshold_join(
     if strategy == "bruteforce":
         h = with_mean_position(hist, positions)
         # spread the cartesian across tasks (a small cached side otherwise
-        # collapses to a handful of partitions)
-        a = _pair_frame(h, "a").repartition(32)
+        # collapses to a handful of partitions); width = cluster parallelism,
+        # never a literal (round-9, same rationale as similarity._cross_width)
+        a = _pair_frame(h, "a").repartition(
+            hist.sparkSession.sparkContext.defaultParallelism
+        )
         b = _pair_frame(h, "b")
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
         # Rubner prefilter: |mean(a) - mean(b)| <= EMD, a cheap scalar
@@ -212,7 +215,9 @@ def emd_topk_join(
     pairs.
     """
     if strategy == "bruteforce":
-        a = _pair_frame(hist, "a").repartition(32)
+        a = _pair_frame(hist, "a").repartition(
+            hist.sparkSession.sparkContext.defaultParallelism
+        )
         b = _pair_frame(hist, "b")
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
         scored = pairs.withColumn("emd", pair_emd_expr(positions=positions)).select(
