@@ -11,9 +11,11 @@ dependency) and cross-validates:
 - the feature-space agreement between our decode and libjpeg's own decode
   of the SAME file (IDCTs legitimately differ by rounding, so the gate is
   a tight L1 bound on the color-cube histogram, not byte equality);
-- that arithmetic-coded (SOF9) files are refused loudly (the declared
-  codec hook), with the oracle supplying a REAL arith-coded payload rather
-  than a synthetic marker.
+- our arithmetic (SOF9) QM decoder against libjpeg-encoded arith files
+  (round 9), the fixture QM ENCODER against both decoders (three-way),
+  and the arithmetic core itself via an entropy-level fuzz round trip;
+- that progressive-arithmetic (SOF10) files are still refused loudly (the
+  declared codec hook).
 """
 
 import shutil
@@ -221,3 +223,43 @@ def test_own_arith_encoder_three_way(oracle, tmp_path):
         assert float(np.abs(ours - exp_hist).sum()) == 0.0, (mode, q, rst, kx)
         theirs = _oracle_decode_hist(oracle, tmp_path, jpg, 27)
         assert float(np.abs(theirs - exp_hist).sum()) <= lib_tol
+
+
+def test_qm_codec_fuzz_roundtrip():
+    """Entropy-level fuzz of the QM coder pair: random decision sequences
+    over random context sets must round-trip encoder -> decoder exactly.
+    The JPEG fixture corpus exercises realistic coefficient statistics;
+    this drives the ARITHMETIC CORE through regimes images rarely reach —
+    long LPS runs (carry chains through stacked 0xFF bytes), adversarial
+    context interleaving, tiny streams that end mid-register — 200 cases
+    per shape, deterministic seeds."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    from make_jpeg_fixtures import _QMEncoder  # noqa: E402
+
+    from melody_join_spark.operators.multimodal import _QMDecoder
+
+    rng = np.random.default_rng(20260815)
+    for case in range(200):
+        n_ctx = int(rng.integers(1, 8))
+        n_bits = int(rng.integers(1, 400))
+        # bias varies per case: heavy-MPS streams renormalize rarely,
+        # heavy-LPS streams renormalize constantly (carry pressure)
+        p1 = float(rng.uniform(0.02, 0.98))
+        ctxs = rng.integers(0, n_ctx, size=n_bits)
+        bits = (rng.random(n_bits) < p1).astype(int)
+        enc = _QMEncoder()
+        est = bytearray(n_ctx)
+        for c, b in zip(ctxs, bits):
+            enc.encode(est, int(c), int(b))
+        data = enc.flush() + b"\xff\xd9"
+        dec = _QMDecoder(data, 0)
+        dst = bytearray(n_ctx)
+        got = [dec.decode(dst, int(c)) for c in ctxs]
+        assert got == [int(b) for b in bits], (
+            f"case {case}: n_ctx={n_ctx} n_bits={n_bits} p1={p1:.3f}"
+        )
