@@ -562,6 +562,43 @@ def _q_generate_media_jpeg_arith(spark, sf_dir):
     return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
 
 
+MEDIA_VIDEO_DIR = "/root/repo/fixtures/media/video"
+MEDIA_VIDEO_THETA = 1.3  # RGB-cube lattice units; 34 fixture pairs pass
+
+
+def _q_generate_media_video(spark, sf_dir):
+    """VIDEO Generate->Join (round-9: the last declared modality hook made
+    real for a codec-free format): the committed AVI-MJPEG corpus — RIFF
+    container, 3-6 MJPEG frames per clip with temporal correlation, half
+    the frames DHT-STRIPPED per the MJPEG-in-AVI convention — is parsed by
+    the pure-python container walk (multimodal.avi_mjpeg_frames), each
+    sampled frame decoded through the full JPEG stack (with the T.81
+    Annex-K DHT splice for table-less frames), per-frame color-cube
+    histograms MEAN-pooled into the shared 27-bin feature space, and the
+    clips joined under exact d=3 EMD.  Oracle: all-pairs fixture over the
+    EXPECTED per-frame decodes of the INDEPENDENT encoder (the container
+    writer and this parser share no code) mean-pooled with the same
+    float64 accumulation + SSP solver.  MP3/other-codec video remain the
+    codec-backed `decoder=` hook (utils/GenerateUtil.java:44-60)."""
+    from melody_join_spark.operators.multimodal import (
+        avi_mjpeg_decoder,
+        ppm_bin_points,
+        read_binary_dir,
+    )
+
+    media = read_binary_dir(spark, MEDIA_VIDEO_DIR).withColumn(
+        "media_id",
+        F.regexp_extract(F.col("path"), r"vid_(\d+)\.avi", 1).cast("long"),
+    )
+    hist = generate_histograms(
+        spark, media=media, bins=27, decoder=avi_mjpeg_decoder
+    )
+    res = emd_join_nd(
+        hist, ppm_bin_points(27), MEDIA_VIDEO_THETA, strategy="grid"
+    )
+    return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
+
+
 USER_THETA = 1.0  # behavior-histogram EMD threshold (value-bucket units)
 
 
@@ -1193,7 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize_streaming": _q_events_sessionize_streaming,
         "dedup_simhash": _q_simhash,
         "generate_media_jpeg_arith": _q_generate_media_jpeg_arith,
-        "chunk_documents": _q_chunk_documents,
+        "generate_media_video": _q_generate_media_video,
         "events_rollup": _q_events_rollup,
         "cosine_topk_ivf": _q_cosine_topk_ivf,
         "generate_media_emd": _q_generate_media_emd,
@@ -1220,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow": _q_winnow,
         "dedup_clusters": _q_dedup_clusters,
         "corpus_stats_cube": _q_corpus_stats_cube,
+        "chunk_documents": _q_chunk_documents,
     }
 
 
@@ -1237,12 +1275,14 @@ ROTATION_TAILS: dict[int, tuple[str, ...]] = {
         "redact_pii", "sample_corpus", "build_vocab"),
     8: ("events_asof", "events_range_incidents", "events_rollup",
         "dedup_exact", "dedupe_corpus", "split_corpus"),
-    # round 9 grew the registry to 57 (generate_media_jpeg_arith enters the
-    # driver window in corpus_stats_cube's old slot so the NEW decoder gets
-    # driver-hash-gated immediately; corpus_stats_cube — tailed r7, so not
-    # consecutive — joins the tail, now 7 entries)
+    # round 9 grew the registry to 58: generate_media_jpeg_arith and
+    # generate_media_video enter the driver window in corpus_stats_cube's
+    # and chunk_documents' old slots so both NEW decode paths get
+    # driver-hash-gated immediately; the displaced pair (tailed r7, so not
+    # consecutive) joins the tail, now 8 entries
     9: ("events_window_hourly", "events_sessionize", "emd_user_behavior",
-        "emd_knn_2d", "dedup_winnow", "dedup_clusters", "corpus_stats_cube"),
+        "emd_knn_2d", "dedup_winnow", "dedup_clusters", "corpus_stats_cube",
+        "chunk_documents"),
 }
 
 
@@ -1638,6 +1678,10 @@ WHERE emd <= {MEDIA_JPEG2_THETA} + 1e-4 ORDER BY rid, sid""",
 SELECT rid, sid, round(emd, 6) + 0 AS emd
 FROM read_parquet('/root/repo/fixtures/media_jpeg_arith_pairs.parquet')
 WHERE emd <= {MEDIA_JPEG_ARITH_THETA} + 1e-4 ORDER BY rid, sid""",
+        "generate_media_video": f"""
+SELECT rid, sid, round(emd, 6) + 0 AS emd
+FROM read_parquet('/root/repo/fixtures/media_video_pairs.parquet')
+WHERE emd <= {MEDIA_VIDEO_THETA} + 1e-4 ORDER BY rid, sid""",
         "text_features": text_features_oracle_sql(),
         "quality_filter": f"""
 WITH qf AS ({quality_filter_oracle_sql()})

@@ -70,6 +70,9 @@ __all__ = [
     "fake_decode_image",
     "decode_features",
     "frame_sample",
+    "avi_mjpeg_frames",
+    "avi_mjpeg_decoder",
+    "video_frame_sample",
     "resize_media",
     "default_byte_resizer",
 ]
@@ -1358,9 +1361,10 @@ def wav_pcm_decoder(content: bytes, bins: int) -> np.ndarray:
 def sniff_decoder(content: bytes, bins: int) -> np.ndarray:
     """Magic-byte dispatch to the best codec-free extractor available:
     PPM (P6/P3) -> pixel color-cube histogram, RIFF/WAVE 16-bit PCM ->
-    amplitude histogram, anything else -> the byte histogram.  The compat
-    Generate entry point's default — pixel/sample depth wherever an
-    uncompressed format allows it without codec libraries.
+    amplitude histogram, RIFF/AVI MJPEG -> frame-sampled mean color-cube
+    histogram, anything else -> the byte histogram.  The compat Generate
+    entry point's default — pixel/sample depth wherever a format allows
+    it without codec libraries.
 
     Only *malformed* payloads degrade to the byte histogram (truncated
     header, bad magic tail).  A VALID-but-unsupported format (float/24-bit
@@ -1378,6 +1382,8 @@ def sniff_decoder(content: bytes, bins: int) -> np.ndarray:
         if head[:2] == b"\xff\xd8":
             return jpeg_decoder(content, bins)
         if head[:4] == b"RIFF":
+            if _riff_subtype(content or b"") == b"AVI ":
+                return avi_mjpeg_decoder(content, bins)
             return wav_pcm_decoder(content, bins)
     except UnsupportedMediaFormatError:
         raise  # valid format we cannot decode at content depth: be loud
@@ -1486,6 +1492,208 @@ def frame_sample(
                     idxs.append(k)
                     frames.append(content[off : off + frame_bytes])
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select("media_id", "content").mapInPandas(run, out_schema)
+
+
+# ITU-T T.81 Annex K "typical" huffman tables as (counts[16], values) —
+# public spec constants.  MJPEG-in-AVI commonly omits DHT segments (the
+# OpenDML/MJPEG convention is that decoders supply exactly these tables),
+# so the AVI path splices them in when a frame has none.  Files that DO
+# carry DHT are decoded from their own tables, same as every other JPEG.
+_JPEG_STD_HUFF = (
+    # (class, id, counts, values)
+    (0, 0, [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12))),
+    (0, 1, [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12))),
+    (1, 0, [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]),
+    (1, 1, [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]),
+)
+
+
+def _std_dht_segment() -> bytes:
+    """One DHT marker segment carrying all four Annex-K tables."""
+    payload = bytearray()
+    for tc, th, counts, values in _JPEG_STD_HUFF:
+        payload.append(tc << 4 | th)
+        payload += bytes(counts)
+        payload += bytes(values)
+    return bytes([0xFF, 0xC4]) + (len(payload) + 2).to_bytes(2, "big") + bytes(
+        payload
+    )
+
+
+def _mjpeg_ensure_dht(frame: bytes) -> bytes:
+    """Return ``frame`` with the Annex-K DHT spliced before SOS when the
+    frame carries no DHT of its own (the MJPEG-in-AVI convention); frames
+    with their own tables pass through untouched."""
+    if len(frame) < 4 or frame[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG frame payload")
+    i = 2
+    sos_at = None
+    while i < len(frame):
+        if frame[i] != 0xFF:
+            raise ValueError("corrupt JPEG marker stream in MJPEG frame")
+        while i < len(frame) and frame[i] == 0xFF:
+            i += 1
+        m = frame[i]
+        i += 1
+        if m == 0xC4:
+            return frame  # has its own tables
+        if m == 0xD9:
+            break
+        if m == 0xDA:
+            sos_at = i - 2
+            break
+        i += int.from_bytes(frame[i:i + 2], "big")
+    if sos_at is None:
+        raise ValueError("MJPEG frame missing SOS")
+    return frame[:sos_at] + _std_dht_segment() + frame[sos_at:]
+
+
+def _riff_subtype(content: bytes) -> bytes | None:
+    """'WAVE' / b'AVI ' / ... for a RIFF payload, else None."""
+    if len(content) >= 12 and content[:4] == b"RIFF":
+        return content[8:12]
+    return None
+
+
+def avi_mjpeg_frames(content: bytes) -> list[bytes]:
+    """Pure-python AVI (RIFF) container walk -> the MJPEG video stream's
+    frame payloads, in presentation order.  Handles LIST nesting ('hdrl',
+    'movi', 'rec ' groups), word alignment (odd chunk sizes carry a pad
+    byte), and both '##dc' (compressed) frame ids; empty frames (dropped-
+    frame placeholders, size 0) are skipped.  The stream must declare a
+    video handler whose fourcc is MJPG/mjpg (or dib-less 'vids' with JPEG
+    payloads — sniffed per frame); any other codec raises
+    :class:`UnsupportedMediaFormatError` (that is the production-decoder
+    hook, same contract as the image formats)."""
+    if _riff_subtype(content) != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    frames: list[bytes] = []
+    handler: bytes | None = None
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal handler
+        i = lo
+        while i + 8 <= hi:
+            cid = content[i:i + 4]
+            sz = int.from_bytes(content[i + 4:i + 8], "little")
+            body_lo, body_hi = i + 8, min(i + 8 + sz, hi)
+            if cid == b"LIST":
+                walk(body_lo + 4, body_hi)  # skip the list-type fourcc
+            elif cid == b"strh" and sz >= 8:
+                if content[body_lo:body_lo + 4] == b"vids":
+                    handler = content[body_lo + 4:body_lo + 8]
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                if sz > 0:
+                    frames.append(content[body_lo:body_hi])
+            i = body_lo + sz + (sz & 1)  # chunks are word-aligned
+
+    walk(12, len(content))
+    if handler is not None and handler.upper() not in (b"MJPG", b"JPEG"):
+        raise UnsupportedMediaFormatError(
+            f"AVI video codec {handler!r} needs a codec-backed decoder; "
+            "only MJPG decodes codec-free"
+        )
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    for f in frames:
+        if f[0:2] != b"\xff\xd8":
+            raise UnsupportedMediaFormatError(
+                "AVI frame payload is not a JPEG (non-MJPEG stream)"
+            )
+    return frames
+
+
+def avi_mjpeg_decoder(
+    content: bytes, bins: int, max_frames: int = 16
+) -> np.ndarray:
+    """REAL video feature extractor for AVI-MJPEG — container walk
+    (:func:`avi_mjpeg_frames`), evenly-strided frame sampling to at most
+    ``max_frames`` (bounded per-row work at any clip length — the sampled
+    set is deterministic in the frame count), per-frame decode through
+    the full JPEG stack (baseline / progressive / arithmetic, with the
+    Annex-K DHT splice for table-less MJPEG frames), and the UNWEIGHTED
+    MEAN of the per-frame color-cube histograms — so videos live in the
+    same 27-bin feature space as every image decoder (one corpus, one
+    geometry).  Completes the modality set: the reference's Lire hook
+    (utils/GenerateUtil.java:44-60) covered images only; video here is a
+    real container + real codec, not a byte slice."""
+    frames = avi_mjpeg_frames(content)
+    if len(frames) > max_frames:
+        idx = np.linspace(0, len(frames) - 1, max_frames).round().astype(int)
+        frames = [frames[k] for k in sorted(set(int(x) for x in idx))]
+    hists = [jpeg_decoder(_mjpeg_ensure_dht(f), bins) for f in frames]
+    return np.mean(np.stack(hists, axis=0), axis=0)
+
+
+def video_frame_sample(
+    df: DataFrame,
+    every_n: int = 1,
+    max_frames: int = 8,
+) -> DataFrame:
+    """REAL frame sampling for AVI-MJPEG video rows: one output row per
+    sampled frame, carrying the frame's own JPEG bytes (decodable by
+    ``jpeg_decoder`` downstream) — the production counterpart of the
+    byte-slice :func:`frame_sample` stand-in.  Output: (media_id,
+    frame_idx, frame binary); ``every_n`` strides the frame sequence
+    before the ``max_frames`` cap."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                fs = avi_mjpeg_frames(bytes(content or b""))
+                taken = 0
+                for k in range(0, len(fs), max(every_n, 1)):
+                    if taken >= max_frames:
+                        break
+                    ids.append(mid)
+                    idxs.append(k)  # SOURCE frame number, not sample rank
+                    frames.append(_mjpeg_ensure_dht(fs[k]))
+                    taken += 1
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
 
     return df.select("media_id", "content").mapInPandas(run, out_schema)
 

@@ -546,6 +546,63 @@ def main() -> None:
     frac3 = np.abs((e3 * 1e6) % 1 - 0.5)
     print("  min |frac-0.5| at 6dp:", frac3.min())
 
+    # --- AVI-MJPEG video corpus (round-9): frame-mean feature space ---
+    video_dir = os.path.join(_FIXDIR, "media", "video")
+    out_pairs4 = os.path.join(_FIXDIR, "media_video_pairs.parquet")
+    os.makedirs(video_dir, exist_ok=True)
+    n4 = 16
+    hists4 = []
+    for i in range(n4):
+        n_frames = [3, 4, 5, 6][i % 4]
+        mode = ["444", "gray", "420"][i % 3]
+        quality = [75, 90, 60][i % 3]
+        frames, fhists = [], []
+        base = synth_rgb(rng)  # rng continues after the arith corpus
+        for t in range(n_frames):
+            # temporal evolution: roll the base frame so consecutive
+            # frames are correlated (video-like), not independent draws
+            img = np.roll(base, shift=3 * t, axis=1)
+            data, exp = encode_jpeg(img, mode, quality)
+            if (i + t) % 2 == 1:
+                # MJPEG convention: strip DHT; the decoder must splice the
+                # Annex-K tables and reproduce the same decode exactly
+                data = _strip_dht(data)
+            frames.append(data)
+            rgb = [tuple(int(v) for v in exp[y, x])
+                   for y in range(exp.shape[0]) for x in range(exp.shape[1])]
+            fhists.append(hist27(rgb))
+        h_img, w_img = base.shape[:2]
+        avi = write_avi_mjpeg(frames, w_img, h_img)
+        with open(os.path.join(video_dir, f"vid_{i:03d}.avi"), "wb") as f:
+            f.write(avi)
+        # expected video feature: unweighted mean of per-frame histograms
+        # (same accumulation the engine uses: float64 np.mean over frames)
+        hists4.append(np.mean(np.array(fhists, dtype=np.float64), axis=0))
+    W4 = np.array(hists4)
+    rid4, sid4, emd4 = [], [], []
+    for i in range(n4):
+        for j in range(i + 1, n4):
+            rid4.append(i)
+            sid4.append(j)
+            emd4.append(ssp_emd(W4[i], W4[j], C))
+    pq.write_table(
+        pa.table(
+            {
+                "rid": pa.array(rid4, type=pa.int64()),
+                "sid": pa.array(sid4, type=pa.int64()),
+                "emd": pa.array(emd4, type=pa.float64()),
+            }
+        ),
+        out_pairs4,
+    )
+    e4 = np.array(emd4)
+    print(f"wrote {out_pairs4}: {len(e4)} pairs, range "
+          f"[{e4.min():.4f}, {e4.max():.4f}]")
+    for th in (0.3, 0.5, 0.7, 1.0, 1.3):
+        print(f"  pairs <= {th}+1e-4: {(e4 <= th + 1e-4).sum()}")
+    frac4 = np.abs((e4 * 1e6) % 1 - 0.5)
+    print("  min |frac-0.5| at 6dp:", frac4.min())
+
 
 
 
@@ -1326,6 +1383,78 @@ def encode_jpeg_arith(
             axis=2,
         )
     return bytes(out), exp
+
+
+
+
+# ---------------------------------------------------------------------------
+# AVI-MJPEG fixtures — round-9 (the video modality made real).
+#
+# Same independence contract: the container writer here and the engine's
+# avi_mjpeg_frames parser share no code; frames come from the INDEPENDENT
+# baseline encoder above (some with their DHT segments STRIPPED — the
+# MJPEG-in-AVI convention — so the engine's Annex-K splice path is
+# exercised by the committed corpus, not just unit tests).
+# ---------------------------------------------------------------------------
+
+
+def _strip_dht(frame: bytes) -> bytes:
+    """Remove every DHT segment from a baseline JPEG (encode_jpeg emits the
+    Annex-K tables, so a compliant MJPEG decoder must reconstruct exactly
+    the same decode from the table-less frame)."""
+    out = bytearray(frame[:2])
+    i = 2
+    while i < len(frame):
+        assert frame[i] == 0xFF
+        j = i
+        while frame[j] == 0xFF:
+            j += 1
+        m = frame[j]
+        if m == 0xD9:
+            out += frame[i:]
+            break
+        if m == 0xDA:  # SOS: entropy data follows to EOI — copy the rest
+            out += frame[i:]
+            break
+        ln = int.from_bytes(frame[j + 1:j + 3], "big")
+        if m != 0xC4:
+            out += frame[i:j + 1 + ln]
+        i = j + 1 + ln
+    return bytes(out)
+
+
+def write_avi_mjpeg(frames: list[bytes], w: int, h: int, fps: int = 10) -> bytes:
+    """Minimal standards-shaped AVI container around MJPEG frames:
+    RIFF('AVI ') / LIST('hdrl': avih + LIST('strl': strh('vids','MJPG') +
+    strf(BITMAPINFOHEADER))) / LIST('movi': '00dc' chunks, word-aligned)."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    u32 = lambda v: int(v).to_bytes(4, "little")  # noqa: E731
+    avih = b"".join([
+        u32(1_000_000 // fps), u32(0), u32(0), u32(0x10),  # usec/frame..flags
+        u32(len(frames)), u32(0), u32(1), u32(0),          # totalframes..bufsz
+        u32(w), u32(h), u32(0), u32(0), u32(0), u32(0),
+    ])
+    strh = b"".join([
+        b"vids", b"MJPG", u32(0), u32(0), u32(0),
+        u32(1), u32(fps), u32(0), u32(len(frames)),        # scale rate start len
+        u32(0), u32(0xFFFFFFFF), u32(0), u32(0), u32(0),   # bufsz quality smpsz rc
+    ])
+    strf = b"".join([
+        u32(40), u32(w), u32(h), (1).to_bytes(2, "little"),
+        (24).to_bytes(2, "little"), b"MJPG", u32(w * h * 3),
+        u32(0), u32(0), u32(0), u32(0),
+    ])
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
 if __name__ == "__main__":

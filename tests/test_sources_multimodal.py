@@ -619,3 +619,107 @@ def test_jpeg_progressive_long_eob_runs():
                 for xx in range(exp.shape[1])
             ]
             assert np.array_equal(got, np.asarray(hist27(rgb))), mode
+
+
+def _mk_avi(n_frames=4, mode="444", strip=True):
+    """Small AVI-MJPEG built from the INDEPENDENT fixture encoder."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    from make_jpeg_fixtures import _strip_dht, encode_jpeg, write_avi_mjpeg
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    base = np.stack(
+        [(xx * 255) // 23, (yy * 255) // 15, ((xx + yy) * 255) // 38], -1
+    ).astype(np.uint8)
+    frames, exps = [], []
+    for t in range(n_frames):
+        img = np.roll(base, shift=2 * t, axis=1)
+        data, exp = encode_jpeg(img, mode, 80)
+        if strip and t % 2:
+            data = _strip_dht(data)
+        frames.append(data)
+        exps.append(exp)
+    return write_avi_mjpeg(frames, 24, 16), frames, exps
+
+
+def test_avi_mjpeg_frames_and_decoder():
+    """Container walk finds every frame; the video feature equals the
+    unweighted mean of the per-frame decodes (bit-exact — same float64
+    accumulation), including DHT-stripped frames via the Annex-K splice."""
+    from melody_join_spark.operators.multimodal import (
+        _mjpeg_ensure_dht,
+        avi_mjpeg_decoder,
+        avi_mjpeg_frames,
+        jpeg_decoder,
+        sniff_decoder,
+    )
+
+    avi, frames, _ = _mk_avi()
+    got = avi_mjpeg_frames(avi)
+    assert got == frames  # byte-exact payloads, in order
+    per_frame = np.stack(
+        [jpeg_decoder(_mjpeg_ensure_dht(f), 27) for f in frames]
+    )
+    want = per_frame.mean(axis=0)
+    assert np.array_equal(avi_mjpeg_decoder(avi, 27), want)
+    # sniff routes RIFF/AVI to the video path (RIFF/WAVE still to audio)
+    assert np.array_equal(sniff_decoder(avi, 27), want)
+
+
+def test_avi_mjpeg_frame_sampling_cap():
+    """Long clips sample evenly to max_frames — bounded per-row work."""
+    from melody_join_spark.operators.multimodal import avi_mjpeg_decoder
+
+    avi, frames, _ = _mk_avi(n_frames=6, strip=False)
+    # max_frames=2 -> first and last frames by the linspace stride
+    from melody_join_spark.operators.multimodal import (
+        _mjpeg_ensure_dht,
+        jpeg_decoder,
+    )
+
+    want = np.stack(
+        [jpeg_decoder(_mjpeg_ensure_dht(f), 27) for f in (frames[0], frames[-1])]
+    ).mean(axis=0)
+    assert np.array_equal(avi_mjpeg_decoder(avi, 27, max_frames=2), want)
+
+
+def test_avi_mjpeg_rejections():
+    """Non-MJPEG codecs and frame payloads fail LOUD (the codec hook),
+    malformed containers raise plain ValueError."""
+    from melody_join_spark.operators.multimodal import (
+        UnsupportedMediaFormatError,
+        avi_mjpeg_frames,
+    )
+
+    avi, _, _ = _mk_avi(n_frames=2, strip=False)
+    with pytest.raises(UnsupportedMediaFormatError):
+        avi_mjpeg_frames(avi.replace(b"MJPG", b"H264"))
+    with pytest.raises(ValueError):
+        avi_mjpeg_frames(b"RIFF\x00\x00\x00\x00WAVE")
+    # a '00dc' chunk that is not a JPEG: loud, not a silent byte-histogram
+    bad = avi.replace(b"\xff\xd8", b"\x00\x00", 1)
+    with pytest.raises((UnsupportedMediaFormatError, ValueError)):
+        avi_mjpeg_frames(bad)
+
+
+def test_video_frame_sample_real_frames(spark):
+    """video_frame_sample emits decodable per-frame JPEG rows with source
+    frame indices, striding and capping deterministically."""
+    from melody_join_spark.operators.multimodal import (
+        jpeg_decoder,
+        video_frame_sample,
+    )
+
+    avi, frames, _ = _mk_avi(n_frames=5, strip=True)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi))], "media_id long, content binary"
+    )
+    rows = video_frame_sample(df, every_n=2, max_frames=2).collect()
+    assert [(r.media_id, r.frame_idx) for r in rows] == [(1, 0), (1, 2)]
+    for r in rows:
+        hist = jpeg_decoder(bytes(r.frame), 27)  # spliced DHT -> decodable
+        assert hist.shape == (27,) and abs(float(hist.sum()) - 1.0) < 1e-12
