@@ -73,6 +73,8 @@ __all__ = [
     "avi_mjpeg_frames",
     "avi_mjpeg_decoder",
     "video_frame_sample",
+    "decode_rgb",
+    "pixel_resizer",
     "resize_media",
     "default_byte_resizer",
 ]
@@ -183,6 +185,8 @@ def ppm_decoder(content: bytes, bins: int) -> np.ndarray:
     px = a.reshape(npx, 3).astype(np.int64)
     if maxval != 255:
         px = px * 255 // maxval
+    if bins is None:  # pixel-level tap (see decode_rgb)
+        return np.clip(px, 0, 255).astype(np.uint8).reshape(h, w, 3)
     return _color_cube_hist(px, bins)
 
 
@@ -329,6 +333,8 @@ def png_decoder(content: bytes, bins: int) -> np.ndarray:
         px = np.repeat(px[:, :1], 3, axis=1)
     elif colortype == 6:
         px = px[:, :3]
+    if bins is None:  # pixel-level tap (see decode_rgb)
+        return px.astype(np.uint8).reshape(h, w, 3)
     return _color_cube_hist(px, bins)
 
 
@@ -630,7 +636,7 @@ def _jpeg_planes_to_hist(
         full[cid] = p[:h, :w]
     if len(comps) == 1:
         g = np.clip(np.round(full[comps[0][0]]), 0, 255).astype(np.int64)
-        px = np.repeat(g.reshape(-1, 1), 3, axis=1)
+        chans = (g, g, g)
     else:
         Y = full[comps[0][0]]
         Cb = full[comps[1][0]] - 128.0
@@ -638,13 +644,12 @@ def _jpeg_planes_to_hist(
         R = Y + 1.402 * Cr
         G = Y - 0.344136 * Cb - 0.714136 * Cr
         B = Y + 1.772 * Cb
-        px = np.stack(
-            [
-                np.clip(np.round(ch), 0, 255).astype(np.int64).reshape(-1)
-                for ch in (R, G, B)
-            ],
-            axis=1,
+        chans = tuple(
+            np.clip(np.round(ch), 0, 255).astype(np.int64) for ch in (R, G, B)
         )
+    if bins is None:  # pixel-level tap (see decode_rgb)
+        return np.stack(chans, axis=2).astype(np.uint8)
+    px = np.stack([ch.reshape(-1) for ch in chans], axis=1)
     return _color_cube_hist(px, bins)
 
 
@@ -1696,6 +1701,51 @@ def video_frame_sample(
             )
 
     return df.select("media_id", "content").mapInPandas(run, out_schema)
+
+
+def decode_rgb(content: bytes) -> np.ndarray:
+    """Pixel-level decode of any codec-free image format -> (h, w, 3)
+    uint8 RGB: PPM (P6/P3), PNG (8-bit, the five filters), JPEG (baseline
+    / progressive / arithmetic).  The same verified decode paths as the
+    histogram decoders — ``bins=None`` taps the pixel array right before
+    the color-cube quantization, so features and pixels can never drift
+    apart.  Raises :class:`UnsupportedMediaFormatError` for recognized
+    formats with no pixel-level path (that is the codec hook)."""
+    head = (content or b"")[:8]
+    if head[:2] in (b"P3", b"P6"):
+        return ppm_decoder(content, None)
+    if head == b"\x89PNG\r\n\x1a\n":
+        return png_decoder(content, None)
+    if head[:2] == b"\xff\xd8":
+        return jpeg_decoder(content, None)
+    raise UnsupportedMediaFormatError(
+        "no pixel-level decoder for this payload (PPM/PNG/JPEG decode "
+        "codec-free; others need a codec-backed decoder=)"
+    )
+
+
+def pixel_resizer(content: bytes, target_bytes: int) -> bytes:
+    """REAL image resizer — decode -> nearest-neighbor resample -> re-encode
+    (round-9: the production counterpart of :func:`default_byte_resizer`'s
+    byte subsample, now that every codec-free format decodes at pixel
+    depth).  The scale factor is solved so the emitted P6 payload
+    (3*h*w bytes + header) fits ``target_bytes``; output is always P6, so
+    resized media re-enter the SAME decode paths (ppm_decoder /
+    decode_rgb) — decode(resize(x)) is a closed loop.  Deterministic
+    integer index resampling: out[y, x] = src[y*h//th, x*w//tw]."""
+    rgb = decode_rgb(content)
+    h, w = rgb.shape[:2]
+    budget = max(int(target_bytes) - 32, 48)  # header allowance
+    if 3 * h * w <= budget:
+        th, tw = h, w  # already small enough: re-encode only
+    else:
+        s = (budget / (3.0 * h * w)) ** 0.5
+        th = max(1, int(h * s))
+        tw = max(1, int(w * s))
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    out = rgb[ys][:, xs]
+    return b"P6\n%d %d\n255\n" % (tw, th) + out.tobytes()
 
 
 def default_byte_resizer(content: bytes, target_bytes: int) -> bytes:

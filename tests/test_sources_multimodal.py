@@ -723,3 +723,87 @@ def test_video_frame_sample_real_frames(spark):
     for r in rows:
         hist = jpeg_decoder(bytes(r.frame), 27)  # spliced DHT -> decodable
         assert hist.shape == (27,) and abs(float(hist.sum()) - 1.0) < 1e-12
+
+
+def test_decode_rgb_all_formats_agree_with_histograms():
+    """decode_rgb taps the SAME pixel arrays the histogram decoders
+    quantize: _color_cube_hist(decode_rgb(x)) == decoder(x, bins) for
+    PPM, PNG and all three JPEG frame types."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    from make_jpeg_fixtures import encode_jpeg, encode_jpeg_arith
+    from make_png_fixtures import encode_png  # independent encoder
+
+    from melody_join_spark.operators.multimodal import (
+        _color_cube_hist,
+        decode_rgb,
+        jpeg_decoder,
+        png_decoder,
+        ppm_decoder,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    img = np.stack(
+        [(xx * 255) // 23, (yy * 255) // 15, ((xx + yy) * 255) // 38], -1
+    ).astype(np.uint8)
+    ppm = b"P6\n24 16\n255\n" + img.tobytes()
+    cases = [
+        (ppm, ppm_decoder),
+        (
+            encode_png(
+                [[tuple(int(v) for v in img[y, x]) for x in range(24)]
+                 for y in range(16)],
+                2,
+            ),
+            png_decoder,
+        ),
+        (encode_jpeg(img, "444", 85)[0], jpeg_decoder),
+        (encode_jpeg_arith(img, "420", 75)[0], jpeg_decoder),
+    ]
+    for payload, dec in cases:
+        rgb = decode_rgb(payload)
+        assert rgb.dtype == np.uint8 and rgb.shape == (16, 24, 3)
+        hist = _color_cube_hist(rgb.reshape(-1, 3).astype(np.int64), 27)
+        assert np.array_equal(hist, dec(payload, 27))
+    # PPM round-trips losslessly at pixel level
+    assert np.array_equal(decode_rgb(ppm), img)
+
+
+def test_pixel_resizer_real_resample(spark):
+    """pixel_resizer: nearest-neighbor exactness, budget fit, P6 closure
+    (resized output re-enters decode_rgb), and the resize_media plumbing."""
+    from melody_join_spark.operators.multimodal import (
+        decode_rgb,
+        pixel_resizer,
+        resize_media,
+    )
+
+    yy, xx = np.mgrid[0:40, 0:60]
+    img = np.stack(
+        [(xx * 255) // 59, (yy * 255) // 39, ((xx * yy) % 256)], -1
+    ).astype(np.uint8)
+    ppm = b"P6\n60 40\n255\n" + img.tobytes()
+    out = pixel_resizer(ppm, 1024)
+    assert len(out) <= 1024
+    small = decode_rgb(out)
+    th, tw = small.shape[:2]
+    assert th < 40 and tw < 60
+    ys = (np.arange(th) * 40) // th
+    xs = (np.arange(tw) * 60) // tw
+    assert np.array_equal(small, img[ys][:, xs])  # exact NN resample
+    # already-small inputs re-encode without resampling
+    tiny = pixel_resizer(ppm, 10**6)
+    assert np.array_equal(decode_rgb(tiny), img)
+    # plumbing: resize_media with the real resizer updates length + meta
+    from melody_join_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(
+        [(7, "x.ppm", "image", bytearray(ppm), len(ppm), None)], MEDIA_SCHEMA
+    )
+    row = resize_media(df, target_bytes=1024, resizer=pixel_resizer).collect()[0]
+    assert row.content_length <= 1024
+    assert decode_rgb(bytes(row.content)).shape == (th, tw, 3)
