@@ -599,6 +599,42 @@ def _q_generate_media_video(spark, sf_dir):
     return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
 
 
+MEDIA_WAV_DIR = "/root/repo/fixtures/media/wav"
+MEDIA_AUDIO_BANDS = 16
+MEDIA_AUDIO_THETA = 2.0  # band-index units; 27 fixture pairs pass
+
+
+def _q_generate_media_audio(spark, sf_dir):
+    """SPECTRAL-audio Generate->Join (round-9: feature-extract at
+    frequency depth, beyond the amplitude histogram): the committed WAV
+    corpus is decoded by multimodal.wav_spectral_decoder — channel-mean
+    mono mix, 256-sample frames, per-frame |rfft|^2, frame-mean,
+    equal-width pooling into 16 frequency bands — and the clips joined
+    under exact 1-D EMD over the band axis (pitch distance, literally).
+    Oracle: all-pairs fixture whose features come from an INDEPENDENT
+    direct-DFT re-implementation (explicit cos/sin matmuls — a different
+    algorithm family than the engine's FFT; they agree to ~1e-15, inside
+    the 6-dp EMD rounding's knife-edge guard) + the SSP solver."""
+    from melody_join_spark.operators.multimodal import (
+        read_binary_dir,
+        wav_spectral_decoder,
+    )
+
+    media = read_binary_dir(spark, MEDIA_WAV_DIR).withColumn(
+        "media_id",
+        F.regexp_extract(F.col("path"), r"clip_(\d+)\.wav", 1).cast("long"),
+    )
+    hist = generate_histograms(
+        spark, media=media, bins=MEDIA_AUDIO_BANDS,
+        decoder=wav_spectral_decoder,
+    )
+    import numpy as np
+
+    band_pts = np.arange(MEDIA_AUDIO_BANDS, dtype=np.float64).reshape(-1, 1)
+    res = emd_join_nd(hist, band_pts, MEDIA_AUDIO_THETA, strategy="grid")
+    return res.withColumn("emd", F.round("emd", 6)).orderBy("rid", "sid")
+
+
 USER_THETA = 1.0  # behavior-histogram EMD threshold (value-bucket units)
 
 
@@ -1238,7 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generate_media_png": _q_generate_media_png,
         "generate_media_jpeg": _q_generate_media_jpeg,
         "generate_media_jpeg2": _q_generate_media_jpeg2,
-        "redact_pii": _q_redact_pii,
+        "generate_media_audio": _q_generate_media_audio,
         "sample_corpus": _q_sample_corpus,
         "dedup_exact": _q_exact_dedup,
         "emd_knn_big": _q_emd_knn_big,
@@ -1258,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "corpus_stats_cube": _q_corpus_stats_cube,
         "chunk_documents": _q_chunk_documents,
+        "redact_pii": _q_redact_pii,
     }
 
 
@@ -1275,14 +1312,15 @@ ROTATION_TAILS: dict[int, tuple[str, ...]] = {
         "redact_pii", "sample_corpus", "build_vocab"),
     8: ("events_asof", "events_range_incidents", "events_rollup",
         "dedup_exact", "dedupe_corpus", "split_corpus"),
-    # round 9 grew the registry to 58: generate_media_jpeg_arith and
-    # generate_media_video enter the driver window in corpus_stats_cube's
-    # and chunk_documents' old slots so both NEW decode paths get
-    # driver-hash-gated immediately; the displaced pair (tailed r7, so not
-    # consecutive) joins the tail, now 8 entries
+    # round 9 grew the registry to 59: generate_media_jpeg_arith,
+    # generate_media_video and generate_media_audio enter the driver window
+    # in corpus_stats_cube's, chunk_documents' and redact_pii's old slots
+    # so all three NEW decode paths get driver-hash-gated immediately; the
+    # displaced trio (each tailed r7, so not consecutive) joins the tail,
+    # now 9 entries
     9: ("events_window_hourly", "events_sessionize", "emd_user_behavior",
         "emd_knn_2d", "dedup_winnow", "dedup_clusters", "corpus_stats_cube",
-        "chunk_documents"),
+        "chunk_documents", "redact_pii"),
 }
 
 
@@ -1682,6 +1720,10 @@ WHERE emd <= {MEDIA_JPEG_ARITH_THETA} + 1e-4 ORDER BY rid, sid""",
 SELECT rid, sid, round(emd, 6) + 0 AS emd
 FROM read_parquet('/root/repo/fixtures/media_video_pairs.parquet')
 WHERE emd <= {MEDIA_VIDEO_THETA} + 1e-4 ORDER BY rid, sid""",
+        "generate_media_audio": f"""
+SELECT rid, sid, round(emd, 6) + 0 AS emd
+FROM read_parquet('/root/repo/fixtures/media_audio_pairs.parquet')
+WHERE emd <= {MEDIA_AUDIO_THETA} + 1e-4 ORDER BY rid, sid""",
         "text_features": text_features_oracle_sql(),
         "quality_filter": f"""
 WITH qf AS ({quality_filter_oracle_sql()})

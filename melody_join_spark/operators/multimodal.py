@@ -65,6 +65,7 @@ __all__ = [
     "png_decoder",
     "jpeg_decoder",
     "wav_pcm_decoder",
+    "wav_spectral_decoder",
     "sniff_decoder",
     "lenient_sniff_decoder",
     "fake_decode_image",
@@ -1328,15 +1329,15 @@ def _jpeg_decode_arith(d: bytes, bins: int) -> np.ndarray:
     return _jpeg_planes_to_hist(planes, comps, hmax, vmax, h, w, bins)
 
 
-def wav_pcm_decoder(content: bytes, bins: int) -> np.ndarray:
-    """REAL sample-level audio feature extractor for uncompressed WAV
-    (RIFF, 16-bit PCM) — pure numpy RIFF chunk walk, no codec library.
-    Returns the L1-normalized amplitude histogram: bucket =
-    (sample + 32768) * bins >> 16 over all channels' samples."""
+def _wav_samples(content: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE chunk walk -> (interleaved int64 samples, n_channels).
+    16-bit PCM only (anything else raises UnsupportedMediaFormatError —
+    the codec hook); shared by the amplitude and spectral extractors so
+    the two feature spaces can never disagree on parsing."""
     if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     i, ln = 12, len(content)
-    fmt_ok = False
+    n_channels = 0
     data = None
     while i + 8 <= ln:
         cid = content[i : i + 4]
@@ -1350,17 +1351,67 @@ def wav_pcm_decoder(content: bytes, bins: int) -> np.ndarray:
                     f"unsupported WAV (fmt={audio_fmt}, bits={bits}); "
                     "only 16-bit PCM is codec-free"
                 )
-            fmt_ok = True
+            n_channels = max(int.from_bytes(body[2:4], "little"), 1)
         elif cid == b"data":
             data = body
         i += 8 + sz + (sz & 1)  # chunks are word-aligned
-    if not fmt_ok or data is None:
+    if n_channels == 0 or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     s = np.frombuffer(data, dtype="<i2", count=len(data) // 2).astype(np.int64)
+    return s, n_channels
+
+
+def wav_pcm_decoder(content: bytes, bins: int) -> np.ndarray:
+    """REAL sample-level audio feature extractor for uncompressed WAV
+    (RIFF, 16-bit PCM) — pure numpy RIFF chunk walk, no codec library.
+    Returns the L1-normalized amplitude histogram: bucket =
+    (sample + 32768) * bins >> 16 over all channels' samples."""
+    s, _ = _wav_samples(content)
     if s.size == 0:
         return np.zeros(bins)
     hist = np.bincount((s + 32768) * bins >> 16, minlength=bins).astype(np.float64)
     return hist / hist.sum()
+
+
+# spectral frame length: 256 samples (32 ms at 8 kHz) — short enough that
+# the fixture clips (500-2000 samples) contribute several frames, long
+# enough for 129 rfft bins to pool meaningfully into the band histogram
+AUDIO_SPECTRAL_FRAME = 256
+
+
+def wav_spectral_decoder(content: bytes, bins: int) -> np.ndarray:
+    """FREQUENCY-domain audio feature extractor for uncompressed WAV —
+    the feature-extract upgrade over :func:`wav_pcm_decoder`'s amplitude
+    histogram (two clips with identical loudness but different pitch are
+    indistinguishable there; here they are far apart).  Pipeline, all
+    numpy float64 and fully deterministic: channel-mean mono mix ->
+    non-overlapping rectangular frames of ``AUDIO_SPECTRAL_FRAME``
+    samples (tail remainder dropped; shorter clips zero-pad one frame) ->
+    per-frame power spectrum |rfft|^2 -> frame-mean -> equal-width band
+    pooling of the F/2+1 rfft bins into ``bins`` bands -> L1 normalize.
+    Verified against an INDEPENDENT direct-DFT (O(n^2) cos/sin matmul)
+    re-implementation in the fixture oracle — a different algorithm
+    family than the FFT, agreeing to ~1e-15, absorbed by the gate's 6-dp
+    EMD rounding with a knife-edge guard."""
+    s, nch = _wav_samples(content)
+    if s.size == 0:
+        return np.zeros(bins)
+    usable = (s.size // nch) * nch
+    mono = s[:usable].reshape(-1, nch).mean(axis=1)
+    n = mono.size
+    fl = AUDIO_SPECTRAL_FRAME
+    if n < fl:
+        pad = np.zeros(fl)
+        pad[:n] = mono
+        frames = pad.reshape(1, fl)
+    else:
+        frames = mono[: (n // fl) * fl].reshape(-1, fl)
+    power = (np.abs(np.fft.rfft(frames, axis=1)) ** 2).mean(axis=0)
+    band = (np.arange(power.size) * bins) // power.size
+    hist = np.zeros(bins)
+    np.add.at(hist, band, power)
+    tot = hist.sum()
+    return hist / tot if tot > 0 else hist
 
 
 def sniff_decoder(content: bytes, bins: int) -> np.ndarray:

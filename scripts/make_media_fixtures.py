@@ -180,6 +180,84 @@ def main() -> None:
     frac = np.abs((e * 1e6) % 1 - 0.5)
     print("  min |frac-0.5| at 6dp:", frac.min())
 
+    # --- spectral-audio oracle (round-9): same WAV corpus, frequency space
+    out_audio = os.path.join(_FIXDIR, "media_audio_pairs.parquet")
+    sh = []
+    for i in range(12):
+        with open(os.path.join(WAV_DIR, f"clip_{i:03d}.wav"), "rb") as f:
+            sh.append(spectral_feature_dft(f.read(), AUDIO_BANDS))
+    WS = np.array(sh)
+    # ground: L1 distance between band indices (1-D frequency axis)
+    bidx = np.arange(AUDIO_BANDS, dtype=np.float64).reshape(-1, 1)
+    CA = np.abs(bidx - bidx.T)
+    rida, sida, emda = [], [], []
+    for i in range(12):
+        for j in range(i + 1, 12):
+            rida.append(i)
+            sida.append(j)
+            emda.append(ssp_emd(WS[i], WS[j], CA))
+    pq.write_table(
+        pa.table(
+            {
+                "rid": pa.array(rida, type=pa.int64()),
+                "sid": pa.array(sida, type=pa.int64()),
+                "emd": pa.array(emda, type=pa.float64()),
+            }
+        ),
+        out_audio,
+    )
+    ea = np.array(emda)
+    print(f"wrote {out_audio}: {len(ea)} pairs, range "
+          f"[{ea.min():.4f}, {ea.max():.4f}]")
+    for th in (0.5, 1.0, 2.0, 3.0, 4.0):
+        print(f"  pairs <= {th}+1e-4: {(ea <= th + 1e-4).sum()}")
+    fraca = np.abs((ea * 1e6) % 1 - 0.5)
+    print("  min |frac-0.5| at 6dp:", fraca.min())
+
+
+AUDIO_BANDS = 16
+_SPECTRAL_FRAME = 256  # must match multimodal.AUDIO_SPECTRAL_FRAME
+
+
+def spectral_feature_dft(wav: bytes, bins: int) -> np.ndarray:
+    """INDEPENDENT re-implementation of the engine's spectral feature:
+    same pipeline (channel-mean mono, 256-sample rectangular frames,
+    per-frame power spectrum, frame mean, equal-width band pooling, L1
+    normalize) but the transform is a DIRECT DFT — explicit cos/sin
+    matmuls, a different algorithm family than numpy's FFT, so agreement
+    is evidence, not tautology.  Parsing is its own struct walk too."""
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    i = 12
+    nch, data = 1, b""
+    while i + 8 <= len(wav):
+        cid = wav[i:i + 4]
+        sz = struct.unpack("<I", wav[i + 4:i + 8])[0]
+        if cid == b"fmt ":
+            nch = max(struct.unpack("<H", wav[i + 10:i + 12])[0], 1)
+        elif cid == b"data":
+            data = wav[i + 8:i + 8 + sz]
+        i += 8 + sz + (sz & 1)
+    s = np.frombuffer(data, "<i2").astype(np.float64)
+    usable = (s.size // nch) * nch
+    mono = s[:usable].reshape(-1, nch).mean(axis=1)
+    fl = _SPECTRAL_FRAME
+    if mono.size < fl:
+        pad = np.zeros(fl)
+        pad[:mono.size] = mono
+        frames = pad.reshape(1, fl)
+    else:
+        frames = mono[: (mono.size // fl) * fl].reshape(-1, fl)
+    k = np.arange(fl // 2 + 1).reshape(-1, 1)
+    t = np.arange(fl).reshape(1, -1)
+    ang = 2.0 * np.pi * k * t / fl
+    re = frames @ np.cos(ang).T
+    im = frames @ -np.sin(ang).T
+    power = (re**2 + im**2).mean(axis=0)
+    band = (np.arange(power.size) * bins) // power.size
+    hist = np.zeros(bins)
+    np.add.at(hist, band, power)
+    return hist / hist.sum()
+
 
 if __name__ == "__main__":
     main()

@@ -201,8 +201,8 @@ def test_registry_rotation_policy():
     import __spark_entry__ as em
 
     names = list(em.queries())
-    # 58 since round 9 (generate_media_jpeg_arith + generate_media_video)
-    assert len(names) == len(set(names)) == 58
+    # 59 since round 9 (generate_media_jpeg_arith/_video/_audio)
+    assert len(names) == len(set(names)) == 59
     # every registered query has been INSIDE the window in at least one of
     # the last two recorded rounds
     hist = em.ROTATION_TAILS

@@ -807,3 +807,56 @@ def test_pixel_resizer_real_resample(spark):
     row = resize_media(df, target_bytes=1024, resizer=pixel_resizer).collect()[0]
     assert row.content_length <= 1024
     assert decode_rgb(bytes(row.content)).shape == (th, tw, 3)
+
+
+def test_wav_spectral_decoder_pitch_and_oracle():
+    """Spectral features separate pitch where amplitude histograms cannot:
+    two equal-amplitude sines at different frequencies get near-identical
+    amplitude histograms but disjoint spectral mass; and the engine's FFT
+    pipeline agrees with the fixture's independent direct-DFT to ~1e-15."""
+    import os
+    import struct
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    from make_media_fixtures import spectral_feature_dft
+
+    from melody_join_spark.operators.multimodal import (
+        wav_pcm_decoder,
+        wav_spectral_decoder,
+    )
+
+    def wav(freq, n=1024, nch=1):
+        t = np.arange(n)
+        s = 0.7 * np.sin(2 * np.pi * freq * t)
+        pcm = np.clip(s * 32767, -32768, 32767).astype("<i2")
+        pcm = np.repeat(pcm, nch).astype("<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, nch, 8000, 16000 * nch, 2 * nch, 16)
+        ch = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        ch += b"data" + struct.pack("<I", len(pcm)) + pcm
+        return b"RIFF" + struct.pack("<I", 4 + len(ch)) + b"WAVE" + ch
+
+    # both frequencies sample their sine densely (periods of 50 and 12.5
+    # samples), so the amplitude DISTRIBUTIONS are the same arcsine shape
+    lo, hi = wav(0.02), wav(0.08)
+    amp_gap = float(np.abs(wav_pcm_decoder(lo, 16) - wav_pcm_decoder(hi, 16)).sum())
+    sp_lo, sp_hi = wav_spectral_decoder(lo, 16), wav_spectral_decoder(hi, 16)
+    spec_gap = float(np.abs(sp_lo - sp_hi).sum())
+    assert amp_gap < 0.1           # amplitude space: nearly identical
+    assert spec_gap > 1.9          # frequency space: essentially disjoint
+    # mass lands in the right band: freq f -> rfft bin f*256 -> band
+    assert sp_lo.argmax() == int(0.02 * 256) * 16 // 129
+    assert sp_hi.argmax() == int(0.08 * 256) * 16 // 129
+    # independent direct-DFT oracle agreement (different algorithm family)
+    for w_ in (lo, hi, wav(0.11, n=777, nch=2)):
+        assert float(
+            np.abs(wav_spectral_decoder(w_, 16) - spectral_feature_dft(w_, 16)).max()
+        ) < 1e-12
+    # stereo mono-mix: duplicated channels give the same feature as mono
+    assert np.allclose(
+        wav_spectral_decoder(wav(0.11, nch=2), 16),
+        wav_spectral_decoder(wav(0.11, nch=1), 16),
+        atol=1e-12,
+    )
