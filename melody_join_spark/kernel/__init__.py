@@ -28,6 +28,8 @@ from .bounds import (
     dual_bound_pairs,
     greedy_flow_upper,
     indmin_bound,
+    indmin_bound_pairs,
+    is_metric_cost,
     projection_bound_pairs,
     projection_positions,
     reduction_bound,
@@ -63,6 +65,8 @@ __all__ = [
     "dual_bound_pairs",
     "greedy_flow_upper",
     "indmin_bound",
+    "indmin_bound_pairs",
+    "is_metric_cost",
     "projection_bound_pairs",
     "projection_positions",
     "reduction_bound",

@@ -38,6 +38,8 @@ __all__ = [
     "ReductionMap",
     "reduction_bound",
     "indmin_bound",
+    "indmin_bound_pairs",
+    "is_metric_cost",
     "greedy_flow_upper",
 ]
 
@@ -210,6 +212,69 @@ def reduction_bound(rmap: ReductionMap, ra: np.ndarray, rb: np.ndarray) -> float
 # ---------------------------------------------------------------------------
 # Independent-minimization bound (closed form over net flows)
 # ---------------------------------------------------------------------------
+
+def is_metric_cost(cost: np.ndarray, tol: float = 1e-12) -> bool:
+    """True when ``cost`` is a metric: symmetric, non-negative, zero
+    diagonal, and triangle inequality C[i,j] <= min_k C[i,k] + C[k,j].
+
+    O(B^3) one-time driver-side check (B is the bin count, so ~4k ops at
+    B=16).  Used to soundly enable the netted IndMin stage for ARBITRARY
+    cost matrices: netting (cancelling common mass) preserves the EMD only
+    when an optimal plan ships no common mass, which the zero diagonal +
+    triangle inequality guarantee — exactly the precondition the pivot
+    strategy already imposes (its hyperplane windows assume a metric,
+    MRSimJoinHD.java:379-390 analog)."""
+    C = np.asarray(cost, dtype=np.float64)
+    if C.ndim != 2 or C.shape[0] != C.shape[1]:
+        return False
+    if (C < -tol).any():
+        return False
+    if np.abs(np.diag(C)).max(initial=0.0) > tol:
+        return False
+    if np.abs(C - C.T).max(initial=0.0) > tol:
+        return False
+    through = (C[:, :, None] + C[None, :, :]).min(axis=1)
+    return bool((C <= through + tol).all())
+
+
+def indmin_bound_pairs(
+    weights: np.ndarray,
+    cost: np.ndarray,
+    li: np.ndarray,
+    ri: np.ndarray,
+) -> np.ndarray:
+    """Vectorized :func:`indmin_bound` over candidate pair blocks: the netted
+    surplus at each bin must travel at least to that pair's cheapest deficit
+    bin (max of both directions).  Dense masked-min formulation — O(B^2) per
+    pair as ONE numpy pass per sub-block instead of a Python loop of sparse
+    gathers (the scalar form's interpreter cost dominates at B<=64).
+
+    Sub-blocked so the (K, B, B) masked-cost temporary stays ~32 MB."""
+    W = weights
+    C = np.asarray(cost, dtype=np.float64)
+    B = C.shape[0]
+    n = li.size
+    out = np.empty(n, dtype=np.float64)
+    step = max(1, (1 << 22) // (B * B))
+    for s in range(0, n, step):
+        ls = li[s : s + step]
+        rs = ri[s : s + step]
+        D = W[ls] - W[rs]  # (K, B) net flow
+        pos = np.maximum(D, 0.0)
+        neg = np.maximum(-D, 0.0)
+        # min cost from every bin to any DEFICIT bin of the pair (axis 2),
+        # and to any SURPLUS bin (for the reverse direction)
+        masked_def = np.where((neg > 0.0)[:, None, :], C[None, :, :], np.inf)
+        min_to_def = masked_def.min(axis=2)  # (K, B)
+        masked_sur = np.where((pos > 0.0)[:, None, :], C[None, :, :], np.inf)
+        min_to_sur = masked_sur.min(axis=2)  # (K, B)
+        # 0 * inf guards: bins with zero surplus contribute nothing even
+        # when the pair has no deficit at all (identical rows)
+        fwd = np.einsum("kb,kb->k", pos, np.where(pos > 0.0, min_to_def, 0.0))
+        bwd = np.einsum("kb,kb->k", neg, np.where(neg > 0.0, min_to_sur, 0.0))
+        out[s : s + step] = np.maximum(fwd, bwd)
+    return out
+
 
 def indmin_bound(a: np.ndarray, b: np.ndarray, cost: np.ndarray) -> float:
     """Each unit of *net surplus* at bin i must travel to some *deficit* bin:

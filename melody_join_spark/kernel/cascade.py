@@ -22,6 +22,8 @@ from .bounds import (
     DualPotentials,
     ReductionMap,
     dual_bound_pairs,
+    indmin_bound_pairs,
+    is_metric_cost,
     projection_bound_pairs,
     reduction_bound,
     rubner_bound,
@@ -75,16 +77,18 @@ class EmdCascade:
     normal_stats: list = field(default_factory=list)
     # Minkowski exponent of the ground distance (1, 2 or 3), or None for an
     # ARBITRARY cost matrix (DistanceType parity, DistanceUtil.java:440-474).
-    # None disables the centroid/Rubner stage, the d=1 CDF closed form AND
-    # the IndMin stage: the first two assume |x-y|-shaped geometry, and the
-    # netted IndMin bound (surplus->deficit direct arcs after common-mass
-    # cancellation) is a valid lower bound only for METRIC costs — for an
-    # arbitrary matrix the full LP can route common mass more cheaply than
-    # any netted plan, so the "bound" could exceed true EMD and falsely
-    # dismiss pairs (the reference's getIndMinEmd, DistanceUtil.java:148-182,
-    # relaxes the un-netted LP and stays sound; our netted form trades that
-    # generality for a vectorizable gather).  The dual / reduction / exact
-    # stages are cost-matrix-generic.
+    # None disables the centroid/Rubner stage and the d=1 CDF closed form
+    # (both assume |x-y|-shaped geometry).  The netted IndMin bound
+    # (surplus->deficit direct arcs after common-mass cancellation) is a
+    # valid lower bound only for METRIC costs — for a general matrix the
+    # full LP can route common mass more cheaply than any netted plan, so
+    # the "bound" could exceed true EMD and falsely dismiss pairs (the
+    # reference's getIndMinEmd, DistanceUtil.java:148-182, relaxes the
+    # un-netted LP and stays sound; our netted form trades that generality
+    # for vectorization) — so IndMin runs for Minkowski grounds and for
+    # arbitrary matrices that PASS the one-time is_metric_cost check
+    # (__post_init__), and stays off otherwise.  The dual / reduction /
+    # exact stages are cost-matrix-generic.
     rubner_ord: float | None = 2
 
     def __post_init__(self):
@@ -106,6 +110,10 @@ class EmdCascade:
                 self.normal_stats.append((mu, sigma, err))
         self._indmin_on = True
         self._reduction_on = True
+        # netted-IndMin soundness gate: Minkowski grounds are metrics by
+        # construction; an arbitrary matrix earns the stage by passing the
+        # one-time O(B^3) metric check (symmetric, zero diagonal, triangle)
+        self._metric_cost = self.rubner_ord is not None or is_metric_cost(self.cost)
         # row-group ids: identical (normalized) histograms share a group, so
         # the exact stage can memoize one LP per DISTINCT pair — dup-heavy
         # data (the LLM-dedup regime; 33% dup rate measured on the sf0.1 d=2
@@ -232,33 +240,56 @@ class EmdCascade:
         # 148-182 / NEProcessReducer.java:195-266 cascade order): each
         # pair's net surplus must travel at least to its cheapest deficit
         # bin.  Runs BEFORE the reduction stage (cheap->expensive invariant:
-        # sparse submatrix gathers vs an LP per pair).  ADAPTIVE: the stage
+        # O(B^2) masked mins vs an LP per pair).  ADAPTIVE: the stage
         # self-disables when a probe block prunes <0.5% of survivors — on
         # workloads where Rubner/normal/projection/dual already caught
-        # everything indmin can see, paying O(|support|^2) per pair for
-        # nothing is the wrong trade.  Skipped on the d=1 fast path — there
-        # the final stage is already a vectorized closed form — and for
-        # ARBITRARY cost matrices, where the netted form is unsound (see
-        # rubner_ord docstring).
+        # everything indmin can see, paying O(B^2) per pair for nothing is
+        # the wrong trade.  Skipped on the d=1 fast path — there the final
+        # stage is already a vectorized closed form.  The netted form needs
+        # an optimal plan that ships no common mass, which any METRIC
+        # ground guarantees — so it runs for Minkowski grounds AND for
+        # arbitrary matrices that pass the one-time is_metric_cost check
+        # (the reference's getIndMinEmd relaxes the un-netted LP instead
+        # and stays general; the netted form trades that for vectorization,
+        # see rubner_ord docstring).
         if (
             self._line is None
             and li.size
             and self._indmin_on
-            and self.rubner_ord is not None
+            and self._metric_cost
         ):
-            PROBE = 1024
-            keep = np.ones(li.size, dtype=bool)
-            probe_n = min(PROBE, li.size)
-            for k in range(probe_n):
-                if self._indmin_pairs(li[k], ri[k]) > thr:
-                    keep[k] = False
-            probe_pruned = int((~keep[:probe_n]).sum())
-            if probe_pruned < max(1, probe_n // 200) and li.size > probe_n:
-                self._indmin_on = False  # not earning its keep on this data
+            if self.cost.shape[0] <= 64:
+                # dense vectorized path: one masked-min pass per block
+                PROBE_V = 8192
+                probe_n = min(PROBE_V, li.size)
+                lb = indmin_bound_pairs(self.weights, self.cost, li[:probe_n], ri[:probe_n])
+                keep_p = lb <= thr
+                probe_pruned = int((~keep_p).sum())
+                if probe_pruned < max(1, probe_n // 200) and li.size > probe_n:
+                    self._indmin_on = False  # not earning its keep
+                    keep = np.ones(li.size, dtype=bool)
+                    keep[:probe_n] = keep_p
+                else:
+                    lb_rest = indmin_bound_pairs(
+                        self.weights, self.cost, li[probe_n:], ri[probe_n:]
+                    )
+                    keep = np.concatenate([keep_p, lb_rest <= thr])
             else:
-                for k in range(probe_n, li.size):
+                # wide histograms: sparse per-pair gathers beat a dense
+                # (K, B, B) temporary
+                PROBE = 1024
+                keep = np.ones(li.size, dtype=bool)
+                probe_n = min(PROBE, li.size)
+                for k in range(probe_n):
                     if self._indmin_pairs(li[k], ri[k]) > thr:
                         keep[k] = False
+                probe_pruned = int((~keep[:probe_n]).sum())
+                if probe_pruned < max(1, probe_n // 200) and li.size > probe_n:
+                    self._indmin_on = False  # not earning its keep
+                else:
+                    for k in range(probe_n, li.size):
+                        if self._indmin_pairs(li[k], ri[k]) > thr:
+                            keep[k] = False
             st.pruned_indmin += int((~keep).sum())
             li, ri = li[keep], ri[keep]
 

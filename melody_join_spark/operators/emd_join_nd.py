@@ -40,6 +40,7 @@ closure — the DistributedCache side files of the reference
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 from dataclasses import dataclass, field
 
@@ -1242,6 +1243,20 @@ def _pivot_join(
         rec.count(),  # cached by the pivot sample above: metadata-cheap
     )
     with_d = rec_in.mapInPandas(dists_part, dist_schema)
+    if os.environ.get("MJS_PIVOT_PROFILE"):
+        # dev-only phase split: materialize the assignment stage alone so a
+        # profiler can separate its wall from the window join's (the persist
+        # changes the plan, so never on by default)
+        import time as _time
+
+        with_d = with_d.persist()
+        _t0 = _time.time()
+        _n = with_d.count()
+        print(
+            f"[pivot-profile] assignment stage: {_time.time() - _t0:.2f}s "
+            f"({_n} rows, P={P})",
+            flush=True,
+        )
 
     # partition keys: base partition (b, b) always; window (i, j), i<j, when
     # the hyperplane rule admits a cross-boundary match with that pivot
@@ -1267,6 +1282,11 @@ def _pivot_join(
     )
 
     def join_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        _prof = os.environ.get("MJS_PIVOT_PROFILE")
+        if _prof:
+            import time as _time
+
+            _t0 = _time.time()
         empty = pd.DataFrame({"rid": [], "sid": [], "emd": []}).astype(
             {"rid": "int64", "sid": "int64", "emd": "float64"}
         )
@@ -1276,6 +1296,8 @@ def _pivot_join(
         grp = int(pdf["grp"].iloc[0])
         gi, gj = divmod(grp, P)
         casc = _cascade_for(W, cfg)
+        if _prof:
+            _t_setup = _time.time() - _t0
         # candidate generation via a sorted window on centroid dim 0: the
         # Rubner contraction means a qualifying partner lies within reach on
         # every centroid dim, so pairs outside the dim-0 window never
@@ -1328,8 +1350,17 @@ def _pivot_join(
         if gi == gj:
             keep = ids[ri] > ids[li]  # unordered pairs once
             li, ri = li[keep], ri[keep]
+        if _prof:
+            _t_cand = _time.time() - _t0 - _t_setup
         if li.size == 0:
+            if _prof:
+                print(
+                    f"[join-prof] grp={grp} n={ids.size} cand=0 "
+                    f"setup={_t_setup:.3f} gen={_t_cand:.3f} casc=0.000",
+                    flush=True,
+                )
             return empty
+        _n_cand = li.size
         if stats is not None:
             from ..kernel import CascadeStats
 
@@ -1338,6 +1369,13 @@ def _pivot_join(
             stats.update(st)
         else:
             li, ri, emds = casc.run(li, ri, theta, slack=cfg.slack)
+        if _prof:
+            _t_casc = _time.time() - _t0 - _t_setup - _t_cand
+            print(
+                f"[join-prof] grp={grp} n={ids.size} cand={_n_cand} "
+                f"setup={_t_setup:.3f} gen={_t_cand:.3f} casc={_t_casc:.3f}",
+                flush=True,
+            )
         return _emit_pairs(ids, li, ri, emds)
 
     # pin the task count: same CPU-quadratic-groups-vs-byte-based-AQE

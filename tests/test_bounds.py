@@ -17,6 +17,8 @@ from melody_join_spark.kernel import (
     greedy_flow_upper,
     ground_distance_matrix,
     indmin_bound,
+    indmin_bound_pairs,
+    is_metric_cost,
     normalize,
     projection_bound_pairs,
     projection_positions,
@@ -90,6 +92,48 @@ def test_indmin_bound_is_lower_bound():
     for k in range(0, LI.size, 13):
         lb = indmin_bound(W[LI[k]], W[RI[k]], COST)
         assert lb <= FLAT_EXACT[k] + TOL
+
+
+def test_indmin_bound_pairs_matches_scalar():
+    lb = indmin_bound_pairs(W, COST, LI, RI)
+    for k in range(LI.size):
+        assert lb[k] == pytest.approx(indmin_bound(W[LI[k]], W[RI[k]], COST), abs=1e-12)
+
+
+def test_indmin_bound_pairs_identical_rows_zero():
+    li = np.array([0, 1, 2])
+    lb = indmin_bound_pairs(W, COST, li, li)
+    assert (lb == 0.0).all()
+
+
+def test_indmin_bound_pairs_arbitrary_metric_sound():
+    # sqrt of an L1 lattice distance: a genuine metric that is no Minkowski
+    # norm — the exact gate the pivot join's arbitrary-cost path uses
+    diff = np.abs(BIN_PTS[:, None, :] - BIN_PTS[None, :, :])
+    C = np.sqrt(diff.sum(axis=2))
+    assert is_metric_cost(C)
+    lb = indmin_bound_pairs(W, C, LI, RI)
+    for k in range(0, LI.size, 7):
+        ex = emd_exact(W[LI[k]], W[RI[k]], C)
+        assert lb[k] <= ex + TOL
+
+
+def test_is_metric_cost_rejects_non_metrics():
+    # squared euclidean violates the triangle inequality
+    diff = BIN_PTS[:, None, :] - BIN_PTS[None, :, :]
+    C2 = (diff**2).sum(axis=2)
+    assert not is_metric_cost(C2)
+    # asymmetric
+    C = COST.copy()
+    C[0, 1] += 1.0
+    assert not is_metric_cost(C)
+    # nonzero diagonal
+    C = COST.copy()
+    C[3, 3] = 0.5
+    assert not is_metric_cost(C)
+    # metric ones pass
+    assert is_metric_cost(COST)
+    assert is_metric_cost(ground_distance_matrix(BIN_PTS.ravel(), D, "l1"))
 
 
 def test_greedy_flow_is_upper_bound():
