@@ -1327,22 +1327,47 @@ def _pivot_join(
             li = np.repeat(anchors, cnt)
             ri = pool_sorted[np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])]
         else:
-            # arbitrary (metric) cost: no centroid window — enumerate the
-            # in-partition block, then the PIVOT-SPACE triangle screen
-            # (LAESA): lb(a,b) = max_p |d(a,p) - d(b,p)| over pivots exact
-            # on both sides.  The per-record pivot distances are already
-            # paid for by the assignment stage; this one vectorized max
-            # removes the bulk of the block before any cascade/LP work
-            # (measured: the sf0.1 sqrt(L1) query went from not finishing
-            # in 300 s to seconds).
-            li = np.repeat(anchors, pool.size)
-            ri = np.tile(pool, anchors.size)
+            # arbitrary (metric) cost: no centroid geometry, but the SAME
+            # sorted-window shape as the Minkowski branch applies on the
+            # pivot-gi distance axis — every row of this group carries an
+            # EXACT distance to pivot gi (group admission required
+            # dists[gi] finite), and |d(a,P_gi) - d(b,P_gi)| <= theta is
+            # necessary for any qualifying pair (triangle inequality).  So
+            # candidates come from a searchsorted window instead of the
+            # full anchors x pool block (measured: 14.5M block pairs ->
+            # the window's near-survivor set at sf0.1, and the block
+            # materialization was the join stage's largest allocation).
+            # The remaining pivots then screen the window's survivors: the
+            # full LAESA max lb(a,b) = max_p |d(a,p) - d(b,p)| over pivots
+            # exact on BOTH sides, in fixed-size chunks so the temporaries
+            # stay cache-warm instead of one giant cold allocation.
             Dp = np.stack(pdf["dists"].to_numpy()).astype(np.float64)  # (n, P)
+            key = Dp[:, gi]
+            if np.isfinite(key).all():
+                pool_sorted = pool[np.argsort(key[pool], kind="stable")]
+                pcs = key[pool_sorted]
+                lo = np.searchsorted(pcs, key[anchors] - (theta + cfg.slack), side="left")
+                hi = np.searchsorted(pcs, key[anchors] + (theta + cfg.slack), side="right")
+                cnt = hi - lo
+                if cnt.sum() == 0:
+                    return empty
+                li = np.repeat(anchors, cnt)
+                ri = pool_sorted[np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])]
+            else:
+                # defensive: the admission rule guarantees finiteness, but a
+                # full block enumeration stays correct if it ever breaks
+                li = np.repeat(anchors, pool.size)
+                ri = np.tile(pool, anchors.size)
             ok = np.isfinite(Dp)
-            with np.errstate(invalid="ignore"):  # inf-inf slots masked below
-                diffs = np.abs(Dp[li] - Dp[ri])
-            diffs[~(ok[li] & ok[ri])] = 0.0
-            keep = diffs.max(axis=1) <= theta + cfg.slack
+            keep = np.empty(li.size, dtype=bool)
+            step = max(1, (1 << 22) // max(P, 1))
+            reach_pair = theta + cfg.slack
+            for s in range(0, li.size, step):
+                ls, rs = li[s : s + step], ri[s : s + step]
+                with np.errstate(invalid="ignore"):  # inf-inf slots masked
+                    diffs = np.abs(Dp[ls] - Dp[rs])
+                diffs[~(ok[ls] & ok[rs])] = 0.0
+                keep[s : s + step] = diffs.max(axis=1) <= reach_pair
             if stats is not None:
                 stats.add("laesa_considered", li.size)
                 stats.add("laesa_survivors", int(keep.sum()))
