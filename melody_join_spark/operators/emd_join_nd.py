@@ -595,7 +595,16 @@ def emd_join_nd(
         if n_probe <= small_probe:
             strategy = "bruteforce"
         elif minkowski_g is None:
-            strategy = "pivot" if not two_table else "bruteforce"
+            # the pivot plan's hyperplane windows assume the triangle
+            # inequality — a non-metric matrix silently drops qualifying
+            # pairs there, so auto only picks pivot for VERIFIED metrics
+            # and falls back to the sound block join otherwise
+            from ..kernel.bounds import is_metric_cost
+
+            if two_table or (cfg is not None and not is_metric_cost(cfg.cost)):
+                strategy = "bruteforce"
+            else:
+                strategy = "pivot"
         else:
             strategy = "grid"
 
@@ -604,6 +613,22 @@ def emd_join_nd(
     if strategy == "pivot":
         if two_table:
             raise ValueError("pivot strategy supports self-joins only")
+        if cfg.rubner_ord is None:
+            # refuse loudly instead of silently dropping pairs: the
+            # hyperplane window rule (and the LAESA screens) are sound only
+            # under the triangle inequality.  The reference assumes the
+            # caller hands it a metric (MRSimJoinHD's partitioning has the
+            # same unchecked precondition); a one-time O(B^3) check makes
+            # the contract enforceable here.
+            from ..kernel.bounds import is_metric_cost
+
+            if not is_metric_cost(cfg.cost):
+                raise ValueError(
+                    "pivot strategy requires a METRIC ground cost "
+                    "(symmetric, zero diagonal, triangle inequality) — "
+                    "this matrix violates it; use strategy='bruteforce' "
+                    "for a general cost matrix"
+                )
         # persist: the pivot sample (orderBy+limit collect) and the
         # assignment mapInPandas each consume rec — without the boundary the
         # upstream (histogram build at sf-scale) executes twice

@@ -113,6 +113,52 @@ def test_arbitrary_cost_matrix(spark, hist_df):
         emd_join_nd(hist_df, pts, theta, strategy="grid", ground=C).collect()
 
 
+def test_pivot_refuses_non_metric_matrix(spark, hist_df):
+    """The pivot plan's hyperplane windows assume the triangle inequality;
+    a non-metric matrix (squared L2 here) must raise instead of silently
+    dropping qualifying pairs."""
+    pts = _lattice()
+    C2 = ground_distance_matrix(pts.ravel(), dimension=2, ground="l2") ** 2
+    with pytest.raises(ValueError, match="METRIC"):
+        emd_join_nd(hist_df, pts, 0.8, strategy="pivot", ground=C2)
+
+
+def test_auto_routes_non_metric_to_bruteforce(spark, monkeypatch):
+    """strategy='auto' with an arbitrary matrix must pick pivot only for
+    VERIFIED metrics and fall back to the sound block join otherwise.
+    Routing is asserted directly (the physical joins are stubbed): the
+    metric branch only engages above the small-input probe (512 rows), so
+    the input is 600 rows."""
+    import melody_join_spark.operators.emd_join_nd as m
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(600):
+        w = np.zeros(9)
+        for j in rng.choice(9, 3, replace=False):
+            w[j] = float(rng.integers(1, 9))
+        rows.append((i, w.tolist()))
+    df = spark.createDataFrame(rows, "id long, w array<double>")
+    pts = _lattice()
+    Cm = np.sqrt(ground_distance_matrix(pts.ravel(), dimension=2, ground="l1"))
+    C2 = ground_distance_matrix(pts.ravel(), dimension=2, ground="l2") ** 2
+
+    chosen: list[str] = []
+    sentinel = spark.createDataFrame([], "rid long, sid long, emd double")
+    monkeypatch.setattr(
+        m, "_block_bruteforce", lambda *a, **k: chosen.append("bruteforce") or sentinel
+    )
+    monkeypatch.setattr(
+        m, "_pivot_join", lambda *a, **k: chosen.append("pivot") or sentinel
+    )
+
+    emd_join_nd(df, pts, 0.5, strategy="auto", ground=C2)
+    assert chosen == ["bruteforce"]  # non-metric: pivot would be unsound
+    chosen.clear()
+    emd_join_nd(df, pts, 0.5, strategy="auto", ground=Cm)
+    assert chosen == ["pivot"]  # verified metric: the scalable plan
+
+
 @pytest.mark.parametrize("ground", ["l1", "l3"])
 def test_projection_scaling_sound(ground):
     """Hoelder-scaled projected 1-D EMD must lower-bound the Minkowski EMD
