@@ -476,12 +476,18 @@ def _derive_grid(n: int, d: int) -> int:
 
 
 def _derive_pivots(n: int, arbitrary_cost: bool) -> int:
-    """Auto pivot count ~ sqrt(N): fit to the tuned sf0.1 constants
-    (24 at N=5793 Minkowski, 48 arbitrary).  Arbitrary costs get ~2x the
-    pivots — the LAESA triangle screen is their ONLY geometric filter, and
-    each extra pivot is one O(1)-per-pair max while sharpening the bound."""
-    div = 1.6 if arbitrary_cost else 3.0
-    return int(np.clip(round(np.sqrt(float(max(n, 4))) / div), 8, 128))
+    """Auto pivot count ~ sqrt(N)/3: fit to the tuned sf0.1 constant
+    (24 at N=5793).  Arbitrary costs used to get ~2x the pivots (the LAESA
+    triangle screen was their only strong pair filter); since the
+    metric-verified IndMin cascade stage took over that screening work the
+    measured optimum matches the Minkowski constant — sf0.1 sweep,
+    min-of-2 interleaved, identical outputs: P=16 27.5s / P=24 13.6s /
+    P=32 17.5s / P=48 17.7s / P=64 21.3s.  Each pivot costs ~one exact LP
+    per record in the assignment stage (97.9% of (record, pivot) slots
+    fall inside the window cut at the bench theta), so excess pivots now
+    buy little and pay linearly."""
+    del arbitrary_cost  # one curve fits both since the IndMin stage landed
+    return int(np.clip(round(np.sqrt(float(max(n, 4))) / 3.0), 8, 128))
 
 
 def _derive_cell_cap(n: int, n_part: int) -> int:
@@ -1196,6 +1202,17 @@ def _pivot_join(
                         EX[rr, jn] = es
                         d_near[rr] = np.minimum(d_near[rr], es)
                         ptr[rr] += 1
+                    # window distances (static LB: Minkowski bounds don't
+                    # tighten from solves): exactness only needed where a
+                    # cross-boundary match is possible
+                    cut_w = d_near[:, None] + 2.0 * reach
+                    need = (LB <= cut_w) & np.isnan(EX)
+                    rr, jj = np.nonzero(need)
+                    if rr.size:
+                        EX[rr, jj] = emd_exact_pairs_memo(
+                            Wall, cfg.cost, rr, n + jj, grp_all, memo,
+                            sup=sup_all, cnt=cnt_all, n_groups=ngrp,
+                        )
                 else:
                     # arbitrary (metric) cost: no centroid geometry, but the
                     # pivot-pivot matrix gives LAESA bounds — each solved
@@ -1206,12 +1223,26 @@ def _pivot_join(
                     # round-3 behavior (all n*P LPs, the reference's own
                     # cost, CloudJoinBaseMapper.java:81-196) with ~a few
                     # LPs per record.
+                    # ONE loop covers both the nearest-pivot search and the
+                    # window distances: round t solves each record's
+                    # cheapest-lb unsolved pivot, every solve tightens all
+                    # its unsolved slots via |d(r,p) - PP[p,q]| <= d(r,q),
+                    # and a record stops when that bound exceeds the DYNAMIC
+                    # window cut d_near + 2*reach (pivots past it can never
+                    # admit a cross-boundary match).  Solving cheapest-first
+                    # under the shrinking cut is strictly cheaper than the
+                    # former two-phase shape (d_near loop + one bulk solve
+                    # of every slot under the INITIAL cut): each solved slot
+                    # can push later slots past the cut before they are
+                    # paid for.
                     LB = np.zeros((n, P))
                     while True:
                         masked = np.where(np.isnan(EX), LB, np.inf)
                         jn_all = masked.argmin(axis=1)
                         lb_next = masked[rows_n, jn_all]
-                        go = np.isfinite(lb_next) & (lb_next <= d_near)
+                        go = np.isfinite(lb_next) & (
+                            lb_next <= d_near + 2.0 * reach
+                        )
                         if not go.any():
                             break
                         rr = np.flatnonzero(go)
@@ -1227,17 +1258,19 @@ def _pivot_join(
                             LB[rr] = np.maximum(
                                 LB[rr], np.abs(es[:, None] - PP[jn])
                             )
-                # window distances: exactness only needed where a
-                # cross-boundary match is possible (lb <= d_near + 2*reach)
-                cut = d_near[:, None] + 2.0 * reach
-                need = (LB <= cut) & np.isnan(EX)
-                rr, jj = np.nonzero(need)
-                if rr.size:
-                    EX[rr, jj] = emd_exact_pairs_memo(
-                        Wall, cfg.cost, rr, n + jj, grp_all, memo,
-                        sup=sup_all, cnt=cnt_all, n_groups=ngrp,
+                # solved slots keep their exact value (more finite
+                # coordinates for the join-time LAESA screen); unsolved
+                # slots have lb > d_near + 2*reach, so the true distance
+                # fails the hyperplane rule and +inf drops them for free.
+                # A solved slot whose exact exceeds the cut is equally
+                # dropped by the JVM rule, so membership is unchanged.
+                D = np.where(np.isnan(EX), np.inf, EX)
+                if os.environ.get("MJS_PIVOT_PROFILE"):
+                    print(
+                        f"[assign-prof] n={n} slots_solved="
+                        f"{int(np.isfinite(D).sum())} of {n * P}",
+                        flush=True,
                     )
-                D = np.where(LB <= cut, EX, np.inf)
             base = D.argmin(axis=1)
             yield pd.DataFrame(
                 {
