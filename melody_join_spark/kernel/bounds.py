@@ -218,7 +218,9 @@ def is_metric_cost(cost: np.ndarray, tol: float = 1e-12) -> bool:
     diagonal, and triangle inequality C[i,j] <= min_k C[i,k] + C[k,j].
 
     O(B^3) one-time driver-side check (B is the bin count, so ~4k ops at
-    B=16).  Used to soundly enable the netted IndMin stage for ARBITRARY
+    B=16); compute it ONCE on the driver and ship the verdict
+    (NdJoinConfig caches it — executors must not re-run this per group).
+    Used to soundly enable the netted IndMin stage for ARBITRARY
     cost matrices: netting (cancelling common mass) preserves the EMD only
     when an optimal plan ships no common mass, which the zero diagonal +
     triangle inequality guarantee — exactly the precondition the pivot
@@ -233,7 +235,12 @@ def is_metric_cost(cost: np.ndarray, tol: float = 1e-12) -> bool:
         return False
     if np.abs(C - C.T).max(initial=0.0) > tol:
         return False
-    through = (C[:, :, None] + C[None, :, :]).min(axis=1)
+    # running min over intermediate k keeps peak memory O(B^2) instead of
+    # materializing the (B, B, B) broadcast (hundreds of MB at B in the
+    # low hundreds)
+    through = np.full_like(C, np.inf)
+    for k in range(C.shape[0]):
+        np.minimum(through, C[:, k, None] + C[None, k, :], out=through)
     return bool((C <= through + tol).all())
 
 
@@ -268,10 +275,23 @@ def indmin_bound_pairs(
         min_to_def = masked_def.min(axis=2)  # (K, B)
         masked_sur = np.where((pos > 0.0)[:, None, :], C[None, :, :], np.inf)
         min_to_sur = masked_sur.min(axis=2)  # (K, B)
-        # 0 * inf guards: bins with zero surplus contribute nothing even
-        # when the pair has no deficit at all (identical rows)
-        fwd = np.einsum("kb,kb->k", pos, np.where(pos > 0.0, min_to_def, 0.0))
-        bwd = np.einsum("kb,kb->k", neg, np.where(neg > 0.0, min_to_sur, 0.0))
+        # One-sided net flow (surplus bins but NO deficit bins, or the
+        # reverse — rounding-ulp different normalizations of near-identical
+        # rows): the masked min stays +inf for every bin, and pos * inf
+        # would propagate an inf "bound" that falsely prunes the pair.  The
+        # scalar indmin_bound returns 0.0 there (no deficit -> nothing to
+        # ship); match it by zeroing the non-finite mins, which also covers
+        # the identical-rows 0 * inf guard.
+        fwd = np.einsum(
+            "kb,kb->k",
+            pos,
+            np.where((pos > 0.0) & np.isfinite(min_to_def), min_to_def, 0.0),
+        )
+        bwd = np.einsum(
+            "kb,kb->k",
+            neg,
+            np.where((neg > 0.0) & np.isfinite(min_to_sur), min_to_sur, 0.0),
+        )
         out[s : s + step] = np.maximum(fwd, bwd)
     return out
 

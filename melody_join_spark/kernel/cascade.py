@@ -90,6 +90,12 @@ class EmdCascade:
     # (__post_init__), and stays off otherwise.  The dual / reduction /
     # exact stages are cost-matrix-generic.
     rubner_ord: float | None = 2
+    # Precomputed metric verdict for the cost matrix (driver-side, see
+    # is_metric_cost / NdJoinConfig.is_metric).  None = compute locally —
+    # a fallback for direct construction only; operator code MUST pass the
+    # cached verdict so executors don't re-run the O(B^3) check per
+    # applyInPandas group (ADVICE round 9).
+    metric_cost: bool | None = None
 
     def __post_init__(self):
         self.weights = np.asarray(self.weights, dtype=np.float64)
@@ -113,7 +119,11 @@ class EmdCascade:
         # netted-IndMin soundness gate: Minkowski grounds are metrics by
         # construction; an arbitrary matrix earns the stage by passing the
         # one-time O(B^3) metric check (symmetric, zero diagonal, triangle)
-        self._metric_cost = self.rubner_ord is not None or is_metric_cost(self.cost)
+        # — precomputed on the driver when metric_cost is provided
+        if self.metric_cost is not None:
+            self._metric_cost = bool(self.metric_cost)
+        else:
+            self._metric_cost = self.rubner_ord is not None or is_metric_cost(self.cost)
         # row-group ids: identical (normalized) histograms share a group, so
         # the exact stage can memoize one LP per DISTINCT pair — dup-heavy
         # data (the LLM-dedup regime; 33% dup rate measured on the sf0.1 d=2

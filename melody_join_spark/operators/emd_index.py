@@ -325,6 +325,7 @@ def emd_index_search(
                 duals=cfg.duals,
                 reductions=cfg.reductions,
                 rubner_ord=cfg.rubner_ord,
+                metric_cost=cfg.metric_cost,
             )
             li_parts, ri_parts = [], []
             for qi in range(nq):

@@ -142,6 +142,23 @@ class NdJoinConfig:
     # cost matrix (DistanceType parity).  None disables every centroid- and
     # projection-geometry screen (see EmdCascade.rubner_ord).
     rubner_ord: float | None = 2
+    # Cached metric verdict for ``cost`` — computed ONCE on the driver
+    # (build_config) and closure-shipped, so executors never re-run the
+    # O(B^3) triangle check per applyInPandas group (ADVICE round 9).
+    metric_cost: bool | None = None
+
+    def is_metric(self) -> bool:
+        """Metric verdict for the ground cost, cached on first use.
+
+        ``build_config`` fills the cache eagerly on the driver; the lazy
+        path exists only for configs constructed directly (tests)."""
+        if self.metric_cost is None:
+            from ..kernel.bounds import is_metric_cost
+
+            self.metric_cost = (
+                self.rubner_ord is not None or is_metric_cost(self.cost)
+            )
+        return self.metric_cost
 
 
 def build_config(
@@ -226,9 +243,11 @@ def build_config(
         ReductionMap(cost, reduced=min(reduced_dim, cost.shape[0]), seed=seed + k)
         for k in range(num_reductions)
     ]
-    return NdJoinConfig(
+    cfg = NdJoinConfig(
         bin_points, cost, projs, duals, reductions, slack, rubner_ord=minkowski
     )
+    cfg.is_metric()  # fill the cached verdict driver-side before shipping
+    return cfg
 
 
 # ---------------------------------------------------------------------------
@@ -253,6 +272,7 @@ def _cascade_for(weights: np.ndarray, cfg: NdJoinConfig) -> EmdCascade:
         duals=cfg.duals,
         reductions=cfg.reductions,
         rubner_ord=cfg.rubner_ord,
+        metric_cost=cfg.metric_cost,
     )
 
 
@@ -605,9 +625,7 @@ def emd_join_nd(
             # inequality — a non-metric matrix silently drops qualifying
             # pairs there, so auto only picks pivot for VERIFIED metrics
             # and falls back to the sound block join otherwise
-            from ..kernel.bounds import is_metric_cost
-
-            if two_table or (cfg is not None and not is_metric_cost(cfg.cost)):
+            if two_table or (cfg is not None and not cfg.is_metric()):
                 strategy = "bruteforce"
             else:
                 strategy = "pivot"
@@ -626,9 +644,7 @@ def emd_join_nd(
             # caller hands it a metric (MRSimJoinHD's partitioning has the
             # same unchecked precondition); a one-time O(B^3) check makes
             # the contract enforceable here.
-            from ..kernel.bounds import is_metric_cost
-
-            if not is_metric_cost(cfg.cost):
+            if not cfg.is_metric():
                 raise ValueError(
                     "pivot strategy requires a METRIC ground cost "
                     "(symmetric, zero diagonal, triangle inequality) — "

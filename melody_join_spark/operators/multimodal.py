@@ -11,21 +11,31 @@ tested.  Decoders, all codec-free and deterministic:
 - ``png_decoder``   — REAL pixel-level color-cube histograms for PNG (the
   one compressed format whose codec is stdlib zlib: IDAT inflate + numpy
   scanline unfilter; 8-bit gray/RGB/palette/alpha variants)
-- ``jpeg_decoder``  — REAL pixel-level color-cube histograms for huffman
-  JPEG, BASELINE and PROGRESSIVE (pure python/numpy entropy decode +
-  dequant + IDCT + chroma upsample + YCbCr->RGB; gray / 4:4:4 / 4:2:0,
-  restart intervals; SOF2 multi-scan coefficient accumulation with
-  spectral selection, successive approximation and EOB-runs; each
-  hash-gated against an independent encoder's expected decode)
+- ``jpeg_decoder``  — REAL pixel-level color-cube histograms for JPEG:
+  BASELINE, PROGRESSIVE and ARITHMETIC-coded (SOF9) (pure python/numpy
+  entropy decode — Huffman or the ITU-T T.81 QM-coder — + dequant + IDCT +
+  chroma upsample + YCbCr->RGB; gray / 4:4:4 / 4:2:0, restart intervals;
+  SOF2 multi-scan coefficient accumulation with spectral selection,
+  successive approximation and EOB-runs; each hash-gated against an
+  independent encoder's expected decode, the SOF9 path additionally
+  three-way validated against the system libjpeg)
+- ``avi_mjpeg_decoder`` — REAL video: RIFF/AVI chunk walk, strided frame
+  sampling, Annex-K DHT splice for headerless MJPEG frames, per-frame JPEG
+  decode via the path above
 - ``wav_pcm_decoder`` — REAL sample-level amplitude histograms for RIFF/WAV
   16-bit PCM (pure-numpy chunk walk)
+- ``wav_spectral_decoder`` — REAL spectral-band energy histograms
+  (numpy rFFT, validated against an independent direct-DFT oracle)
 - ``byte_histogram_decoder`` — byte-distribution fallback for any payload
 - ``sniff_decoder`` — magic-byte dispatch across the above
 - ``fake=True``     — seeded pseudo-histogram stand-in for recall tests
 
-A production codec-backed callable (PIL/ffmpeg/librosa for MP3/video/
-arithmetic-coded JPEG) plugs into ``decoder=`` unchanged — those formats
-are the one remaining integration point in this codec-less container.
+A production codec-backed callable (PIL/ffmpeg/librosa) plugs into
+``decoder=`` unchanged — exercised end-to-end by
+tests/test_jpeg_oracle.py's libjpeg-backed decoder, which hash-matches the
+pure-python pipeline on the committed JPEG corpora.  Only MP3 and
+non-MJPEG video codecs remain external integration points in this
+codec-less container.
 
 This replaces the reference's generator input stack (HIPI bundles / Lire
 feature extractors, SURVEY.md §2.1 S6, src/com/iojin/melody/Generate.java:
@@ -1487,10 +1497,12 @@ def decode_features(
     ``bins``) via Arrow-batched ``mapInPandas``.
 
     Default decoder is :func:`byte_histogram_decoder` — a real deterministic
-    extractor over raw payload bytes.  STUB BOUNDARY: modality-aware codec
-    decoding (JPEG pixels, PCM frames, ...) needs a codec-backed ``decoder``
-    callable; no image/audio libraries exist in this container, so that hook
-    is the declared integration point, not shipped code.  ``fake=True``
+    extractor over raw payload bytes.  Shipped pure-python decoders cover
+    PPM/PNG/JPEG (baseline+progressive+arithmetic)/WAV/AVI-MJPEG (module
+    docstring); a codec-backed ``decoder`` callable drops in unchanged for
+    throughput (~100-200x, SCALE.md round 10) or for the remaining external
+    formats (MP3, non-MJPEG video) — the swap is exercised end-to-end by
+    tests/test_jpeg_oracle.py's libjpeg-backed decoder.  ``fake=True``
     selects the seeded pseudo-histogram stand-in used by recall tests.
     """
     if decoder is None:

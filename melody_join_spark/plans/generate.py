@@ -7,7 +7,8 @@ per-image feature histograms (16 Lire extractors, utils/GenerateUtil.java:
 44-60), and write the histogram dataset the Join entry consumes.
 
 Here: Spark ``binaryFile`` source -> Arrow-batched decode/feature UDF
-(operators/multimodal.py; codec stubbed, plumbing real) -> (id, w)
+(operators/multimodal.py; pure-python PPM/PNG/JPEG/WAV/AVI decoders, with
+a proven codec-backed ``decoder=`` swap — SCALE.md round 10) -> (id, w)
 DataFrame -> optional reference-format text sink (sources/histogram_text).
 The output feeds ``emd_join_nd`` / ``emd_threshold_join`` directly — the
 same generate->join flow as the reference, minus HIPI/Lire.
@@ -40,8 +41,10 @@ def generate_histograms(
 
     Exactly one of ``input_path`` (a directory for the binaryFile source) or
     ``media`` (a MEDIA_SCHEMA-shaped DataFrame) must be given.  ``decoder``
-    is the real codec hook; ``fake=True`` uses the deterministic stand-in
-    (no codec libs in this container — multimodal.py STUB BOUNDARY).
+    is the codec hook — pure-python decoders ship in multimodal.py and a
+    codec-backed callable swaps in unchanged (proven end-to-end,
+    tests/test_jpeg_oracle.py); ``fake=True`` uses the deterministic
+    stand-in used by recall tests.
     """
     if (input_path is None) == (media is None):
         raise ValueError("pass exactly one of input_path or media")

@@ -16,6 +16,7 @@
 #include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
+#include <time.h>
 #include <jpeglib.h>
 
 static unsigned char *read_all(const char *path, long *n) {
@@ -117,10 +118,51 @@ static int do_decode(int argc, char **argv) {
   return 0;
 }
 
+static int do_decodebench(int argc, char **argv) {
+  /* decodebench <in.jpg> <iters>: decode the file <iters> times and print
+   * "w h iters elapsed_ns" — isolates the codec's own throughput from the
+   * process-spawn overhead of the one-shot decode mode, so the measured
+   * pure-python-vs-codec Mpx/s ratio (SCALE.md) reflects the codecs, not
+   * fork+exec. */
+  long n;
+  unsigned char *jpg = read_all(argv[2], &n);
+  int iters = atoi(argv[3]);
+  int w = 0, h = 0;
+  struct timespec t0, t1;
+  clock_gettime(CLOCK_MONOTONIC, &t0);
+  for (int it = 0; it < iters; it++) {
+    struct jpeg_decompress_struct d;
+    struct jpeg_error_mgr jerr;
+    d.err = jpeg_std_error(&jerr);
+    jpeg_create_decompress(&d);
+    jpeg_mem_src(&d, jpg, n);
+    jpeg_read_header(&d, TRUE);
+    d.out_color_space = JCS_RGB;
+    jpeg_start_decompress(&d);
+    w = d.output_width; h = d.output_height;
+    unsigned char *out = malloc((size_t)w * h * 3);
+    if (!out) { fprintf(stderr, "malloc failed\n"); exit(2); }
+    while ((int)d.output_scanline < h) {
+      JSAMPROW rp = out + (long)d.output_scanline * w * 3;
+      jpeg_read_scanlines(&d, &rp, 1);
+    }
+    jpeg_finish_decompress(&d);
+    jpeg_destroy_decompress(&d);
+    free(out);
+  }
+  clock_gettime(CLOCK_MONOTONIC, &t1);
+  long long ns = (long long)(t1.tv_sec - t0.tv_sec) * 1000000000LL
+               + (t1.tv_nsec - t0.tv_nsec);
+  printf("%d %d %d %lld\n", w, h, iters, ns);
+  free(jpg);
+  return 0;
+}
+
 int main(int argc, char **argv) {
   if (argc >= 10 && strcmp(argv[1], "encode") == 0) return do_encode(argc, argv);
   if (argc >= 4 && strcmp(argv[1], "decode") == 0) return do_decode(argc, argv);
+  if (argc >= 4 && strcmp(argv[1], "decodebench") == 0) return do_decodebench(argc, argv);
   fprintf(stderr, "usage: encode w h mode q arith|huff restart in.raw out.jpg"
-                  " | decode in.jpg out.raw\n");
+                  " | decode in.jpg out.raw | decodebench in.jpg iters\n");
   return 1;
 }

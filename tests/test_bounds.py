@@ -106,6 +106,27 @@ def test_indmin_bound_pairs_identical_rows_zero():
     assert (lb == 0.0).all()
 
 
+def test_indmin_bound_pairs_one_sided_net_flow_zero():
+    # ADVICE round 9: rows equal except one bin nudged by an ulp have
+    # surplus bins but NO deficit bins (or vice versa) after the float
+    # subtraction — min-to-deficit is +inf and pos * inf used to propagate
+    # an inf "bound" that falsely pruned the near-duplicate pair.  The
+    # scalar form returns 0.0; the vectorized form must match.
+    a = W[0]
+    b = a.copy()
+    b[3] = np.nextafter(b[3], np.inf)  # b - a > 0 at bin 3 only
+    Wp = np.vstack([a, b])
+    li = np.array([0, 1])
+    ri = np.array([1, 0])
+    for C in (COST, np.sqrt(np.abs(BIN_PTS[:, None, :] - BIN_PTS[None, :, :]).sum(axis=2))):
+        lb = indmin_bound_pairs(Wp, C, li, ri)
+        assert np.isfinite(lb).all()
+        for k in range(li.size):
+            sc = indmin_bound(Wp[li[k]], Wp[ri[k]], C)
+            assert lb[k] == pytest.approx(sc, abs=1e-12)
+        assert (lb == 0.0).all()
+
+
 def test_indmin_bound_pairs_arbitrary_metric_sound():
     # sqrt of an L1 lattice distance: a genuine metric that is no Minkowski
     # norm — the exact gate the pivot join's arbitrary-cost path uses

@@ -263,3 +263,121 @@ def test_qm_codec_fuzz_roundtrip():
         assert got == [int(b) for b in bits], (
             f"case {case}: n_ctx={n_ctx} n_bits={n_bits} p1={p1:.3f}"
         )
+
+
+# ---------------------------------------------------------------------------
+# The codec-backed ``decoder=`` hook, exercised END-TO-END (round-9 VERDICT
+# next #1): the 100-TB media cost model names "swap a codec-backed decoder
+# into the same pipeline" as the mitigation for the ~1 Mpx/s/core
+# pure-python decode floor (SCALE.md round 9) — this proves the swap on the
+# real Spark pipeline (binaryFile -> generate_histograms -> emd_join_nd),
+# reference parity: the pluggable extractor registry at
+# utils/GenerateUtil.java:44-60.
+# ---------------------------------------------------------------------------
+
+def _libjpeg_decoder(oracle_path: str):
+    """Wrap the compiled libjpeg oracle binary (decode mode) as a
+    ``decoder=`` callable — the production codec-swap shape: any
+    (content, bins) -> histogram callable drops into
+    multimodal.decode_features unchanged.  One subprocess per image is the
+    dev-time transport; an in-process binding has the same signature."""
+
+    def decode(content: bytes, bins: int) -> np.ndarray:
+        import subprocess
+        import tempfile
+        from pathlib import Path as _P
+
+        with tempfile.TemporaryDirectory() as td:
+            jpg = _P(td) / "in.jpg"
+            raw = _P(td) / "out.raw"
+            jpg.write_bytes(bytes(content))
+            subprocess.run(
+                [oracle_path, "decode", str(jpg), str(raw)],
+                check=True,
+                capture_output=True,
+            )
+            blob = raw.read_bytes()
+        w = int.from_bytes(blob[0:4], "little")
+        h = int.from_bytes(blob[4:8], "little")
+        px = np.frombuffer(blob, np.uint8, w * h * 3, 8).reshape(-1, 3)
+        return _color_cube_hist(px.astype(np.int64), bins)
+
+    return decode
+
+
+# Per-corpus join thresholds for the swap-equivalence gate.  JPEG decode is
+# not bit-specified across implementations (T.81 only bounds IDCT accuracy;
+# libjpeg additionally applies fancy triangle-filter 4:2:0 chroma
+# upsampling where ours is nearest-neighbor), so near-identical pixels may
+# land one RGB-cube bucket apart: measured per-image feature L1 drift on
+# the committed corpora maxes at 0.19, and the induced per-pair EMD drift
+# at 0.086 lattice units.  A threshold sitting INSIDE that drift band of
+# some pair's EMD cannot give decoder-independent results for ANY pair of
+# codecs — so each gate theta is the midpoint of the widest gap in the
+# pooled (both decoders) pair-EMD spectrum over [0.3, 2.2], which keeps a
+# nontrivial result set while separating every pair from theta by more
+# than the observed drift.
+_HOOK_CORPORA = [
+    ("jpeg", 0.3366, 16),
+    ("jpeg2", 0.4597, 9),
+    ("jpeg_arith", 0.4935, 16),
+]
+_FIXTURE_MEDIA = Path(__file__).resolve().parent.parent / "fixtures" / "media"
+
+
+@pytest.mark.parametrize("corpus,theta,n_pairs", _HOOK_CORPORA)
+def test_codec_backed_decoder_hook_end_to_end(oracle, spark, corpus, theta, n_pairs):
+    """Plug the libjpeg-backed decoder into the SAME Spark pipeline the
+    committed media queries run (binaryFile scan -> generate_histograms ->
+    emd_join_nd) and require: (1) the hook runs distributed, (2) the join
+    result PAIR SET is hash-identical to the pure-python path at the
+    drift-separated theta, (3) per-pair EMD agreement within the measured
+    cross-codec bound, (4) per-image feature L1 within the measured
+    cross-codec bound."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from melody_join_spark.operators.emd_join_nd import emd_join_nd
+    from melody_join_spark.operators.multimodal import (
+        ppm_bin_points,
+        read_binary_dir,
+    )
+    from melody_join_spark.plans.generate import generate_histograms
+
+    media = read_binary_dir(spark, str(_FIXTURE_MEDIA / corpus)).withColumn(
+        "media_id",
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.jpg", 1).cast("long"),
+    ).persist()
+    results = {}
+    feats = {}
+    for name, dec in [
+        ("python", jpeg_decoder),
+        ("libjpeg", _libjpeg_decoder(str(oracle))),
+    ]:
+        hist = generate_histograms(spark, media=media, bins=27, decoder=dec).persist()
+        feats[name] = {r["id"]: np.asarray(r["w"]) for r in hist.collect()}
+        res = emd_join_nd(hist, ppm_bin_points(27), theta)
+        results[name] = {
+            (r["rid"], r["sid"]): r["emd"] for r in res.collect()
+        }
+        hist.unpersist()
+    media.unpersist()
+
+    # (4) feature drift within the measured cross-codec bound
+    assert set(feats["python"]) == set(feats["libjpeg"])
+    for mid in feats["python"]:
+        a = feats["python"][mid] / feats["python"][mid].sum()
+        b = feats["libjpeg"][mid] / feats["libjpeg"][mid].sum()
+        assert float(np.abs(a - b).sum()) <= 0.25, mid
+
+    # (2) pair-set hash equality
+    def pair_hash(r):
+        lines = "\n".join(f"{a},{b}" for a, b in sorted(r))
+        return hashlib.sha256(lines.encode()).hexdigest()
+
+    assert len(results["python"]) == n_pairs
+    assert pair_hash(results["python"]) == pair_hash(results["libjpeg"])
+    # (3) per-pair EMD agreement within the measured cross-codec drift
+    for k, e in results["python"].items():
+        assert abs(e - results["libjpeg"][k]) <= 0.1, k
