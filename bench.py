@@ -9,8 +9,10 @@ noisy neighbors, so single-shot wall-clock is not evidence.  The harness
 runs the whole query list until $SPARK_GRAFT_BENCH_RUNS runs with whole-run
 steal <= $SPARK_GRAFT_BENCH_STEAL_MAX (default 3 clean runs at <=0.5% —
 contended runs don't count toward the target but still feed the min), up to
-2*n+2 total runs or $SPARK_GRAFT_BENCH_BUDGET seconds (default 3000, a
-runaway backstop).  Reports each query's MIN across all runs as the
+2*n+2 total runs — extended to 2*(2n+2) while budget remains and the clean
+target is unmet — or $SPARK_GRAFT_BENCH_BUDGET seconds (default 3000, a
+runaway backstop).  If the target is still unmet the artifact carries
+clean_shortfall: true.  Reports each query's MIN across all runs as the
 headline number (the least-contended observation), and carries the per-run
 arrays plus per-run host busy/steal so regressions can be called on
 min-of-n with the contention context attached.
@@ -77,12 +79,29 @@ def main() -> None:
     # stopping rule.
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "3000"))
     steal_max = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "0.5"))
+    # Round-9 amendment: the old 2n+2 run cap bound BEFORE the budget on
+    # the r9 driver host (8 runs, only 2 clean, minutes of budget left), so
+    # while budget remains and the clean target is unmet the cap extends to
+    # a 2x-higher runaway ceiling; if even that (or the budget) runs out
+    # short of the target, the artifact says so explicitly
+    # (clean_shortfall: true) instead of looking like a met protocol.
     max_runs = 2 * n_runs + 2
+    hard_cap = 2 * max_runs
     clean_runs = 0
     t_start = time.time()
-    for r in range(max_runs):
+    r = -1
+    while True:
+        r += 1
         if clean_runs >= n_runs:
             break
+        if r >= hard_cap:
+            print(f"# bench run cap after {r} runs ({clean_runs} clean)",
+                  file=sys.stderr)
+            break
+        if r >= max_runs:
+            print(f"# extending past the {max_runs}-run cap "
+                  f"(only {clean_runs}/{n_runs} clean, budget remains)",
+                  file=sys.stderr)
         if r > 0 and time.time() - t_start > budget:
             print(f"# bench budget spent after {r} runs "
                   f"({clean_runs} clean)", file=sys.stderr)
@@ -141,6 +160,7 @@ def main() -> None:
                 "sf": sf_val,
                 "n_runs": len(busy_per_run),
                 "clean_runs": clean_runs,
+                "clean_shortfall": clean_runs < n_runs,
                 "steal_max_pct": steal_max,
                 "runs": runs,
                 "query_host_busy": query_busy,
@@ -161,6 +181,7 @@ def main() -> None:
                 "sf": sf_val,
                 "n_runs": len(busy_per_run),
                 "clean_runs": clean_runs,
+                "clean_shortfall": clean_runs < n_runs,
                 "steal_max_pct": steal_max,
                 "host_busy_per_run": busy_per_run,
                 "host_steal_per_run": steal_per_run,

@@ -1185,6 +1185,10 @@ def choose_similarity_method(
 IVF_MISS_AT_DERIVED = 0.058
 IVF_MISS_AT_DERIVED_LOW = 0.201
 IVF_MISS_ANCHOR_THRESHOLD = 0.4  # measured-anchor switch point
+# Lowest threshold with a measured recall anchor: below this the model
+# refuses to extrapolate (derive_nprobe escalates to exhaustive probing
+# unless the caller passes nprobe explicitly).
+IVF_MISS_MEASURED_FLOOR = 0.25
 
 
 def derive_nprobe(
@@ -1232,9 +1236,14 @@ def derive_nprobe(
     target-0.99 pick is nprobe 23, above the measured curve's 0.99
     crossing (nprobe 20 measured 0.99935): conservative.  Below theta
     0.25 the low anchor extrapolates UNMEASURED and in the optimistic
-    direction (miss at base grows as the threshold drops), so a loud
-    warning fires — at those thresholds prefer ``recall_target=1.0``
-    (exact below 10^6, exhaustive probing past it)."""
+    direction (miss at base grows as the threshold drops), so the model
+    REFUSES there (round-9 VERDICT next #5): a ``recall_target`` below
+    the lowest measured calibration point escalates straight to
+    exhaustive probing (the ``recall_target=1.0`` route — recall 1 by
+    construction) with a loud warning; a caller who wants a cheaper probe
+    count below theta 0.25 must pass ``nprobe`` explicitly, owning the
+    unmeasured recall.  The model never returns a silent extrapolated
+    number where it has been shown optimistic."""
     import math
     import warnings
 
@@ -1249,16 +1258,19 @@ def derive_nprobe(
         anchor = IVF_MISS_AT_DERIVED
     else:
         anchor = IVF_MISS_AT_DERIVED_LOW
-        if t < 0.25:
+        if t < IVF_MISS_MEASURED_FLOOR:
             warnings.warn(
                 f"derive_nprobe: threshold {threshold} is below the lowest "
-                "measured calibration point (0.25) — the recall_target "
-                "escalation extrapolates in the OPTIMISTIC direction here; "
-                "pass recall_target=1.0 (exact/exhaustive) if a missed "
-                "pair is a correctness bug.",
+                f"measured calibration point ({IVF_MISS_MEASURED_FLOOR}) — "
+                "the miss-decay model is unmeasured and optimistic here, "
+                "so the recall_target escalates to EXHAUSTIVE probing "
+                "(nprobe=nlist, the recall_target=1.0 route) instead of a "
+                "model pick.  Pass nprobe explicitly to choose a cheaper "
+                "probe count at your own (unmeasured) recall.",
                 UserWarning,
                 stacklevel=3,
             )
+            return max(nlist, 2)
     scale = math.log(max(1.0 - recall_target, 1e-12)) / math.log(anchor)
     return int(np.clip(math.ceil(base * max(scale, 1.0)), base, max(nlist, 2)))
 

@@ -6,9 +6,10 @@ names, and order-insensitive value multiset.  Exit nonzero on mismatch."""
 from __future__ import annotations
 
 import math
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _args = [
     a for a in sys.argv[1:]

@@ -20,10 +20,11 @@ Usage: python scripts/profile_streaming_floor.py [--repeats=2]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPEATS = 2
 for a in sys.argv[1:]:

@@ -11,10 +11,11 @@ Usage: python scripts/scale_knn_recall_100k.py
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DIR_100K = "/tmp/spark_graft_scale_emb100k"
 K = 10

@@ -31,13 +31,14 @@ Writes nothing; prints a markdown-ready table.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import urllib.request
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def task_summary(spark):

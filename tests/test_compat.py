@@ -3,6 +3,8 @@ reference deployment uses drives the Spark engine, for every method name."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -178,7 +180,7 @@ def test_generate_from_properties_ppm_pixel_features(spark, tmp_path):
     assert len(hist) > 50
     import glob
 
-    f = sorted(glob.glob("/root/repo/fixtures/media/ppm/*.ppm"))[0]
+    f = sorted(glob.glob(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures/media/ppm/*.ppm")))[0]
     with open(f, "rb") as fh:
         want = ppm_decoder(fh.read(), 27)
     # find the matching row by value (ids are path hashes here)
@@ -193,7 +195,7 @@ def test_registry_rotation_policy():
     driver-unverified indefinitely)."""
     import sys
 
-    sys.path.insert(0, "/root/repo/scripts")
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
     import check_correctness
 
     assert check_correctness.check_rotation() == []

@@ -1001,9 +1001,25 @@ def test_derive_nprobe_recall_target_properties():
     # anchor switch is continuous in ordering: harder threshold never
     # probes LESS for the same target
     assert derive_nprobe(141, 0.25, 0.99) >= derive_nprobe(141, 0.4, 0.99)
-    # below the lowest measured point: still monotone, but warns loudly
-    with pytest.warns(UserWarning, match="OPTIMISTIC"):
-        assert derive_nprobe(141, 0.1, 0.99) >= derive_nprobe(141, 0.1)
+    # below the lowest measured point the model REFUSES (round-9 VERDICT
+    # next #5): recall_target escalates straight to exhaustive probing
+    # (the recall_target=1.0 route), loudly — never a silent model number.
+    # A caller wanting a cheaper probe count there must pass nprobe
+    # explicitly (ivf_cosine_pairs(nprobe=...) bypasses derive_nprobe).
+    with pytest.warns(UserWarning, match="EXHAUSTIVE"):
+        assert derive_nprobe(141, 0.1, 0.99) == 141
+    with pytest.warns(UserWarning, match="EXHAUSTIVE"):
+        assert derive_nprobe(316, 0.2, 0.95) == 316
+    # the base derivation (no target) still returns the geometric pick —
+    # the refusal is about unmeasured RECALL PROMISES, not about running
+    # IVF at low thresholds per se
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert derive_nprobe(141, 0.1) >= 2
+    # at the measured floor itself the model still applies
+    assert derive_nprobe(141, 0.25, 0.99) == 23
 
 
 def test_choose_similarity_method_recall_target():

@@ -1,5 +1,7 @@
 """Histogram text source round-trip + multimodal plumbing tests."""
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -598,7 +600,7 @@ def test_jpeg_progressive_long_eob_runs():
 
     import numpy as np
 
-    sys.path.insert(0, "/root/repo/scripts")
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
     from make_jpeg_fixtures import encode_jpeg_progressive
     from make_media_fixtures import hist27
 
