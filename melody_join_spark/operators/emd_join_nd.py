@@ -1417,11 +1417,12 @@ def _pivot_join(
             # stay cache-warm instead of one giant cold allocation.
             Dp = np.stack(pdf["dists"].to_numpy()).astype(np.float64)  # (n, P)
             key = Dp[:, gi]
+            reach_w = theta + cfg.slack
             if np.isfinite(key).all():
                 pool_sorted = pool[np.argsort(key[pool], kind="stable")]
                 pcs = key[pool_sorted]
-                lo = np.searchsorted(pcs, key[anchors] - (theta + cfg.slack), side="left")
-                hi = np.searchsorted(pcs, key[anchors] + (theta + cfg.slack), side="right")
+                lo = np.searchsorted(pcs, key[anchors] - reach_w, side="left")
+                hi = np.searchsorted(pcs, key[anchors] + reach_w, side="right")
                 cnt = hi - lo
                 if cnt.sum() == 0:
                     return empty
@@ -1478,11 +1479,34 @@ def _pivot_join(
         return _emit_pairs(ids, li, ri, emds)
 
     # pin the task count: same CPU-quadratic-groups-vs-byte-based-AQE
-    # rationale as _grid_join (see comment there / SCALE.md skew section)
+    # rationale as _grid_join (see comment there / SCALE.md skew section).
+    # Round 10: the previous groupBy().applyInPandas shape forced the task
+    # count to spark.sql.shuffle.partitions, which packed ~P^2/2
+    # CPU-weighted groups into (cores) bins by hash — measured ~50%
+    # parallel efficiency at sf0.1 (234.8 core-s of group work, 32 tasks,
+    # 15-19 s of join-stage wall vs the 7.3 s ideal; worst group 6.8 s).
+    # repartition(4x, "grp") + mapInPandas with a partition-local groupby
+    # keeps whole-group locality (hash on grp) and hands the scheduler 4
+    # bins per core to pack — same results, no second exchange, and the
+    # task count no longer aliases the shuffle-partition knob.  Partition
+    # memory is bounded: the concat holds one partition's (id, w, base,
+    # dists) rows, ~P*P-th of total replicated rows per partition.
     spark = rec.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    expanded = expanded.repartition(n_part, "grp")
-    return expanded.groupBy("grp").applyInPandas(join_part, _PAIR_SCHEMA)
+    target = int(min(max(P * P, 1), 4 * n_part))
+    expanded = expanded.repartition(target, "grp")
+
+    def part_runner(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = [pdf for pdf in it if len(pdf)]
+        if not pdfs:
+            return
+        allp = pd.concat(pdfs, ignore_index=True)
+        for _, sub in allp.groupby("grp", sort=False):
+            out = join_part(sub.reset_index(drop=True))
+            if len(out):
+                yield out
+
+    return expanded.mapInPandas(part_runner, _PAIR_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
