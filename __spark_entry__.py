@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from melody_join_spark.operators.dedup import (
+    decontaminate_oracle_sql,
     dedupe,
     dedupe_incremental,
     dedupe_incremental_oracle_sql,
@@ -956,6 +957,31 @@ def _q_chunk_documents(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir)).orderBy("id", "chunk_id")
 
 
+DECON_N = 13       # the GPT-3 convention (appendix C): 13-gram overlap
+DECON_EVAL_MOD = 11  # every 11th doc donates a 50-word excerpt as an "eval prompt"
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (round 10, LLM-pipeline mandate): a
+    synthetic eval set — a 50-word excerpt (words 11-60) of every 11th
+    document — is checked against the FULL corpus for 13-gram overlap
+    (the GPT-3 leakage convention).  By construction each excerpt hits
+    its source document, plus any verbatim near-duplicate of it in the
+    corpus; output is the contaminated (train, eval) pair list with
+    distinct-shared-13-gram counts.  Oracle: the same construction in
+    DuckDB (string_split_regex / list-slicing twins of the JVM
+    split/slice expressions)."""
+    from melody_join_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    evals = docs.where(F.col("doc_id") % DECON_EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.array_join(F.slice(w, 11, 50), " ").alias("text"),
+    )
+    return decontaminate(docs, evals, n=DECON_N).orderBy("doc_id", "eval_id")
+
+
 def _q_redact_pii(spark, sf_dir):
     """PII scrub with per-type audit counts — codegen regex projection."""
     return redact_pii(_docs(spark, sf_dir)).orderBy("id")
@@ -1301,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_vocab": _q_build_vocab,
         "dedupe_corpus": _q_dedupe_corpus,
         "split_corpus": _q_split_corpus,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -1332,9 +1359,13 @@ ROTATION_TAILS: dict[int, tuple[str, ...]] = {
     # hash-stable queries that last tailed in r7/r8 — disjoint from the
     # r9 tail, so --check-rotation's consecutive-round guard holds and
     # every r9-tail query gets a driver-oracle hash this round
+    # decontaminate is NEW in round 10 and appended at the registry's end
+    # (position 60): it sits past the driver's 50-entry window this round
+    # (mirror + judge checks), entering the window on a later rotation
+    # like every other tail query
     10: ("events_asof", "events_range_incidents", "dedup_simhash",
          "events_rollup", "sample_corpus", "dedup_exact", "build_vocab",
-         "dedupe_corpus", "split_corpus"),
+         "dedupe_corpus", "split_corpus", "decontaminate"),
 }
 
 
@@ -1767,6 +1798,12 @@ FROM qf ORDER BY doc_id""",
         ),
         "dedup_embedding": _dedupe_embeddings_oracle(),
         "split_corpus": _split_corpus_oracle(),
+        "decontaminate": decontaminate_oracle_sql(
+            "SELECT doc_id AS eval_id, array_to_string("
+            "(string_split_regex(trim(lower(text)), '\\s+'))[11:60], ' ') "
+            f"AS text FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 0",
+            n=DECON_N,
+        ),
         "dedup_clusters": dup_clusters_oracle_sql(
             jaccard_pairs_oracle_sql(JACCARD_THETA, ngram=JACCARD_NGRAM),
             ids_sql="SELECT doc_id AS id FROM documents",

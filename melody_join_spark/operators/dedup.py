@@ -56,6 +56,9 @@ __all__ = [
     "simhash_pairs",
     "dedupe_incremental",
     "dedupe_incremental_oracle_sql",
+    "word_ngrams",
+    "decontaminate",
+    "decontaminate_oracle_sql",
     "dedupe_embeddings",
     "dedupe_embeddings_oracle_sql",
 ]
@@ -1290,3 +1293,99 @@ dropped AS (
 SELECT {id_col} FROM {docs_table}
 WHERE {id_col} NOT IN (SELECT id FROM dropped)
 ORDER BY {id_col}"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (cross-corpus n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-gram set: order-preserving windows over the
+    whitespace-token sequence of the lowercased text, space-joined.
+    Documents shorter than ``n`` words yield the empty set."""
+    w = F.split(F.lower(F.trim(text)), r"\s+")
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing at
+    least one word ``n``-gram with an evaluation document.
+
+    The GPT-3-style leakage check (13-gram overlap is the published
+    convention) that belongs next to dedup in any LLM data pipeline: eval
+    prompts that leaked into the crawl inflate benchmark scores unless the
+    overlapping training docs are dropped or scrubbed.  Output one row per
+    contaminated (train, eval) pair::
+
+        ({id_col} long, {eval_id_col} long, shared_ngrams long)
+
+    where ``shared_ngrams`` counts DISTINCT shared n-grams.  Drop or
+    redact policy is the caller's (join back on ``{id_col}``).
+
+    100-TB plan: the eval side is benchmark-sized (MBs), so its exploded
+    n-gram set is BROADCAST — the train side is one streaming scan
+    (project text -> generate n-grams -> map-side hash join), no shuffle
+    of training bytes at all; the only exchange is the output-sized
+    groupBy on (train id, eval id).  n-gram generation happens in JVM
+    codegen (split/transform/slice), no Python in the hot path."""
+    tg = train.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("_g"),
+    )
+    eg = eval_df.select(
+        F.col(eval_id_col).cast("long").alias(eval_id_col),
+        F.explode(word_ngrams(F.col(eval_text_col), n)).alias("_g"),
+    )
+    return (
+        tg.join(F.broadcast(eg), "_g")
+        .groupBy(id_col, eval_id_col)
+        .agg(F.count("*").alias("shared_ngrams"))
+    )
+
+
+def _duck_word_ngrams(text_col: str, n: int) -> str:
+    """DuckDB twin of :func:`word_ngrams` (list slicing is 1-based and
+    end-inclusive, so ``w[i:i+n-1]`` is the n-window at i)."""
+    w = f"string_split_regex(trim(lower({text_col})), '\\s+')"
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({w}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(({w})[i:i+{n - 1}], ' ')))"
+    )
+
+
+def decontaminate_oracle_sql(
+    eval_sql: str,
+    n: int = 13,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`decontaminate`; ``eval_sql`` is a SELECT
+    producing ``({eval_id_col}, {eval_text_col})``."""
+    tg = _duck_word_ngrams(text_col, n)
+    eg = _duck_word_ngrams(eval_text_col, n)
+    return f"""
+WITH ev AS ({eval_sql}),
+tg AS (SELECT {id_col}, unnest({tg}) AS g FROM {table}),
+eg AS (SELECT {eval_id_col}, unnest({eg}) AS g FROM ev)
+SELECT tg.{id_col}, eg.{eval_id_col}, count(*) AS shared_ngrams
+FROM tg JOIN eg USING (g)
+GROUP BY 1, 2 ORDER BY 1, 2"""

@@ -1154,3 +1154,40 @@ def test_cross_width_derivation(spark, emb):
     a = {(r.rid, r.sid) for r in cosine_pairs(emb, 0.25).collect()}
     b = {(r.rid, r.sid) for r in cosine_pairs(emb, 0.25, n=10**6).collect()}
     assert a and a == b
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """Benchmark decontamination (round 10): train docs sharing a 13-gram
+    with an eval prompt are flagged with the DISTINCT shared-gram count;
+    shorter overlaps and sub-n documents are not."""
+    from melody_join_spark.operators.dedup import decontaminate
+
+    words = [f"w{i}" for i in range(40)]
+    leaked = " ".join(words)                     # 40 words
+    partial = " ".join(words[:12]) + " zzz"      # only 12 shared in a row
+    clean = " ".join(f"x{i}" for i in range(40))
+    tiny = "a b c"                               # < n words: no grams
+    train = spark.createDataFrame(
+        [(1, leaked), (2, partial), (3, clean), (4, tiny),
+         (5, "pad " + leaked)],                  # shifted copy still shares
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, " ".join(words[5:25])),           # 20 words from the leak
+         (101, "q r s t u v w x y z q2 r2 s2")],  # 13 words, no overlap
+        "eval_id long, text string",
+    )
+    res = decontaminate(train, evals, n=13)
+    got = {(r.doc_id, r.eval_id): r.shared_ngrams for r in res.collect()}
+    # eval 100 has 20-13+1 = 8 distinct 13-grams, all inside docs 1 and 5
+    assert got == {(1, 100): 8, (5, 100): 8}
+
+    # pure-python cross-check of the count for doc 1 / eval 100
+    def grams(s, n=13):
+        w = s.lower().split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    assert len(grams(leaked) & grams(" ".join(words[5:25]))) == 8
+    # the eval side is broadcast: no shuffle of the train n-gram stream
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
