@@ -12,6 +12,9 @@ and streaming results agree (tested in tests/test_streaming.py):
 - ``streaming_near_dedup``     NEAR-dup matches of a document stream against
                                a static reference corpus (MinHash-LSH band
                                equi-join + exact shingle-Jaccard verify)
+- ``streaming_decontaminate``  per-document 13-gram overlap of a crawl
+                               stream against a broadcast eval set —
+                               stateless leak detection at ingest time
 - ``streaming_emd_lookup``     stream-static similarity lookup: each incoming
                                histogram joined against a broadcast reference
                                set under an EMD threshold (the reference's
@@ -43,6 +46,7 @@ __all__ = [
     "streaming_window_counts",
     "streaming_dedup",
     "streaming_near_dedup",
+    "streaming_decontaminate",
     "streaming_emd_lookup",
     "streaming_emd_join_nd",
     "streaming_sessionize",
@@ -299,6 +303,56 @@ def streaming_near_dedup(
         )
         .select("rid", event_time, "sid", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def streaming_decontaminate(
+    stream: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    event_time: str = "ts",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Stream-static benchmark decontamination: each incoming document is
+    checked against a STATIC eval set for word ``n``-gram overlap (the
+    GPT-3 13-gram leakage convention) and emits
+    ``(rid, {event_time}, {eval_id_col}, shared_ngrams)`` for every hit —
+    the ingest-time twin of :func:`..operators.dedup.decontaminate`, so a
+    crawl pipeline can drop or quarantine leaked documents before they
+    ever land in the corpus.
+
+    Plan: fully STATELESS — no watermark, no aggregation state.  Instead
+    of the batch plan's explode->join->groupBy (whose streaming form
+    needs aggregation state), each stream row keeps its DISTINCT n-gram
+    array and intersects it per eval row after a broadcast cross join:
+    ``size(array_intersect(doc_grams, eval_grams))`` is exactly the batch
+    plan's distinct-shared count, computed per (doc, eval) pair in one
+    codegen expression.  Cost per stream row is O(|eval set| x grams) —
+    the eval side is benchmark-sized by definition, and the whole eval
+    gram table ships once as a broadcast."""
+    from ..operators.dedup import word_ngrams
+
+    ev = eval_df.select(
+        F.col(eval_id_col).cast("long").alias(eval_id_col),
+        word_ngrams(F.col(eval_text_col), n).alias("_eg"),
+    ).where(F.size("_eg") > 0)
+    s = stream.select(
+        F.col(id_col).cast("long").alias("rid"),
+        F.col(event_time),
+        word_ngrams(F.col(text_col), n).alias("_tg"),
+    )
+    return (
+        s.crossJoin(F.broadcast(ev))
+        .select(
+            "rid",
+            event_time,
+            eval_id_col,
+            F.size(F.array_intersect("_tg", "_eg")).alias("shared_ngrams"),
+        )
+        .where(F.col("shared_ngrams") > 0)
     )
 
 

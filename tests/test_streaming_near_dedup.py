@@ -100,3 +100,48 @@ def test_streaming_near_dedup_matches_batch(spark, tmp_path, halves):
     }
     assert want, "fixture should contain stream-vs-ref near-dups"
     assert got == want
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path, halves):
+    """The stateless stream-static decontamination equals the batch
+    explode->join->groupBy operator pair for pair and count for count."""
+    from melody_join_spark.operators.dedup import decontaminate
+    from melody_join_spark.streaming import streaming_decontaminate
+
+    ref, new = halves
+    # eval set: 30-word excerpts of some reference docs (planted leakage
+    # into any stream doc that duplicates them)
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    evals = ref.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.array_join(F.slice(w, 3, 30), " ").alias("text"),
+    ).cache()
+
+    t0 = datetime.datetime(2026, 1, 1)
+    src = str(tmp_path / "decon_stream")
+    new.withColumn("ts", F.lit(t0).cast("timestamp")).repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_decontaminate(stream, evals, n=13)
+        .writeStream.format("memory")
+        .queryName("decon_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+    got = {
+        (r.rid, r.eval_id): r.shared_ngrams
+        for r in spark.sql("SELECT * FROM decon_stream").collect()
+    }
+    want = {
+        (r.doc_id, r.eval_id): r.shared_ngrams
+        for r in decontaminate(new, evals, n=13).collect()
+    }
+    assert want, "fixture should contain planted contamination"
+    assert got == want
+    evals.unpersist()
