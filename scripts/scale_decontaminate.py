@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""sf1-scale evidence for the round-10 decontaminate operator: x10 the
+sf0.1 documents table (50k docs, re-keyed replicas — text duplication is
+the realistic regime: leaked eval prompts recur across crawl copies) vs a
+~500-excerpt eval set, interleaved min-of-n, plan shape recorded.
+
+Usage: python scripts/scale_decontaminate.py [--repeats=2]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPEATS = 2
+for a in sys.argv[1:]:
+    if a.startswith("--repeats="):
+        REPEATS = int(a.split("=", 1)[1])
+
+SF01 = "/root/testdata/sf0.1"
+REP = 10
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from melody_join_spark.operators.dedup import decontaminate
+    from melody_join_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_small = docs.count()
+    big = docs
+    for k in range(1, REP):
+        big = big.unionByName(
+            docs.select(
+                (F.col("doc_id") + k * 10_000_000).alias("doc_id"), "text"
+            )
+        )
+    big = big.persist()
+    n_big = big.count()
+
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    evals = docs.where(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.array_join(F.slice(w, 11, 50), " ").alias("text"),
+    ).persist()
+    n_eval = evals.count()
+
+    results: dict = {}
+    for rep in range(REPEATS):
+        for scale, d, n_d in (("sf0.1", docs, n_small), ("sf1", big, n_big)):
+            t0 = time.perf_counter()
+            out = decontaminate(d, evals, n=13).count()
+            wall = time.perf_counter() - t0
+            best = results.get(scale)
+            if best is None or wall < best[0]:
+                results[scale] = (wall, out, n_d)
+            print(f"rep{rep} {scale}: {wall:.2f}s out={out} "
+                  f"load={os.getloadavg()[0]:.1f}", file=sys.stderr, flush=True)
+
+    print(f"\neval set: {n_eval} excerpts; interleaved min-of-{REPEATS}:\n")
+    print("| scale | docs | wall (s) | contaminated pairs |")
+    print("|---|---|---|---|")
+    for scale in ("sf0.1", "sf1"):
+        wall, out, n_d = results[scale]
+        print(f"| {scale} | {n_d:,} | {wall:.2f} | {out:,} |")
+    s, b = results["sf0.1"], results["sf1"]
+    print(f"\ngrowth at x{REP} docs: wall x{b[0] / max(s[0], 1e-9):.1f}, "
+          f"output x{b[1] / max(s[1], 1):.1f}")
+
+
+if __name__ == "__main__":
+    main()
