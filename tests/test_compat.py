@@ -203,11 +203,14 @@ def test_registry_rotation_policy():
     import __spark_entry__ as em
 
     names = list(em.queries())
-    # 59 since round 9 (generate_media_jpeg_arith/_video/_audio)
-    assert len(names) == len(set(names)) == 59
-    # every registered query has been INSIDE the window in at least one of
-    # the last two recorded rounds
     hist = em.ROTATION_TAILS
     latest = max(hist)
+    # registry = the driver's 50-entry window + the recorded tail (59
+    # since round 9's media queries, 60 since round 10's decontaminate) —
+    # derived from the rotation history so a new tail query can't desync
+    # this count silently
+    assert len(names) == len(set(names)) == 50 + len(hist[latest])
+    # every registered query has been INSIDE the window in at least one of
+    # the last two recorded rounds
     recent_tails = set(hist[latest]) & set(hist.get(latest - 1, ()))
     assert not recent_tails
