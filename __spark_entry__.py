@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from melody_join_spark.operators.dedup import (
     decontaminate_oracle_sql,
+    scrub_contamination_oracle_sql,
     dedupe,
     dedupe_incremental,
     dedupe_incremental_oracle_sql,
@@ -982,6 +983,24 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(docs, evals, n=DECON_N).orderBy("doc_id", "eval_id")
 
 
+def _q_scrub_contamination(spark, sf_dir):
+    """The SCRUB decontamination policy (round 10): remove every leaked
+    13-gram window from contaminated documents instead of dropping them —
+    same synthetic eval set as the `decontaminate` gate, output is every
+    document's canonicalized scrubbed text + hit/removal counts (clean
+    docs pass through with n_hits=0), so the pair of gates pins both
+    policies end to end."""
+    from melody_join_spark.operators.dedup import scrub_contamination
+
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    evals = docs.where(F.col("doc_id") % DECON_EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.array_join(F.slice(w, 11, 50), " ").alias("text"),
+    )
+    return scrub_contamination(docs, evals, n=DECON_N).orderBy("doc_id")
+
+
 def _q_redact_pii(spark, sf_dir):
     """PII scrub with per-type audit counts — codegen regex projection."""
     return redact_pii(_docs(spark, sf_dir)).orderBy("id")
@@ -1328,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_corpus": _q_dedupe_corpus,
         "split_corpus": _q_split_corpus,
         "decontaminate": _q_decontaminate,
+        "scrub_contamination": _q_scrub_contamination,
     }
 
 
@@ -1365,7 +1385,8 @@ ROTATION_TAILS: dict[int, tuple[str, ...]] = {
     # like every other tail query
     10: ("events_asof", "events_range_incidents", "dedup_simhash",
          "events_rollup", "sample_corpus", "dedup_exact", "build_vocab",
-         "dedupe_corpus", "split_corpus", "decontaminate"),
+         "dedupe_corpus", "split_corpus", "decontaminate",
+         "scrub_contamination"),
 }
 
 
@@ -1799,6 +1820,12 @@ FROM qf ORDER BY doc_id""",
         "dedup_embedding": _dedupe_embeddings_oracle(),
         "split_corpus": _split_corpus_oracle(),
         "decontaminate": decontaminate_oracle_sql(
+            "SELECT doc_id AS eval_id, array_to_string("
+            "(string_split_regex(trim(lower(text)), '\\s+'))[11:60], ' ') "
+            f"AS text FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 0",
+            n=DECON_N,
+        ),
+        "scrub_contamination": scrub_contamination_oracle_sql(
             "SELECT doc_id AS eval_id, array_to_string("
             "(string_split_regex(trim(lower(text)), '\\s+'))[11:60], ' ') "
             f"AS text FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 0",

@@ -59,6 +59,8 @@ __all__ = [
     "word_ngrams",
     "decontaminate",
     "decontaminate_oracle_sql",
+    "scrub_contamination",
+    "scrub_contamination_oracle_sql",
     "dedupe_embeddings",
     "dedupe_embeddings_oracle_sql",
 ]
@@ -1389,3 +1391,127 @@ eg AS (SELECT {eval_id_col}, unnest({eg}) AS g FROM ev)
 SELECT tg.{id_col}, eg.{eval_id_col}, count(*) AS shared_ngrams
 FROM tg JOIN eg USING (g)
 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def scrub_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """The SCRUB policy companion to :func:`decontaminate`: instead of
+    dropping a contaminated training document, remove every leaked word
+    window from it and keep the rest — the higher-yield decontamination
+    policy when documents are long and leaks are short (a quiz question
+    quoted inside an otherwise-clean page).
+
+    Semantics (defined on the canonical lowercased whitespace token
+    sequence ``w``, 1-based):
+
+    - hit positions ``H = {i : w[i..i+n-1] is an n-gram of some eval doc}``
+    - removed indices ``R = union of [i, i+n-1] for i in H`` (overlapping
+      hits merge naturally)
+    - ``text_clean`` = the words NOT in ``R``, space-joined
+
+    Output: every train row as
+    ``({id_col}, text_clean, n_hits, n_words_removed)`` where ``n_hits``
+    counts hit positions (0 for clean docs, whose ``text_clean`` is the
+    canonicalized text).
+
+    100-TB plan: same as :func:`decontaminate` — the eval n-gram set is
+    broadcast, hits are collected by an output-sized groupBy (only
+    contaminated docs reach it), and the rebuild is one codegen
+    expression over the kept rows; clean documents never shuffle."""
+    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tg = train.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.posexplode(grams).alias("_pos0", "_g"),
+    ).select(id_col, (F.col("_pos0") + 1).alias("_i"), "_g")
+    eg = eval_df.select(
+        F.explode(word_ngrams(F.col(eval_text_col), n)).alias("_g")
+    ).distinct()
+    hits = (
+        tg.join(F.broadcast(eg), "_g")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("_i")).alias("_hits"))
+    )
+    base = train.select(
+        F.col(id_col).cast("long").alias(id_col), w.alias("_w")
+    ).join(hits, id_col, "left")
+    removed = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce("_hits", F.array().cast("array<int>")),
+                lambda h: F.sequence(h, h + (n - 1)),
+            )
+        )
+    )
+    out = base.withColumn("_rm", removed)
+    kept = F.filter(
+        F.col("_w"),
+        lambda x, i: ~F.array_contains("_rm", i.cast("int") + 1),
+    )
+    return out.select(
+        id_col,
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size(F.coalesce("_hits", F.array().cast("array<int>"))).cast("long").alias("n_hits"),
+        (F.size("_w") - F.size(kept)).cast("long").alias("n_words_removed"),
+    )
+
+
+def scrub_contamination_oracle_sql(
+    eval_sql: str,
+    n: int = 13,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`scrub_contamination` (same 1-based position
+    semantics; the index-filtered rebuild uses a CASE-over-range then
+    drops the NULL slots, which needs no indexed-lambda support)."""
+    w = f"string_split_regex(trim(lower({text_col})), '\\s+')"
+    ew = f"string_split_regex(trim(lower({eval_text_col})), '\\s+')"
+    eg = (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({ew}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(({ew})[i:i+{n - 1}], ' ')))"
+    )
+    return f"""
+WITH ev AS ({eval_sql}),
+eg AS (SELECT DISTINCT unnest({eg}) AS g FROM ev),
+tw AS (SELECT {id_col}, {w} AS w FROM {table}),
+tg AS (
+  SELECT {id_col}, i, array_to_string(w[i:i+{n - 1}], ' ') AS g
+  FROM tw, unnest(range(1, greatest(len(w) - {n - 1}, 0) + 1)) AS t(i)
+),
+hits AS (
+  SELECT {id_col}, list_sort(list(DISTINCT i)) AS hs
+  FROM tg JOIN eg USING (g) GROUP BY 1
+),
+rb AS (
+  SELECT tw.{id_col}, w,
+         coalesce(hs, []) AS hs,
+         list_distinct(flatten(list_transform(coalesce(hs, []),
+                                              h -> range(h, h + {n})))) AS rm
+  FROM tw LEFT JOIN hits USING ({id_col})
+)
+SELECT {id_col},
+       array_to_string(
+         list_filter(list_transform(range(1, len(w) + 1),
+                                    i -> CASE WHEN NOT list_contains(rm, i)
+                                              THEN w[i] END),
+                     x -> x IS NOT NULL), ' ') AS text_clean,
+       len(hs)::BIGINT AS n_hits,
+       len(rm)::BIGINT AS n_words_removed
+FROM rb ORDER BY {id_col}"""

@@ -1191,3 +1191,46 @@ def test_decontaminate_flags_planted_overlap(spark):
     # the eval side is broadcast: no shuffle of the train n-gram stream
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_scrub_contamination_semantics(spark):
+    """SCRUB policy: leaked windows removed (overlaps merged), clean text
+    untouched (canonicalized), counts exact — vs a pure-python reference."""
+    from melody_join_spark.operators.dedup import scrub_contamination
+
+    words = [f"w{i}" for i in range(40)]
+    leaked = " ".join(words)
+    clean = " ".join(f"x{i}" for i in range(40))
+    train = spark.createDataFrame(
+        [(1, leaked), (2, clean), (3, "PAD " + leaked)],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, " ".join(words[5:25]))], "eval_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.text_clean, r.n_hits, r.n_words_removed)
+        for r in scrub_contamination(train, evals, n=13).collect()
+    }
+
+    def scrub(text, eval_texts, n=13):
+        w = text.lower().split()
+        eg = set()
+        for t in eval_texts:
+            ew = t.lower().split()
+            eg |= {" ".join(ew[i : i + n]) for i in range(len(ew) - n + 1)}
+        H = [i for i in range(len(w) - n + 1)
+             if " ".join(w[i : i + n]) in eg]
+        R = set()
+        for i in H:
+            R |= set(range(i, i + n))
+        kept = [x for k, x in enumerate(w) if k not in R]
+        return " ".join(kept), len(H), len(R)
+
+    ev = [" ".join(words[5:25])]
+    for doc_id, text in [(1, leaked), (2, clean), (3, "PAD " + leaked)]:
+        assert got[doc_id] == scrub(text, ev), doc_id
+    # doc 1: hits at 5..12 (8 overlapping hits) remove words 5..24 = 20
+    assert got[1][1] == 8 and got[1][2] == 20
+    # clean doc: untouched canonical text
+    assert got[2] == (clean, 0, 0)
