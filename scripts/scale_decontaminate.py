@@ -27,7 +27,7 @@ REP = 10
 def main() -> None:
     from pyspark.sql import functions as F
 
-    from melody_join_spark.operators.dedup import decontaminate
+    from melody_join_spark.operators.dedup import decontaminate, scrub_contamination
     from melody_join_spark.session import get_spark
 
     spark = get_spark()
@@ -56,24 +56,35 @@ def main() -> None:
     results: dict = {}
     for rep in range(REPEATS):
         for scale, d, n_d in (("sf0.1", docs, n_small), ("sf1", big, n_big)):
-            t0 = time.perf_counter()
-            out = decontaminate(d, evals, n=13).count()
-            wall = time.perf_counter() - t0
-            best = results.get(scale)
-            if best is None or wall < best[0]:
-                results[scale] = (wall, out, n_d)
-            print(f"rep{rep} {scale}: {wall:.2f}s out={out} "
-                  f"load={os.getloadavg()[0]:.1f}", file=sys.stderr, flush=True)
+            for op_name, op in (("decontaminate", decontaminate),
+                                ("scrub", scrub_contamination)):
+                t0 = time.perf_counter()
+                res = op(d, evals, n=13)
+                if op_name == "scrub":
+                    out = res.where("n_hits > 0").count()
+                else:
+                    out = res.count()
+                wall = time.perf_counter() - t0
+                key = (scale, op_name)
+                best = results.get(key)
+                if best is None or wall < best[0]:
+                    results[key] = (wall, out, n_d)
+                print(f"rep{rep} {scale} {op_name}: {wall:.2f}s out={out} "
+                      f"load={os.getloadavg()[0]:.1f}", file=sys.stderr,
+                      flush=True)
 
     print(f"\neval set: {n_eval} excerpts; interleaved min-of-{REPEATS}:\n")
-    print("| scale | docs | wall (s) | contaminated pairs |")
-    print("|---|---|---|---|")
+    print("| scale | op | docs | wall (s) | output rows |")
+    print("|---|---|---|---|---|")
     for scale in ("sf0.1", "sf1"):
-        wall, out, n_d = results[scale]
-        print(f"| {scale} | {n_d:,} | {wall:.2f} | {out:,} |")
-    s, b = results["sf0.1"], results["sf1"]
-    print(f"\ngrowth at x{REP} docs: wall x{b[0] / max(s[0], 1e-9):.1f}, "
-          f"output x{b[1] / max(s[1], 1):.1f}")
+        for op_name in ("decontaminate", "scrub"):
+            wall, out, n_d = results[(scale, op_name)]
+            print(f"| {scale} | {op_name} | {n_d:,} | {wall:.2f} | {out:,} |")
+    for op_name in ("decontaminate", "scrub"):
+        s, b = results[("sf0.1", op_name)], results[("sf1", op_name)]
+        print(f"{op_name} growth at x{REP} docs: "
+              f"wall x{b[0] / max(s[0], 1e-9):.1f}, "
+              f"output x{b[1] / max(s[1], 1):.1f}")
 
 
 if __name__ == "__main__":
