@@ -1234,3 +1234,45 @@ def test_scrub_contamination_semantics(spark):
     assert got[1][1] == 8 and got[1][2] == 20
     # clean doc: untouched canonical text
     assert got[2] == (clean, 0, 0)
+
+
+def test_word_ngram_spark_duckdb_parity(spark):
+    """The decontaminate/scrub gates hash-compare against DuckDB twins, so
+    the tokenize+n-gram expressions must agree EXACTLY across engines on
+    adversarial whitespace/case/unicode shapes — pin the parity here so a
+    regex-semantics drift fails loudly instead of as an oracle mismatch."""
+    import duckdb
+
+    from melody_join_spark.operators.dedup import _duck_word_ngrams, word_ngrams
+
+    texts = [
+        "a b c d e",                          # shorter than n
+        "one two three four five six",        # exactly n
+        "x " * 20,                            # trailing whitespace
+        "  leading and   multiple   spaces ", # irregular gaps
+        "Tabs\tand\nnewlines mixed\t in",     # \s variants
+        "CASE Case case MiXeD case repeat case repeat case",
+        "héllo wörld ünicode tokens repeat héllo wörld ünicode tokens",
+        "",                                   # empty
+        "punct, stays. attached! to? words; here: ok (parens) [too]",
+    ]
+    n = 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r.id: sorted(r.g)
+        for r in df.select(
+            "id", word_ngrams(F.col("text"), n).alias("g")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    want = {
+        i: sorted(g)
+        for i, g in con.execute(
+            f"SELECT id, {_duck_word_ngrams('text', n)} FROM t"
+        ).fetchall()
+    }
+    assert got == want
