@@ -55,6 +55,7 @@ from melody_join_spark.operators.events import (
 from melody_join_spark.operators.corpus import (
     build_vocab,
     build_vocab_oracle_sql,
+    pack_sequences_oracle_sql,
     chunk_documents,
     chunk_documents_oracle_sql,
     redact_pii,
@@ -983,6 +984,27 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(docs, evals, n=DECON_N).orderBy("doc_id", "eval_id")
 
 
+PACK_CONTEXT = 256  # pack 64-token chunks into 256-token training windows
+PACK_GROUPS = 8
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Sequence packing (round 10): greedy sequential fill of the
+    chunk_documents windows into PACK_CONTEXT-token training sequences
+    within PACK_GROUPS deterministic groups — the chunking->batching step
+    of a training pipeline.  Oracle: the same greedy recurrence as a
+    DuckDB recursive CTE."""
+    from melody_join_spark.operators.corpus import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    chunks = chunk_documents(_docs(spark, sf_dir), chunk_tokens=64)
+    return pack_sequences(
+        chunks, context_len=PACK_CONTEXT, num_groups=PACK_GROUPS
+    ).orderBy("id", "chunk_id")
+
+
 def _q_scrub_contamination(spark, sf_dir):
     """The SCRUB decontamination policy (round 10): remove every leaked
     13-gram window from contaminated documents instead of dropping them —
@@ -1348,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_corpus": _q_split_corpus,
         "decontaminate": _q_decontaminate,
         "scrub_contamination": _q_scrub_contamination,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -1386,7 +1409,7 @@ ROTATION_TAILS: dict[int, tuple[str, ...]] = {
     10: ("events_asof", "events_range_incidents", "dedup_simhash",
          "events_rollup", "sample_corpus", "dedup_exact", "build_vocab",
          "dedupe_corpus", "split_corpus", "decontaminate",
-         "scrub_contamination"),
+         "scrub_contamination", "pack_sequences"),
 }
 
 
@@ -1830,6 +1853,13 @@ FROM qf ORDER BY doc_id""",
             "(string_split_regex(trim(lower(text)), '\\s+'))[11:60], ' ') "
             f"AS text FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 0",
             n=DECON_N,
+        ),
+        "pack_sequences": pack_sequences_oracle_sql(
+            "SELECT id, chunk_id, n_tokens FROM ("
+            + chunk_documents_oracle_sql(chunk_tokens=64)
+            + ")",
+            PACK_CONTEXT,
+            num_groups=PACK_GROUPS,
         ),
         "dedup_clusters": dup_clusters_oracle_sql(
             jaccard_pairs_oracle_sql(JACCARD_THETA, ngram=JACCARD_NGRAM),

@@ -33,6 +33,8 @@ __all__ = [
     "sample_corpus_oracle_sql",
     "build_vocab",
     "build_vocab_oracle_sql",
+    "pack_sequences",
+    "pack_sequences_oracle_sql",
     "PII_PATTERNS",
 ]
 
@@ -372,3 +374,111 @@ def split_corpus_oracle_sql(
     for bound, name in reversed(cases):
         expr = f"CASE WHEN {u} < {bound} THEN '{name}' ELSE {expr} END"
     return f"SELECT *, {expr} AS {split_col} FROM {table}"
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (training-window bin assignment)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    chunks: DataFrame,
+    context_len: int,
+    num_groups: int = 64,
+    id_col: str = "id",
+    order_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy sequential packing of training chunks into context windows:
+    the step between chunking and batching in an LLM data pipeline —
+    windows shorter than the context waste FLOPs unless several chunks
+    share one sequence (with attention masking at the seams).
+
+    Semantics (deterministic): chunks are split into ``num_groups``
+    deterministic groups (``{id_col} % num_groups`` — keeps every
+    document's chunks together and is reproducible in plain SQL; swap a
+    hash in production if id ranges are adversarial).  Within a group,
+    chunks are ordered by ``({id_col}, {order_col})`` and filled
+    greedily: a chunk goes into the current bin unless that would exceed
+    ``context_len`` tokens, in which case a new bin starts (a chunk
+    longer than the context gets a bin of its own).  Output: every chunk
+    row as ``({id_col}, {order_col}, grp, bin)``, bins numbered from 0
+    per group.
+
+    100-TB plan: one hash-partition shuffle of the (id, order, tokens)
+    TRIPLES — never the chunk text, which joins back by key if needed —
+    then an O(rows) single pass per group inside ``applyInPandas``.  The
+    sequential fill is inherently order-dependent, so the parallelism
+    unit is the group; ``num_groups`` scales task count independently of
+    the cluster's partition byte sizing."""
+    c = int(context_len)
+    key = (F.col(id_col).cast("long") % num_groups).alias("grp")
+    slim = chunks.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(order_col).cast("long").alias(order_col),
+        F.col(tokens_col).cast("long").alias(tokens_col),
+        key,
+    )
+
+    def pack(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values([id_col, order_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        toks = pdf[tokens_col].to_numpy()
+        bins = np.empty(len(toks), dtype=np.int64)
+        fill = 0
+        b = 0
+        for k, t in enumerate(toks):
+            if k > 0 and fill + t > c:
+                b += 1
+                fill = 0
+            fill += int(t)
+            bins[k] = b
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                order_col: pdf[order_col],
+                "grp": pdf["grp"],
+                "bin": bins,
+            }
+        )
+
+    schema = f"{id_col} long, {order_col} long, grp long, bin long"
+    return slim.groupBy("grp").applyInPandas(pack, schema)
+
+
+def pack_sequences_oracle_sql(
+    chunks_sql: str,
+    context_len: int,
+    num_groups: int = 64,
+    id_col: str = "id",
+    order_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+) -> str:
+    """DuckDB twin of :func:`pack_sequences`: the greedy fill is a
+    sequential recurrence, expressed as a recursive CTE stepping one
+    row_number per group per iteration (depth = max rows per group)."""
+    return f"""
+WITH RECURSIVE src AS ({chunks_sql}),
+seq AS (
+  SELECT {id_col}, {order_col}, {tokens_col} AS tok,
+         {id_col} % {num_groups} AS grp,
+         row_number() OVER (PARTITION BY {id_col} % {num_groups}
+                            ORDER BY {id_col}, {order_col}) AS rn
+  FROM src
+),
+pack AS (
+  SELECT grp, rn, {id_col}, {order_col}, tok, tok AS fill, 0 AS bin
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.grp, s.rn, s.{id_col}, s.{order_col}, s.tok,
+         CASE WHEN p.fill + s.tok > {context_len} THEN s.tok
+              ELSE p.fill + s.tok END AS fill,
+         CASE WHEN p.fill + s.tok > {context_len} THEN p.bin + 1
+              ELSE p.bin END AS bin
+  FROM pack p JOIN seq s ON s.grp = p.grp AND s.rn = p.rn + 1
+)
+SELECT {id_col}, {order_col}, grp, bin::BIGINT AS bin
+FROM pack ORDER BY {id_col}, {order_col}"""

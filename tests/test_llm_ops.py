@@ -1276,3 +1276,45 @@ def test_word_ngram_spark_duckdb_parity(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_pack_sequences_greedy_semantics(spark):
+    """Greedy sequential fill: exact-fit closes at the boundary, overflow
+    opens a new bin, an over-context chunk gets a bin of its own, groups
+    pack independently — vs a pure-python reference."""
+    from melody_join_spark.operators.corpus import pack_sequences
+
+    rows = [
+        # (id, chunk_id, n_tokens) — group = id % 2
+        (0, 0, 100), (0, 1, 100), (0, 2, 56),   # 256 exact fit -> bin 0
+        (0, 3, 1),                               # boundary closed -> bin 1
+        (2, 0, 300),                             # over-context -> own bin 2
+        (2, 1, 10),                              # after the giant -> bin 3
+        (1, 0, 200), (1, 1, 100),                # grp 1: overflow -> bins 0,1
+    ]
+    df = spark.createDataFrame(rows, "id long, chunk_id long, n_tokens long")
+    got = {
+        (r.id, r.chunk_id): (r.grp, r.bin)
+        for r in pack_sequences(df, context_len=256, num_groups=2).collect()
+    }
+
+    def ref(rows, c, g):
+        out = {}
+        by_grp = {}
+        for i, k, t in sorted(rows):
+            by_grp.setdefault(i % g, []).append((i, k, t))
+        for grp, rs in by_grp.items():
+            fill, b = 0, 0
+            for j, (i, k, t) in enumerate(rs):
+                if j > 0 and fill + t > c:
+                    b += 1
+                    fill = 0
+                fill += t
+                out[(i, k)] = (grp, b)
+        return out
+
+    assert got == ref(rows, 256, 2)
+    # spot-pin the scenario comments above
+    assert got[(0, 2)] == (0, 0) and got[(0, 3)] == (0, 1)
+    assert got[(2, 0)] == (0, 2) and got[(2, 1)] == (0, 3)
+    assert got[(1, 0)] == (1, 0) and got[(1, 1)] == (1, 1)
