@@ -53,4 +53,12 @@ def get_spark(app_name: str = "melody-join-spark", shuffle_partitions: int | Non
         # deterministic epoch math for naive (NTZ) timestamps across hosts
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # profiling hook: SPARK_GRAFT_EVENTLOG_DIR=<dir> writes the Spark event
+    # log there (per-stage submission/completion times, task metrics) so
+    # scripts/profile_session_state.py can attribute wall time without the UI
+    evdir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if evdir:
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", f"file://{evdir}"
+        )
     return builder.getOrCreate()

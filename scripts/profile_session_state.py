@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""Diagnose the round-10 session-state defect: the SECOND in-session
+execution of the jaccard_pairs chain costs ~3x the first (judge repro:
+dedup_clusters 21.0 s then dedup_jaccard_ngram 21.3 s vs 6.8 s isolated;
+survives clearCache() and a full GC barrier).
+
+This harness runs a configurable query sequence in ONE session and records,
+per query:
+  - wall time
+  - JVM memory pools before/after (CodeHeap segments, Metaspace,
+    Compressed Class Space, G1 Old Gen) via ManagementFactory
+  - JIT compilation total time delta (CompilationMXBean)
+  - GC time delta (GarbageCollectorMXBeans)
+  - stage-level wall breakdown via the status tracker (job group per query)
+  - python-worker / JVM process RSS
+
+Usage:
+  python scripts/profile_session_state.py clusters jaccard
+  python scripts/profile_session_state.py jaccard jaccard jaccard
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import sys
+import time
+
+
+def _pools(jvm):
+    mf = jvm.java.lang.management.ManagementFactory
+    out = {}
+    it = mf.getMemoryPoolMXBeans().iterator()
+    while it.hasNext():
+        p = it.next()
+        u = p.getUsage()
+        out[p.getName()] = {"used_mb": round(u.getUsed() / 1e6, 1),
+                            "max_mb": round(u.getMax() / 1e6, 1)}
+    comp = mf.getCompilationMXBean()
+    out["_jit_total_ms"] = comp.getTotalCompilationTime()
+    gc_ms = 0
+    it = mf.getGarbageCollectorMXBeans().iterator()
+    while it.hasNext():
+        gc_ms += it.next().getCollectionTime()
+    out["_gc_total_ms"] = gc_ms
+    return out
+
+
+def _rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def _stage_walls(sc, group: str) -> list[tuple[int, float, int]]:
+    """(stageId, wall_sec, numTasks) for every stage of every job in the
+    group, via the status tracker (works with the UI disabled)."""
+    st = sc.statusTracker()
+    rows = []
+    for jid in st.getJobIdsForGroup(group):
+        ji = st.getJobInfo(jid)
+        if ji is None:
+            continue
+        for sid in ji.stageIds:
+            si = st.getStageInfo(sid)
+            if si is not None:
+                rows.append((sid, si.numTasks, si.numCompletedTasks))
+    return rows
+
+
+def main() -> None:
+    seq = sys.argv[1:] or ["clusters", "jaccard"]
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    # event logging must be set before context creation: pre-create the
+    # session with get_spark's settings plus the event log, then get_spark's
+    # getOrCreate returns this one
+    import tempfile
+
+    evdir = tempfile.mkdtemp(prefix="sparklog-")
+    os.environ["SPARK_GRAFT_EVENTLOG_DIR"] = evdir
+    from melody_join_spark.session import get_spark
+
+    spark = get_spark("profile-session-state")
+    print(f"# event log: {evdir}", file=sys.stderr)
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+    jvm = sc._jvm
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    name_map = {"clusters": "dedup_clusters", "jaccard": "dedup_jaccard_ngram"}
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    records = []
+    for i, short in enumerate(seq):
+        qname = name_map.get(short, short)
+        fn = qs[qname]
+        group = f"q{i}-{qname}"
+        sc.setJobGroup(group, qname)
+        before = _pools(jvm)
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        after = _pools(jvm)
+        stages = _stage_walls(sc, group)
+        rec = {
+            "i": i,
+            "query": qname,
+            "wall_s": round(dt, 2),
+            "rows": n,
+            "jit_delta_ms": after["_jit_total_ms"] - before["_jit_total_ms"],
+            "gc_delta_ms": after["_gc_total_ms"] - before["_gc_total_ms"],
+            "rss_mb": round(_rss_mb(), 0),
+            "pools_after": {k: v for k, v in after.items()
+                            if not k.startswith("_")},
+            "n_stages": len(stages),
+            "stage_tasks": stages,
+        }
+        records.append(rec)
+        print(f"## q{i} {qname}: {n} rows in {dt:.2f}s  "
+              f"jit+{rec['jit_delta_ms']}ms gc+{rec['gc_delta_ms']}ms",
+              flush=True)
+        for k, v in after.items():
+            if k.startswith("_"):
+                continue
+            b = before.get(k, {}).get("used_mb", 0)
+            print(f"   {k}: {b} -> {v['used_mb']} MB (max {v['max_mb']})")
+        spark.catalog.clearCache()
+
+    print(json.dumps(records, default=str))
+    spark.stop()
+    _analyze_eventlog(evdir)
+
+
+def _analyze_eventlog(evdir: str) -> None:
+    """Group event-log jobs by jobGroup; print per-query job walls, the
+    DRIVER-SIDE gaps between jobs (planning/codegen time), and the slowest
+    stages with their executor run time sums."""
+    import glob
+
+    # Spark 4 rolling layout: <dir>/eventlog_v2_<app>/events_*.zstd
+    logs = sorted(
+        glob.glob(os.path.join(evdir, "**", "events_*"), recursive=True)
+    ) or sorted(
+        p for p in glob.glob(os.path.join(evdir, "*")) if os.path.isfile(p)
+    )
+    if not logs:
+        print("# no event log found", file=sys.stderr)
+        return
+
+    def _lines(path):
+        if path.endswith(".zstd"):
+            import subprocess
+
+            out = subprocess.run(
+                ["zstd", "-dc", path], capture_output=True, check=True
+            ).stdout
+            yield from out.decode().splitlines()
+        else:
+            with open(path) as f:
+                yield from f
+
+    jobs = {}          # jobId -> {group, t0, t1, stages:[ids]}
+    stages = {}        # stageId -> {t0, t1, tasks, run_ms, name}
+    for path in logs:
+        for line in _lines(path):
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            e = ev.get("Event")
+            if e == "SparkListenerJobStart":
+                jid = ev["Job ID"]
+                grp = (ev.get("Properties") or {}).get("spark.jobGroup.id", "?")
+                jobs[jid] = {
+                    "group": grp,
+                    "t0": ev["Submission Time"],
+                    "t1": None,
+                    "stages": [s["Stage ID"] for s in ev.get("Stage Infos", [])],
+                }
+            elif e == "SparkListenerJobEnd":
+                if ev["Job ID"] in jobs:
+                    jobs[ev["Job ID"]]["t1"] = ev["Completion Time"]
+            elif e == "SparkListenerStageCompleted":
+                si = ev["Stage Info"]
+                stages[si["Stage ID"]] = {
+                    "t0": si.get("Submission Time"),
+                    "t1": si.get("Completion Time"),
+                    "tasks": si.get("Number of Tasks"),
+                    "name": si.get("Stage Name", "")[:60],
+                }
+            elif e == "SparkListenerTaskEnd":
+                sid = ev["Stage ID"]
+                m = ev.get("Task Metrics") or {}
+                st = stages.setdefault(sid, {})
+                st["run_ms"] = st.get("run_ms", 0) + m.get("Executor Run Time", 0)
+                st["jit_wait_ms"] = st.get("jit_wait_ms", 0)
+                st["gc_ms"] = st.get("gc_ms", 0) + m.get("JVM GC Time", 0)
+                st["deser_ms"] = (
+                    st.get("deser_ms", 0) + m.get("Executor Deserialize Time", 0)
+                )
+    by_group: dict[str, list] = {}
+    for jid, j in sorted(jobs.items()):
+        by_group.setdefault(j["group"], []).append((jid, j))
+    for grp, js in by_group.items():
+        t_first = min(j["t0"] for _, j in js)
+        t_last = max(j["t1"] or j["t0"] for _, j in js)
+        job_wall = sum((j["t1"] or j["t0"]) - j["t0"] for _, j in js) / 1000.0
+        span = (t_last - t_first) / 1000.0
+        gaps = 0.0
+        prev_end = None
+        for _, j in sorted(js, key=lambda x: x[1]["t0"]):
+            if prev_end is not None and j["t0"] > prev_end:
+                gaps += (j["t0"] - prev_end) / 1000.0
+            prev_end = max(prev_end or 0, j["t1"] or j["t0"])
+        print(f"\n== {grp}: span {span:.2f}s  in-job {job_wall:.2f}s  "
+              f"between-job gaps {gaps:.2f}s  ({len(js)} jobs)")
+        srows = []
+        for _, j in js:
+            for sid in j["stages"]:
+                s = stages.get(sid)
+                if s and s.get("t0") and s.get("t1"):
+                    srows.append((s["t1"] - s["t0"], sid, s))
+        srows.sort(reverse=True)
+        for wall, sid, s in srows[:8]:
+            print(f"   stage {sid}: wall {wall/1000:.2f}s  tasks {s.get('tasks')}"
+                  f"  run {s.get('run_ms', 0)/1000:.1f}s  gc {s.get('gc_ms', 0)/1000:.2f}s"
+                  f"  deser {s.get('deser_ms', 0)/1000:.2f}s  {s.get('name', '')}")
+
+
+if __name__ == "__main__":
+    main()
