@@ -98,7 +98,7 @@ def main() -> None:
             print(f"# bench run cap after {r} runs ({clean_runs} clean)",
                   file=sys.stderr)
             break
-        if r >= max_runs:
+        if r == max_runs:  # notice once, not once per extended run
             print(f"# extending past the {max_runs}-run cap "
                   f"(only {clean_runs}/{n_runs} clean, budget remains)",
                   file=sys.stderr)

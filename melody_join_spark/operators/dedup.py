@@ -57,6 +57,7 @@ __all__ = [
     "dedupe_incremental",
     "dedupe_incremental_oracle_sql",
     "word_ngrams",
+    "word_ngram_windows",
     "decontaminate",
     "decontaminate_oracle_sql",
     "scrub_contamination",
@@ -1301,19 +1302,33 @@ ORDER BY {id_col}"""
 # benchmark decontamination (cross-corpus n-gram overlap)
 # ---------------------------------------------------------------------------
 
-def word_ngrams(text: Column, n: int) -> Column:
-    """Distinct word n-gram set: order-preserving windows over the
-    whitespace-token sequence of the lowercased text, space-joined.
-    Documents shorter than ``n`` words yield the empty set."""
-    w = F.split(F.lower(F.trim(text)), r"\s+")
-    grams = F.when(
+def _word_tokens(text: Column) -> Column:
+    """The ONE canonical tokenization every word-n-gram operator derives
+    from (lowercase, trim, whitespace split) — flag (decontaminate) and
+    scrub paths share it by construction, so they cannot silently diverge."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def word_ngram_windows(text: Column, n: int) -> Column:
+    """POSITIONAL word n-gram windows: element ``i`` (0-based) is the
+    space-joined window starting at word ``i+1`` of the canonical token
+    sequence — order-preserving and non-distinct, the form
+    :func:`scrub_contamination` needs to locate leaked spans.  Documents
+    shorter than ``n`` words yield the empty array."""
+    w = _word_tokens(text)
+    return F.when(
         F.size(w) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(w) - (n - 1)),
             lambda i: F.array_join(F.slice(w, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-gram set: :func:`word_ngram_windows` deduplicated —
+    the form the overlap-flagging joins key on."""
+    return F.array_distinct(word_ngram_windows(text, n))
 
 
 def decontaminate(
@@ -1425,14 +1440,8 @@ def scrub_contamination(
     broadcast, hits are collected by an output-sized groupBy (only
     contaminated docs reach it), and the rebuild is one codegen
     expression over the kept rows; clean documents never shuffle."""
-    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    grams = F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.array_join(F.slice(w, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    w = _word_tokens(F.col(text_col))
+    grams = word_ngram_windows(F.col(text_col), n)
     tg = train.select(
         F.col(id_col).cast("long").alias(id_col),
         F.posexplode(grams).alias("_pos0", "_g"),

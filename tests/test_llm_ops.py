@@ -1278,6 +1278,87 @@ def test_word_ngram_spark_duckdb_parity(spark):
     assert got == want
 
 
+def test_word_ngram_windows_shared_derivation(spark):
+    """Round-10 ADVICE: scrub_contamination used to rebuild the positional
+    n-gram expression inline (a copy of word_ngrams minus array_distinct);
+    both now derive from word_ngram_windows, pinned here: element i of the
+    positional form IS the window at word i+1, and word_ngrams is exactly
+    its distinct set — on the same adversarial shapes as the parity test."""
+    from melody_join_spark.operators.dedup import (
+        word_ngram_windows,
+        word_ngrams,
+    )
+
+    texts = [
+        "a b c d e",
+        "one two three four five six",
+        "repeat one two repeat one two repeat one two",
+        "  leading and   multiple   spaces ",
+        "",
+    ]
+    n = 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    rows = df.select(
+        "id",
+        word_ngram_windows(F.col("text"), n).alias("win"),
+        word_ngrams(F.col("text"), n).alias("dist"),
+    ).collect()
+    for r in rows:
+        toks = texts[r.id].strip().lower().split()
+        want_windows = (
+            [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            if len(toks) >= n and toks != [""]
+            else []
+        )
+        assert r.win == want_windows, (r.id, r.win)
+        # distinct form == set of the positional form, first-seen order
+        seen: list[str] = []
+        for g in r.win:
+            if g not in seen:
+                seen.append(g)
+        assert r.dist == seen, (r.id, r.dist)
+
+
+def test_greedy_fill_matches_per_row_loop():
+    """The vectorized O(bins) fill (round-11) must be bit-identical to the
+    per-row greedy recurrence it replaced — property-checked on random
+    token sequences including over-context chunks, zeros, and empty/single
+    inputs."""
+    import numpy as np
+
+    from melody_join_spark.operators.corpus import _greedy_fill
+
+    def per_row(toks, c):
+        bins = np.empty(len(toks), dtype=np.int64)
+        fill, b = 0, 0
+        for k, t in enumerate(toks):
+            if k > 0 and fill + t > c:
+                b += 1
+                fill = 0
+            fill += int(t)
+            bins[k] = b
+        return bins
+
+    rng = np.random.default_rng(7)
+    cases = [
+        np.array([], dtype=np.int64),
+        np.array([5], dtype=np.int64),
+        np.array([300], dtype=np.int64),          # over-context alone
+        np.array([0, 0, 0], dtype=np.int64),      # zero-token chunks
+        np.array([100, 100, 56, 1], dtype=np.int64),  # exact fit boundary
+        np.array([300, 1, 300, 1], dtype=np.int64),
+    ]
+    for _ in range(20):
+        n = int(rng.integers(1, 400))
+        cases.append(rng.integers(0, 320, size=n).astype(np.int64))
+    for toks in cases:
+        got = _greedy_fill(toks, 256)
+        want = per_row(toks, 256)
+        assert np.array_equal(got, want), (toks[:16], got[:16], want[:16])
+
+
 def test_pack_sequences_greedy_semantics(spark):
     """Greedy sequential fill: exact-fit closes at the boundary, overflow
     opens a new bin, an over-context chunk gets a bin of its own, groups
