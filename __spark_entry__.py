@@ -70,6 +70,8 @@ from melody_join_spark.operators.text import (
     corpus_stats_oracle_sql,
     quality_filter,
     quality_filter_oracle_sql,
+    repetition_stats,
+    repetition_stats_oracle_sql,
     text_features,
     text_features_oracle_sql,
 )
@@ -950,6 +952,19 @@ def _q_corpus_stats_cube(spark, sf_dir):
     return corpus_stats_cube(_docs(spark, sf_dir)).orderBy("lang_pred", "source")
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition/boilerplate metrics (round 11): duplicate
+    line + duplicate/top n-gram character fractions, computed doc-locally
+    in pure codegen (sorted-run aggregate folds — NO shuffle, no explode,
+    no Python).  Exact int64 numerators/denominators make every fraction
+    one int/int division, hash-stable vs the DuckDB unnest+groupBy twin."""
+    rep = repetition_stats(_docs(spark, sf_dir))
+    keep = ["doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac"] + [
+        c for c in rep.columns if c.endswith("gram_char_frac")
+    ]
+    return rep.select(*keep).orderBy("doc_id")
+
+
 # mixture weights for the sampling query: even sources downweighted, odd kept
 SAMPLE_RATES = {f"src{i}": (0.25 if i % 2 == 0 else 1.0) for i in range(20)}
 
@@ -1356,7 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "emd_knn_big": _q_emd_knn_big,
         "dedup_jaccard_ngram": _q_jaccard,
-        "dedup_incremental": _q_dedup_incremental,
+        "repetition_stats": _q_repetition_stats,
         "dedup_embedding": _q_dedup_embedding,
         "decontaminate": _q_decontaminate,
         "scrub_contamination": _q_scrub_contamination,
@@ -1375,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats_cube": _q_corpus_stats_cube,
         "chunk_documents": _q_chunk_documents,
         "redact_pii": _q_redact_pii,
+        "dedup_incremental": _q_dedup_incremental,
     }
 
 
@@ -1423,10 +1439,15 @@ ROTATION_TAILS: dict[int, tuple[str, ...]] = {
     # dedup_clusters stays in the window at its old slot: the
     # clusters-before-jaccard adjacency is the round-10 session-state
     # defect's trigger, kept under the driver bench to guard the fix.
+    # repetition_stats is NEW in round 11 and enters INSIDE the window at
+    # dedup_incremental's slot (round-10 ADVICE: new operators get a
+    # driver-oracle hash in their introduction round); dedup_incremental
+    # (last tailed never; hash-stable since r5) joins the tail, now 13
     11: ("cosine_pairs", "cosine_pairs_lsh", "cosine_topk",
          "cosine_topk_big", "events_window_hourly", "events_sessionize",
          "emd_user_behavior", "emd_knn_2d", "dedup_winnow",
-         "corpus_stats_cube", "chunk_documents", "redact_pii"),
+         "corpus_stats_cube", "chunk_documents", "redact_pii",
+         "dedup_incremental"),
 }
 
 
@@ -1837,6 +1858,7 @@ SELECT doc_id, n_words, mean_word_len, punct_ratio, stopword_ratio,
        digit_ratio, violations, CAST(kept AS BIGINT) AS kept
 FROM qf ORDER BY doc_id""",
         "corpus_stats": corpus_stats_oracle_sql() + " ORDER BY lang_pred",
+        "repetition_stats": repetition_stats_oracle_sql(),
         "corpus_stats_cube": corpus_stats_cube_oracle_sql()
         + " ORDER BY lang_pred, source",
         "pipeline_clean_corpus": _pipeline_clean_oracle_sql(),

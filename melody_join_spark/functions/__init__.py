@@ -156,4 +156,28 @@ def register_text_sql_functions(spark: SparkSession) -> list[str]:
             f"RETURNS {rtype} RETURN {body}"
         )
         names.append(name)
+    # word n-grams (round-10 VERDICT optional #8): the decontamination
+    # primitive as a plain SQL scalar, same canonical tokenization as
+    # operators/text.py word_ngrams (parity-tested) — makes the GPT-3-style
+    # 13-gram leak check expressible in spark.sql alone (Spark 4 forbids SQL
+    # UDFs directly under Generate, so materialize the array in a subquery
+    # and explode the column):
+    #   SELECT t.doc_id, e.eval_id, count(*) AS shared_ngrams
+    #   FROM (SELECT doc_id, explode(gs) AS g FROM
+    #         (SELECT doc_id, word_ngrams(text, 13) AS gs FROM train)) t
+    #   JOIN (SELECT eval_id, explode(gs) AS g FROM
+    #         (SELECT eval_id, word_ngrams(text, 13) AS gs FROM ev)) e
+    #     USING (g) GROUP BY 1, 2
+    wtoks = f"filter(split(trim(lower(t)), '{ws}'), x -> x <> '')"
+    ngram_body = (
+        f"CASE WHEN size({wtoks}) >= n THEN array_distinct(transform("
+        f"sequence(1, size({wtoks}) - (n - 1)), "
+        f"i -> array_join(slice({wtoks}, i, n), ' '))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION word_ngrams(t STRING, n INT) "
+        f"RETURNS ARRAY<STRING> RETURN {ngram_body}"
+    )
+    names.append("word_ngrams")
     return names

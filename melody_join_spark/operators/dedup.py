@@ -33,10 +33,13 @@ from pyspark.sql.types import ArrayType, LongType
 from .text import (
     WINNOW_K,
     WINNOW_W,
+    _word_tokens,
     fingerprint_bow,
     fingerprint_text,
     winnow_fingerprints,
     winnow_fps_sql,
+    word_ngram_windows,
+    word_ngrams,
 )
 
 __all__ = [
@@ -1302,33 +1305,10 @@ ORDER BY {id_col}"""
 # benchmark decontamination (cross-corpus n-gram overlap)
 # ---------------------------------------------------------------------------
 
-def _word_tokens(text: Column) -> Column:
-    """The ONE canonical tokenization every word-n-gram operator derives
-    from (lowercase, trim, whitespace split) — flag (decontaminate) and
-    scrub paths share it by construction, so they cannot silently diverge."""
-    return F.split(F.lower(F.trim(text)), r"\s+")
-
-
-def word_ngram_windows(text: Column, n: int) -> Column:
-    """POSITIONAL word n-gram windows: element ``i`` (0-based) is the
-    space-joined window starting at word ``i+1`` of the canonical token
-    sequence — order-preserving and non-distinct, the form
-    :func:`scrub_contamination` needs to locate leaked spans.  Documents
-    shorter than ``n`` words yield the empty array."""
-    w = _word_tokens(text)
-    return F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (n - 1)),
-            lambda i: F.array_join(F.slice(w, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
-def word_ngrams(text: Column, n: int) -> Column:
-    """Distinct word n-gram set: :func:`word_ngram_windows` deduplicated —
-    the form the overlap-flagging joins key on."""
-    return F.array_distinct(word_ngram_windows(text, n))
+# the canonical word-n-gram primitives live in operators/text.py (round 11:
+# repetition_stats shares them and text.py is below dedup.py in the import
+# graph); re-imported here where decontaminate/scrub grew up, and re-exported
+# via __all__ for back-compat
 
 
 def decontaminate(
@@ -1377,8 +1357,12 @@ def decontaminate(
 
 def _duck_word_ngrams(text_col: str, n: int) -> str:
     """DuckDB twin of :func:`word_ngrams` (list slicing is 1-based and
-    end-inclusive, so ``w[i:i+n-1]`` is the n-window at i)."""
-    w = f"string_split_regex(trim(lower({text_col})), '\\s+')"
+    end-inclusive, so ``w[i:i+n-1]`` is the n-window at i; the empty-token
+    filter mirrors the canonical ``_word_tokens``)."""
+    w = (
+        f"list_filter(string_split_regex(trim(lower({text_col})), '\\s+'), "
+        f"t -> t <> '')"
+    )
     return (
         f"list_distinct(list_transform("
         f"range(1, greatest(len({w}) - {n - 1}, 0) + 1), "
@@ -1489,8 +1473,14 @@ def scrub_contamination_oracle_sql(
     """DuckDB twin of :func:`scrub_contamination` (same 1-based position
     semantics; the index-filtered rebuild uses a CASE-over-range then
     drops the NULL slots, which needs no indexed-lambda support)."""
-    w = f"string_split_regex(trim(lower({text_col})), '\\s+')"
-    ew = f"string_split_regex(trim(lower({eval_text_col})), '\\s+')"
+    w = (
+        f"list_filter(string_split_regex(trim(lower({text_col})), '\\s+'), "
+        f"t -> t <> '')"
+    )
+    ew = (
+        f"list_filter(string_split_regex(trim(lower({eval_text_col})), "
+        f"'\\s+'), t -> t <> '')"
+    )
     eg = (
         f"list_distinct(list_transform("
         f"range(1, greatest(len({ew}) - {n - 1}, 0) + 1), "

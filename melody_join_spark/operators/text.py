@@ -41,6 +41,12 @@ __all__ = [
     "corpus_stats_oracle_sql",
     "corpus_stats_cube",
     "corpus_stats_cube_oracle_sql",
+    "word_ngram_windows",
+    "word_ngrams",
+    "repetition_stats",
+    "repetition_stats_oracle_sql",
+    "REP_TOP_NS",
+    "REP_DUP_NS",
 ]
 
 # small fixed stopword inventory (deterministic, mirrored into the oracle SQL)
@@ -64,6 +70,46 @@ _PUNCT = r"[^A-Za-z0-9\s]"
 
 def _tokens(text: Column) -> Column:
     return F.split(F.trim(text), _WS)
+
+
+def _word_tokens(text: Column) -> Column:
+    """The ONE canonical tokenization every word-n-gram operator derives
+    from (lowercase, trim, whitespace split, empty tokens dropped) —
+    decontaminate, scrub and repetition_stats share it by construction, so
+    they cannot silently diverge.
+
+    The empty-token filter matters: Spark/DuckDB ``trim`` strips SPACES
+    only, so text with tab/newline boundaries ("\\n foo") would otherwise
+    carry phantom '' tokens into every n-gram window (round 11: a
+    whitespace-only document scored top_2gram_char_frac = 1.0 on the
+    2-gram " " before the filter).  Mirrored in every DuckDB twin
+    (``list_filter(..., t -> t <> '')``)."""
+    return F.filter(
+        F.split(F.lower(F.trim(text)), _WS), lambda x: x != ""
+    )
+
+
+def word_ngram_windows(text: Column, n: int) -> Column:
+    """POSITIONAL word n-gram windows: element ``i`` (0-based) is the
+    space-joined window starting at word ``i+1`` of the canonical token
+    sequence — order-preserving and non-distinct, the form
+    ``scrub_contamination`` (leaked-span location) and
+    :func:`repetition_stats` (occurrence counting) need.  Documents
+    shorter than ``n`` words yield the empty array."""
+    w = _word_tokens(text)
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-gram set: :func:`word_ngram_windows` deduplicated —
+    the form the overlap-flagging joins key on."""
+    return F.array_distinct(word_ngram_windows(text, n))
 
 
 def token_count_ws(text: Column) -> Column:
@@ -519,6 +565,224 @@ SELECT *,
   md5(lower(regexp_replace(trim({text_col}), '{_WS}', ' ', 'g'))) AS fp_text,
   md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower({text_col})), '{_WS}'))), ' ')) AS fp_bow
 FROM {table}"""
+
+
+def _dup_run_stats(arr: Column, beyond_first: bool) -> Column:
+    """Duplicate-run statistics over a string array, computed doc-locally in
+    ONE codegen ``aggregate`` over ``sort_array(arr)`` (equal elements become
+    adjacent runs, so occurrence counting is O(m log m) with no per-doc
+    quadratic filter scan and — crucially — no corpus-wide explode+groupBy
+    shuffle).  Returns ``struct(top, dup)``:
+
+    - ``top``  = max over distinct elements of ``count * length(element)``
+      (the most character-covering element — the top-n-gram numerator),
+    - ``dup``  = sum over elements with ``count >= 2`` of
+      ``(count - 1 if beyond_first else count) * length(element)``
+      (characters in duplicate occurrences; ``beyond_first`` excludes each
+      element's first occurrence — the duplicate-LINE convention, while
+      n-gram fractions count all occurrences of a duplicated gram).
+
+    Runs fold on element change; ``finish`` folds the final run.  The empty
+    sentinel ``prev=''`` is safe: callers pass non-empty elements (trimmed
+    non-blank lines; n>=2 grams always contain a space)."""
+    dec = 1 if beyond_first else 0
+    zero = F.lit(0).cast("long")
+
+    def _close_top(s):
+        return F.greatest(
+            s["top"], s["run"] * F.length(s["prev"]).cast("long")
+        )
+
+    def _close_dup(s):
+        return s["dup"] + F.when(
+            s["run"] >= 2,
+            (s["run"] - F.lit(dec)) * F.length(s["prev"]).cast("long"),
+        ).otherwise(zero)
+
+    return F.aggregate(
+        F.sort_array(arr),
+        F.struct(
+            F.lit("").alias("prev"),
+            zero.alias("run"),
+            zero.alias("top"),
+            zero.alias("dup"),
+        ),
+        lambda s, x: F.struct(
+            x.alias("prev"),
+            F.when(x == s["prev"], s["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(x == s["prev"], s["top"]).otherwise(_close_top(s)).alias("top"),
+            F.when(x == s["prev"], s["dup"]).otherwise(_close_dup(s)).alias("dup"),
+        ),
+        lambda s: F.struct(
+            _close_top(s).alias("top"), _close_dup(s).alias("dup")
+        ),
+    )
+
+
+# repetition_stats default n-gram spans (mirrored into the oracle SQL)
+REP_TOP_NS = (2, 3, 4)
+REP_DUP_NS = (5, 6, 7)
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = REP_TOP_NS,
+    dup_ns: tuple[int, ...] = REP_DUP_NS,
+) -> DataFrame:
+    """Gopher-style repetition / boilerplate metrics per document (Rae et
+    al. 2021 §A1.1 — the standard LLM-corpus filter axis quality_filter's
+    length/punct/stopword rules do not cover: navigation bars, license
+    spam, scraped templates).  Appends to every row:
+
+    - ``n_lines``            — non-blank trimmed line count
+    - ``dup_line_frac``      — ``1 - distinct_lines / n_lines``
+    - ``dup_line_char_frac`` — characters in duplicate line OCCURRENCES
+      beyond each line's first, over total line characters
+    - ``top_{n}gram_char_frac`` (n in ``top_ns``) — ``max_g count(g) *
+      len(g)`` over the doc's word n-grams, over the canonical text length
+      (the most character-covering n-gram; counting covered characters
+      with overlap multiplicity, the deterministic tie-free form)
+    - ``dup_{n}gram_char_frac`` (n in ``dup_ns``) — ``sum_{count(g)>=2}
+      count(g) * len(g)`` over the canonical text length (ALL occurrences
+      of duplicated n-grams, the Gopher convention for n-grams)
+
+    All numerators and denominators are exact int64 counts; each fraction
+    is ONE int/int division, so values are bit-stable across engines (the
+    DuckDB twin hash-matches).  Blank docs yield 0.0 everywhere.
+
+    100-TB plan: every metric is computed doc-locally in whole-stage
+    codegen (split / sort_array / one ``aggregate`` fold per n — see
+    :func:`_dup_run_stats`), so the operator is a pure scan with NO
+    shuffle, NO explode and no Python: the same shape as quality_filter,
+    composable into the same single corpus pass."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    # regexp-trim each line: F.trim strips SPACES only, so a tab-only line
+    # would survive as a phantom non-blank line
+    lines = F.filter(
+        F.transform(
+            F.split(t, "\n"),
+            lambda l: F.regexp_replace(l, r"^\s+|\s+$", ""),
+        ),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines).cast("long")
+    n_dist = F.size(F.array_distinct(lines)).cast("long")
+    line_chars = F.aggregate(
+        lines,
+        F.lit(0).cast("long"),
+        lambda a, x: a + F.length(x).cast("long"),
+    )
+    line_runs = _dup_run_stats(lines, beyond_first=True)
+    # canonical text length: the n-gram char fractions' shared denominator
+    len_join = F.length(F.array_join(_word_tokens(t), " ")).cast("long")
+    cols = [
+        n_lines.alias("n_lines"),
+        F.when(n_lines > 0, (n_lines - n_dist) / n_lines)
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
+        F.when(line_chars > 0, line_runs["dup"] / line_chars)
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_char_frac"),
+    ]
+    for n in top_ns:
+        runs = _dup_run_stats(word_ngram_windows(t, n), beyond_first=False)
+        cols.append(
+            F.when(len_join > 0, runs["top"] / len_join)
+            .otherwise(F.lit(0.0))
+            .alias(f"top_{n}gram_char_frac")
+        )
+    for n in dup_ns:
+        runs = _dup_run_stats(word_ngram_windows(t, n), beyond_first=False)
+        cols.append(
+            F.when(len_join > 0, runs["dup"] / len_join)
+            .otherwise(F.lit(0.0))
+            .alias(f"dup_{n}gram_char_frac")
+        )
+    return df.select("*", *cols)
+
+
+def repetition_stats_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = REP_TOP_NS,
+    dup_ns: tuple[int, ...] = REP_DUP_NS,
+) -> str:
+    """DuckDB twin of :func:`repetition_stats` (metric columns + id only).
+    Occurrence counts come from unnest + GROUP BY instead of the run fold —
+    an independent formulation of the same exact-integer numerators."""
+    t = f"coalesce({text_col}, '')"
+    # regexp-trim, not trim(): trim strips SPACES only in both engines, so a
+    # tab-only line would survive as a phantom line
+    lines = (
+        f"list_filter(list_transform(string_split({t}, chr(10)), "
+        f"l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')), l -> l <> '')"
+    )
+    toks = (
+        f"list_filter(string_split_regex(trim(lower({t})), '{_WS}'), "
+        f"w -> w <> '')"
+    )
+
+    def grams(n: int) -> str:
+        return (
+            f"CASE WHEN len({toks}) >= {n} THEN list_transform("
+            f"range(1, len({toks}) - {n - 1} + 1), "
+            f"i -> array_to_string(({toks})[i:i+{n - 1}], ' ')) "
+            f"ELSE [] END"
+        )
+
+    gram_ctes, gram_cols, gram_joins = [], [], []
+    for kind, ns in (("top", top_ns), ("dup", dup_ns)):
+        for n in ns:
+            nm = f"{kind}{n}"
+            agg = (
+                f"max(c * length(g))"
+                if kind == "top"
+                else "sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END)"
+            )
+            gram_ctes.append(
+                f"{nm} AS (SELECT {id_col}, {agg} AS v FROM ("
+                f"SELECT {id_col}, g, count(*) AS c FROM "
+                f"(SELECT {id_col}, unnest({grams(n)}) AS g FROM {table}) "
+                f"GROUP BY 1, 2) GROUP BY 1)"
+            )
+            gram_cols.append(
+                f"CASE WHEN d.len_join > 0 THEN coalesce({nm}.v, 0) / d.len_join "
+                f"ELSE 0.0 END AS {kind}_{n}gram_char_frac"
+            )
+            gram_joins.append(f"LEFT JOIN {nm} ON {nm}.{id_col} = d.{id_col}")
+    ctes_sql = ",\n".join(gram_ctes)
+    cols_sql = ",\n  ".join(gram_cols)
+    joins_sql = " ".join(gram_joins)
+    return f"""
+WITH d AS (
+  SELECT {id_col},
+         len({lines}) AS n_lines,
+         len(list_distinct({lines})) AS n_dist,
+         coalesce(list_sum(list_transform({lines}, l -> length(l))), 0)
+           AS line_chars,
+         length(array_to_string({toks}, ' ')) AS len_join
+  FROM {table}
+),
+dupline AS (
+  SELECT {id_col}, sum((c - 1) * length(l)) AS v FROM (
+    SELECT {id_col}, l, count(*) AS c FROM
+      (SELECT {id_col}, unnest({lines}) AS l FROM {table})
+    GROUP BY 1, 2) WHERE c >= 2 GROUP BY 1
+),
+{ctes_sql}
+SELECT d.{id_col},
+  CAST(d.n_lines AS BIGINT) AS n_lines,
+  CASE WHEN d.n_lines > 0 THEN (d.n_lines - d.n_dist) / d.n_lines
+       ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN d.line_chars > 0 THEN coalesce(dupline.v, 0) / d.line_chars
+       ELSE 0.0 END AS dup_line_char_frac,
+  {cols_sql}
+FROM d
+LEFT JOIN dupline ON dupline.{id_col} = d.{id_col}
+{joins_sql}
+ORDER BY d.{id_col}"""
 
 
 def corpus_stats_cube(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -120,3 +120,112 @@ def test_corpus_stats_exact_and_parity(spark, docs_df):
         assert (r.n_docs, r.n_kept, r.n_tokens) == (w[1], w[2], w[3]), lang
         assert r.mean_quality == w[4], lang  # bit-exact micro-unit sum
         assert r.n_kept <= r.n_docs
+
+
+def test_repetition_stats_vs_python(spark):
+    """repetition_stats (round 11, Gopher-style §A1.1): every metric
+    hand-recomputed in pure python on adversarial shapes — boilerplate
+    lines, n-gram spam, blank/empty docs, shorter-than-n docs."""
+    from collections import Counter
+
+    from melody_join_spark.operators.text import (
+        REP_DUP_NS,
+        REP_TOP_NS,
+        repetition_stats,
+    )
+
+    texts = [
+        "home | about | contact\nreal content here\nhome | about | contact\n"
+        "more real content\nhome | about | contact",
+        "spam spam spam spam spam spam spam spam spam spam",
+        "every line is unique\nno repeats at all\nclean document text",
+        "one two three four five six seven one two three four five six",
+        "",
+        "   \n  \n\t\n",          # blank lines only
+        "word",                    # shorter than every n
+        "a b\na b\na b\na b",      # dup lines AND dup 2-grams
+        "Mixed CASE mixed case MIXED case",
+    ]
+
+    def ref(t):
+        t = t or ""
+        lines = [ln.strip() for ln in t.split("\n")]
+        lines = [ln for ln in lines if ln]
+        lc = Counter(lines)
+        n_lines = len(lines)
+        line_chars = sum(map(len, lines))
+        dup_lc = sum((c - 1) * len(ln) for ln, c in lc.items() if c >= 2)
+        out = {
+            "n_lines": n_lines,
+            "dup_line_frac": (n_lines - len(lc)) / n_lines if n_lines else 0.0,
+            "dup_line_char_frac": dup_lc / line_chars if line_chars else 0.0,
+        }
+        toks = t.strip().lower().split()
+        len_join = len(" ".join(toks))
+        for kind, ns in (("top", REP_TOP_NS), ("dup", REP_DUP_NS)):
+            for n in ns:
+                grams = (
+                    [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+                    if len(toks) >= n
+                    else []
+                )
+                gc = Counter(grams)
+                if kind == "top":
+                    num = max((c * len(g) for g, c in gc.items()), default=0)
+                else:
+                    num = sum(c * len(g) for g, c in gc.items() if c >= 2)
+                out[f"{kind}_{n}gram_char_frac"] = (
+                    num / len_join if len_join else 0.0
+                )
+        return out
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: {k: r[k] for k in ref("")}
+        for r in repetition_stats(df).collect()
+    }
+    want = {i: ref(t) for i, t in enumerate(texts)}
+    assert got == want
+
+
+def test_repetition_stats_duckdb_parity(spark):
+    """Spark and the DuckDB twin agree bit-exactly on the sf0.001 corpus
+    (the driver runs the same comparison at sf0.01 with hashing)."""
+    from melody_join_spark.operators.text import (
+        repetition_stats,
+        repetition_stats_oracle_sql,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = repetition_stats(docs)
+    keep = ["doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac"] + [
+        c for c in rep.columns if c.endswith("gram_char_frac")
+    ]
+    got = [tuple(r) for r in rep.select(*keep).orderBy("doc_id").collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = con.execute(repetition_stats_oracle_sql()).fetchall()
+    assert got == want
+
+
+def test_repetition_stats_plan_is_scan_only(spark):
+    """The 100-TB claim: no Exchange, no Generate(explode), no Python eval
+    node — the metrics fold doc-locally inside the scan stage."""
+    import contextlib
+    import io
+
+    from melody_join_spark.operators.text import repetition_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        repetition_stats(docs).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "Generate" not in plan

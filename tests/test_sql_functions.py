@@ -84,3 +84,69 @@ def test_text_sql_functions_match_column_builders(spark):
     with contextlib.redirect_stdout(buf):
         spark.sql("SELECT quality_score(text) FROM docs_sqlfn").explain("formatted")
     assert "EvalPython" not in buf.getvalue()
+
+
+def test_word_ngrams_sql_function_parity(spark):
+    """word_ngrams as a SQL scalar (round-10 VERDICT optional #8): exact
+    parity with the Column builder on the documents table, the full
+    SQL-only decontaminate twin matches the operator, and the call stays
+    expression-only (no Python eval node)."""
+    import contextlib
+    import io
+
+    from melody_join_spark.functions import register_text_sql_functions
+    from melody_join_spark.operators.dedup import decontaminate, word_ngrams
+    from pyspark.sql import functions as F
+
+    names = register_text_sql_functions(spark)
+    assert "word_ngrams" in names
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("docs_wng")
+    got = {
+        r.doc_id: r.g
+        for r in spark.sql(
+            "SELECT doc_id, word_ngrams(text, 5) AS g FROM docs_wng"
+        ).collect()
+    }
+    exp = {
+        r.doc_id: r.g
+        for r in docs.select(
+            "doc_id", word_ngrams(F.col("text"), 5).alias("g")
+        ).collect()
+    }
+    assert got == exp
+
+    # the leak check, written in plain SQL only
+    ev = docs.orderBy("doc_id").limit(3).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    ev.createOrReplaceTempView("ev_wng")
+    # NOTE: Spark 4 forbids SQL UDFs directly under Generate
+    # (UNSUPPORTED_SQL_UDF_USAGE), so the array materializes in a subquery
+    # and the outer query explodes the column — same plan after inlining
+    sql_hits = {
+        (r.doc_id, r.eval_id): r.shared_ngrams
+        for r in spark.sql(
+            """SELECT t.doc_id, e.eval_id, count(*) AS shared_ngrams
+               FROM (SELECT doc_id, explode(gs) AS g FROM
+                     (SELECT doc_id, word_ngrams(text, 13) AS gs
+                      FROM docs_wng)) t
+               JOIN (SELECT eval_id, explode(gs) AS g FROM
+                     (SELECT eval_id, word_ngrams(text, 13) AS gs
+                      FROM ev_wng)) e USING (g)
+               GROUP BY 1, 2"""
+        ).collect()
+    }
+    op_hits = {
+        (r.doc_id, r.eval_id): r.shared_ngrams
+        for r in decontaminate(docs, ev, n=13).collect()
+    }
+    assert sql_hits == op_hits
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        spark.sql(
+            "SELECT word_ngrams(text, 13) FROM docs_wng"
+        ).explain("formatted")
+    assert "EvalPython" not in buf.getvalue()
