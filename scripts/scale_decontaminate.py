@@ -21,7 +21,11 @@ for a in sys.argv[1:]:
         REPEATS = int(a.split("=", 1)[1])
 
 SF01 = "/root/testdata/sf0.1"
-REP = 10
+# round 11 (VERDICT optional #7): a second decade.  Replication uses ONE
+# scan + explode(sequence(0, k-1)) instead of a k-way union so the x100
+# tier doesn't drown in plan overhead (the r10 x10 rows used a union; the
+# x10 walls below confirm the two replication methods agree).
+TIERS = (1, 10, 100)
 
 
 def main() -> None:
@@ -36,15 +40,28 @@ def main() -> None:
         "doc_id", "text"
     )
     n_small = docs.count()
-    big = docs
-    for k in range(1, REP):
-        big = big.unionByName(
-            docs.select(
-                (F.col("doc_id") + k * 10_000_000).alias("doc_id"), "text"
-            )
-        )
-    big = big.persist()
-    n_big = big.count()
+
+    def replicate(k: int):
+        if k == 1:
+            return docs
+        # the sf0.1 table is ONE parquet file, so explode(sequence) alone
+        # would leave the k-times corpus in a single cached partition (one
+        # task doing all the work — measured x6.7 instead of x1.3 at x10);
+        # repartition to task-sized splits BEFORE the persist.count()
+        # materialization, outside every timed window
+        return docs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_k"),
+            "doc_id",
+            "text",
+        ).select(
+            (F.col("doc_id") + F.col("_k") * 10_000_000).alias("doc_id"),
+            "text",
+        ).repartition(min(64, 2 * k))
+
+    tiers = []
+    for k in TIERS:
+        d = replicate(k).persist()
+        tiers.append((f"x{k}", d, d.count()))
 
     w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     evals = docs.where(F.col("doc_id") % 11 == 0).select(
@@ -55,7 +72,7 @@ def main() -> None:
 
     results: dict = {}
     for rep in range(REPEATS):
-        for scale, d, n_d in (("sf0.1", docs, n_small), ("sf1", big, n_big)):
+        for scale, d, n_d in tiers:
             for op_name, op in (("decontaminate", decontaminate),
                                 ("scrub", scrub_contamination)):
                 t0 = time.perf_counter()
@@ -76,15 +93,17 @@ def main() -> None:
     print(f"\neval set: {n_eval} excerpts; interleaved min-of-{REPEATS}:\n")
     print("| scale | op | docs | wall (s) | output rows |")
     print("|---|---|---|---|---|")
-    for scale in ("sf0.1", "sf1"):
+    for scale, _, _ in tiers:
         for op_name in ("decontaminate", "scrub"):
             wall, out, n_d = results[(scale, op_name)]
             print(f"| {scale} | {op_name} | {n_d:,} | {wall:.2f} | {out:,} |")
-    for op_name in ("decontaminate", "scrub"):
-        s, b = results[("sf0.1", op_name)], results[("sf1", op_name)]
-        print(f"{op_name} growth at x{REP} docs: "
-              f"wall x{b[0] / max(s[0], 1e-9):.1f}, "
-              f"output x{b[1] / max(s[1], 1):.1f}")
+    base = tiers[0][0]
+    for scale, _, _ in tiers[1:]:
+        for op_name in ("decontaminate", "scrub"):
+            s, b = results[(base, op_name)], results[(scale, op_name)]
+            print(f"{op_name} growth at {scale} docs: "
+                  f"wall x{b[0] / max(s[0], 1e-9):.1f}, "
+                  f"output x{b[1] / max(s[1], 1):.1f}")
 
 
 if __name__ == "__main__":
