@@ -64,6 +64,14 @@ def run_bench(tree: str, queries: list[str], runs: int, full: bool = False) -> d
         SPARK_GRAFT_BENCH_RUNS=str(runs),
         PYTHONPATH=tree,
     )
+    # Run-count symmetry (round-11 lesson): bench.py's contention-aware
+    # clean-run extension can hand the two SIDES different run counts when
+    # steal fluctuates (one side's single run counts clean, the other
+    # extends to 8 warm repeats -> min-of-8-warm vs min-of-1-cold read as a
+    # fake 0.28x).  Cross-rev A/B therefore pins the steal gate OFF so every
+    # process does exactly `runs` runs; contention still shows in the
+    # per-run busy/steal arrays and cancels across swapped pairs.
+    env.setdefault("SPARK_GRAFT_BENCH_STEAL_MAX", "100")
     t0 = time.time()
     load0 = os.getloadavg()[0]
     proc = subprocess.run(

@@ -184,18 +184,20 @@ def _analyze_eventlog(evdir: str) -> None:
                     jobs[ev["Job ID"]]["t1"] = ev["Completion Time"]
             elif e == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
-                stages[si["Stage ID"]] = {
-                    "t0": si.get("Submission Time"),
-                    "t1": si.get("Completion Time"),
-                    "tasks": si.get("Number of Tasks"),
-                    "name": si.get("Stage Name", "")[:60],
-                }
+                # merge, don't replace: TaskEnd events already accumulated
+                # run_ms/gc_ms into this stage's entry
+                st = stages.setdefault(si["Stage ID"], {})
+                st.update(
+                    t0=si.get("Submission Time"),
+                    t1=si.get("Completion Time"),
+                    tasks=si.get("Number of Tasks"),
+                    name=si.get("Stage Name", "")[:60],
+                )
             elif e == "SparkListenerTaskEnd":
                 sid = ev["Stage ID"]
                 m = ev.get("Task Metrics") or {}
                 st = stages.setdefault(sid, {})
                 st["run_ms"] = st.get("run_ms", 0) + m.get("Executor Run Time", 0)
-                st["jit_wait_ms"] = st.get("jit_wait_ms", 0)
                 st["gc_ms"] = st.get("gc_ms", 0) + m.get("JVM GC Time", 0)
                 st["deser_ms"] = (
                     st.get("deser_ms", 0) + m.get("Executor Deserialize Time", 0)
