@@ -45,6 +45,7 @@ __all__ = [
     "word_ngrams",
     "repetition_stats",
     "repetition_stats_oracle_sql",
+    "repetition_filter",
     "REP_TOP_NS",
     "REP_DUP_NS",
 ]
@@ -574,8 +575,11 @@ def _dup_run_stats(arr: Column, beyond_first: bool) -> Column:
     quadratic filter scan and — crucially — no corpus-wide explode+groupBy
     shuffle).  Returns ``struct(top, dup)``:
 
-    - ``top``  = max over distinct elements of ``count * length(element)``
-      (the most character-covering element — the top-n-gram numerator),
+    - ``top``  = max over elements with ``count >= 2`` of
+      ``count * length(element)`` (the most character-covering REPEATED
+      element — the top-n-gram numerator; 0 when nothing repeats, so a
+      short clean document is not flagged for merely containing one long
+      n-gram once),
     - ``dup``  = sum over elements with ``count >= 2`` of
       ``(count - 1 if beyond_first else count) * length(element)``
       (characters in duplicate occurrences; ``beyond_first`` excludes each
@@ -590,7 +594,10 @@ def _dup_run_stats(arr: Column, beyond_first: bool) -> Column:
 
     def _close_top(s):
         return F.greatest(
-            s["top"], s["run"] * F.length(s["prev"]).cast("long")
+            s["top"],
+            F.when(
+                s["run"] >= 2, s["run"] * F.length(s["prev"]).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
         )
 
     def _close_dup(s):
@@ -639,10 +646,12 @@ def repetition_stats(
     - ``dup_line_frac``      — ``1 - distinct_lines / n_lines``
     - ``dup_line_char_frac`` — characters in duplicate line OCCURRENCES
       beyond each line's first, over total line characters
-    - ``top_{n}gram_char_frac`` (n in ``top_ns``) — ``max_g count(g) *
-      len(g)`` over the doc's word n-grams, over the canonical text length
-      (the most character-covering n-gram; counting covered characters
-      with overlap multiplicity, the deterministic tie-free form)
+    - ``top_{n}gram_char_frac`` (n in ``top_ns``) — ``max_{count(g)>=2}
+      count(g) * len(g)`` over the doc's word n-grams, over the canonical
+      text length (the most character-covering REPEATED n-gram, 0 when no
+      n-gram repeats; covered characters count with overlap multiplicity —
+      the deterministic tie-free form, which can exceed 1.0 on extreme
+      spam)
     - ``dup_{n}gram_char_frac`` (n in ``dup_ns``) — ``sum_{count(g)>=2}
       count(g) * len(g)`` over the canonical text length (ALL occurrences
       of duplicated n-grams, the Gopher convention for n-grams)
@@ -702,6 +711,70 @@ def repetition_stats(
     return df.select("*", *cols)
 
 
+# repetition_filter default thresholds — the Gopher paper's published gates
+# (Rae et al. 2021 table A1): duplicate-line fraction 0.30, duplicate-line
+# character fraction 0.20, top-2/3/4-gram character fractions 0.20/0.18/0.16,
+# duplicate-5/6/7-gram character fractions 0.15/0.14/0.13
+RF_MAX_DUP_LINE = 0.30
+RF_MAX_DUP_LINE_CHAR = 0.20
+RF_MAX_TOP_NGRAM = {2: 0.20, 3: 0.18, 4: 0.16}
+RF_MAX_DUP_NGRAM = {5: 0.15, 6: 0.14, 7: 0.13}
+
+
+def repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    max_dup_line: float = RF_MAX_DUP_LINE,
+    max_dup_line_char: float = RF_MAX_DUP_LINE_CHAR,
+    max_top_ngram: dict[int, float] = RF_MAX_TOP_NGRAM,
+    max_dup_ngram: dict[int, float] = RF_MAX_DUP_NGRAM,
+) -> DataFrame:
+    """The gate companion to :func:`repetition_stats`, mirroring
+    :func:`quality_filter`'s contract: every row keeps its metric columns
+    and gains ``violations`` (comma-joined violated rule names, stable
+    order) and a ``kept`` flag.  Thresholds default to the Gopher paper's
+    published values (Rae et al. 2021 table A1) and are per-corpus
+    tunables.
+
+    Rule names (the contract): ``dup_line``, ``dup_line_char``,
+    ``top_{n}gram`` per key of ``max_top_ngram``, ``dup_{n}gram`` per key
+    of ``max_dup_ngram``.  Same 100-TB shape as the stats: one scan-side
+    projection + filter, zero shuffles."""
+    rep = repetition_stats(
+        df,
+        text_col=text_col,
+        top_ns=tuple(sorted(max_top_ngram)),
+        dup_ns=tuple(sorted(max_dup_ngram)),
+    )
+    rules: list[tuple[str, Column]] = [
+        ("dup_line", F.col("dup_line_frac") <= max_dup_line),
+        ("dup_line_char", F.col("dup_line_char_frac") <= max_dup_line_char),
+    ]
+    for n in sorted(max_top_ngram):
+        rules.append(
+            (f"top_{n}gram",
+             F.col(f"top_{n}gram_char_frac") <= max_top_ngram[n])
+        )
+    for n in sorted(max_dup_ngram):
+        rules.append(
+            (f"dup_{n}gram",
+             F.col(f"dup_{n}gram_char_frac") <= max_dup_ngram[n])
+        )
+    viol = F.concat_ws(
+        ",",
+        F.filter(
+            F.array(*[
+                F.when(~ok, F.lit(name)).otherwise(F.lit(None))
+                for name, ok in rules
+            ]),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    return rep.select(
+        "*", viol.alias("violations"), (viol == "").alias("kept")
+    )
+
+
 def repetition_stats_oracle_sql(
     table: str = "documents",
     id_col: str = "doc_id",
@@ -737,7 +810,7 @@ def repetition_stats_oracle_sql(
         for n in ns:
             nm = f"{kind}{n}"
             agg = (
-                f"max(c * length(g))"
+                "max(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END)"
                 if kind == "top"
                 else "sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END)"
             )

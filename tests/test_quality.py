@@ -171,7 +171,10 @@ def test_repetition_stats_vs_python(spark):
                 )
                 gc = Counter(grams)
                 if kind == "top":
-                    num = max((c * len(g) for g, c in gc.items()), default=0)
+                    num = max(
+                        (c * len(g) for g, c in gc.items() if c >= 2),
+                        default=0,
+                    )
                 else:
                     num = sum(c * len(g) for g, c in gc.items() if c >= 2)
                 out[f"{kind}_{n}gram_char_frac"] = (
@@ -229,3 +232,35 @@ def test_repetition_stats_plan_is_scan_only(spark):
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
     assert "Generate" not in plan
+
+
+def test_repetition_filter_gate(spark):
+    """repetition_filter: violation names fire on the right documents at
+    the Gopher defaults, kept == (violations == ''), and a clean doc
+    passes untouched."""
+    from melody_join_spark.operators.text import repetition_filter
+
+    texts = {
+        0: "home | about\nreal content here today\nhome | about\n"
+           "more real text\nhome | about\nhome | about",   # dup lines
+        1: "spam spam spam spam spam spam spam spam spam spam spam spam",
+        2: "a perfectly ordinary line of text\nanother distinct line with "
+           "different words\nand a third unique line closing the document",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in repetition_filter(df).collect()}
+    # doc 0: 4 of 6 lines are the same boilerplate -> dup_line 0.5 > 0.30
+    assert "dup_line" in rows[0].violations.split(",")
+    assert rows[0].kept is False
+    # doc 1: one token repeated -> every n-gram window identical
+    v1 = set(rows[1].violations.split(","))
+    assert "top_2gram" in v1 and "dup_5gram" in v1
+    assert rows[1].kept is False
+    # doc 2: clean
+    assert rows[2].violations == ""
+    assert rows[2].kept is True
+    # kept <-> no violations, on every row
+    for r in rows.values():
+        assert r.kept == (r.violations == "")
