@@ -67,6 +67,7 @@ __all__ = [
     "scrub_contamination_oracle_sql",
     "dedupe_embeddings",
     "dedupe_embeddings_oracle_sql",
+    "semantic_dedup",
 ]
 
 
@@ -1299,6 +1300,57 @@ dropped AS (
 SELECT {id_col} FROM {docs_table}
 WHERE {id_col} NOT IN (SELECT id FROM dropped)
 ORDER BY {id_col}"""
+
+
+def semantic_dedup(
+    docs: DataFrame,
+    emb: DataFrame,
+    threshold: float = 0.85,
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int | None = None,
+    kmeans_sample: int = 4096,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+    list_cap: int = 4096,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding space
+    with a seeded spherical-kmeans codebook, then remove documents whose
+    embedding has cosine >= ``threshold`` with a smaller-id document IN THE
+    SAME CLUSTER.  The cluster restriction is the semantics (and the whole
+    scale story): candidate work is sum over clusters of |cluster|^2 ~
+    N^1.5 at the default nlist ~ sqrt(N), vs the quadratic all-pairs of
+    :func:`dedupe_embeddings` — the price is that a near-dup pair straddling
+    a cluster boundary survives, which SemDeDup accepts by design (the
+    paper dedups within k-means clusters for exactly this reason).
+
+    Composition, not new machinery: the cluster-local pairs ARE
+    :func:`similarity.ivf_cosine_pairs` with ``nprobe=1`` (primary-cluster
+    assignment only), so this inherits the proven codebook determinism
+    (md5-ordered sample, seeded kmeans, stable-argsort ties), the
+    hot-cluster block-pair decomposition (no quadratic straggler on
+    collapsed embeddings), and the bit-stable left-fold cosine the spec
+    fixture reproduces.  Drop rule matches :func:`dedupe_embeddings`:
+    the larger id of every qualifying pair drops (one anti-join).
+    Documents without an embedding row are kept."""
+    from .similarity import ivf_cosine_pairs
+
+    pairs = ivf_cosine_pairs(
+        emb,
+        threshold,
+        id_col=emb_id_col,
+        vec_col=vec_col,
+        nlist=nlist,
+        nprobe=1,
+        kmeans_sample=kmeans_sample,
+        kmeans_iters=kmeans_iters,
+        seed=seed,
+        list_cap=list_cap,
+    )
+    dropped = pairs.select(F.col("sid").alias(id_col)).distinct()
+    return docs.join(dropped, id_col, "anti")
 
 
 # ---------------------------------------------------------------------------

@@ -46,6 +46,7 @@ __all__ = [
     "repetition_stats",
     "repetition_stats_oracle_sql",
     "repetition_filter",
+    "repetition_filter_oracle_sql",
     "REP_TOP_NS",
     "REP_DUP_NS",
 ]
@@ -856,6 +857,57 @@ FROM d
 LEFT JOIN dupline ON dupline.{id_col} = d.{id_col}
 {joins_sql}
 ORDER BY d.{id_col}"""
+
+
+def repetition_filter_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_line: float = RF_MAX_DUP_LINE,
+    max_dup_line_char: float = RF_MAX_DUP_LINE_CHAR,
+    max_top_ngram: dict[int, float] | None = None,
+    max_dup_ngram: dict[int, float] | None = None,
+) -> str:
+    """DuckDB twin of :func:`repetition_filter`: the stats oracle wrapped
+    with the same rule CASEs.  Threshold comparisons are safe because the
+    metric fractions hash-match the Spark side bit-exactly (exact int64
+    numerators over identical denominators)."""
+    if max_top_ngram is None:
+        max_top_ngram = RF_MAX_TOP_NGRAM
+    if max_dup_ngram is None:
+        max_dup_ngram = RF_MAX_DUP_NGRAM
+    stats = repetition_stats_oracle_sql(
+        table=table,
+        id_col=id_col,
+        text_col=text_col,
+        top_ns=tuple(sorted(max_top_ngram)),
+        dup_ns=tuple(sorted(max_dup_ngram)),
+    )
+    rules = [
+        ("dup_line", f"dup_line_frac <= {max_dup_line}"),
+        ("dup_line_char", f"dup_line_char_frac <= {max_dup_line_char}"),
+    ]
+    for n in sorted(max_top_ngram):
+        rules.append(
+            (f"top_{n}gram", f"top_{n}gram_char_frac <= {max_top_ngram[n]}")
+        )
+    for n in sorted(max_dup_ngram):
+        rules.append(
+            (f"dup_{n}gram", f"dup_{n}gram_char_frac <= {max_dup_ngram[n]}")
+        )
+    cases = ", ".join(
+        f"CASE WHEN NOT ({ok}) THEN '{name}' END" for name, ok in rules
+    )
+    # coalesce: DuckDB's array_to_string over the all-rules-pass empty list
+    # yields NULL, where Spark's concat_ws yields ''
+    viol = (
+        f"coalesce(array_to_string("
+        f"list_filter([{cases}], x -> x IS NOT NULL), ','), '')"
+    )
+    return f"""
+WITH rs AS ({stats})
+SELECT rs.*, {viol} AS violations, {viol} = '' AS kept
+FROM rs ORDER BY {id_col}"""
 
 
 def corpus_stats_cube(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -40,6 +40,7 @@ OUT_MINHASH = os.path.join(_FIXDIR, "minhash_pairs_sf001.parquet")
 OUT_LSHCOS = os.path.join(_FIXDIR, "lsh_cosine_pairs_sf001.parquet")
 OUT_IVF = os.path.join(_FIXDIR, "ivf_topk_sf001.parquet")
 OUT_IVFPAIRS = os.path.join(_FIXDIR, "ivf_pairs_sf001.parquet")
+OUT_SEMDEDUP = os.path.join(_FIXDIR, "semdedup_sf001.parquet")
 OUT_3D = os.path.join(_FIXDIR, "emd3d_pairs_sf001.parquet")
 OUT_ARB = os.path.join(_FIXDIR, "emd2d_sqrtl1_pairs_sf001.parquet")
 
@@ -635,6 +636,88 @@ def make_ivf_pairs_fixture(
           f"nlist={nlist}, nprobe={nprobe})")
 
 
+def make_semdedup_fixture(
+    threshold: float = 0.35,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+) -> None:
+    """Pure-python re-execution of operators/dedup.semantic_dedup: the
+    ivf_cosine_pairs spec at nprobe=1 (primary-cluster assignment only —
+    SemDeDup's within-cluster candidate rule), larger id of every
+    qualifying pair dropped, kept doc ids written as the fixture.
+    Deterministic given the seed."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    vecs = np.array(
+        [[float(np.float64(np.float32(x))) for x in v]
+         for v in t["embedding"].to_pylist()],
+        dtype=np.float64,
+    )
+    n = len(ids)
+    nlist = max(8, int(round(float(n) ** 0.5)))
+
+    rng = np.random.default_rng(seed)
+    md5_order = np.argsort(
+        np.array(
+            [(hashlib.md5(str(int(i)).encode()).hexdigest(), int(i))
+             for i in ids],
+            dtype=[("h", "U32"), ("i", "i8")],
+        ),
+        order=("h", "i"),
+        kind="stable",
+    )
+    Xs = vecs[md5_order]
+    Xsn = Xs / np.maximum(np.linalg.norm(Xs, axis=1, keepdims=True), 1e-12)
+    C = Xsn[rng.choice(len(Xsn), size=min(nlist, len(Xsn)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = (Xsn @ C.T).argmax(axis=1)
+        for c in range(C.shape[0]):
+            m = assign == c
+            if m.any():
+                v = Xsn[m].sum(axis=0)
+                nn = np.linalg.norm(v)
+                if nn > 1e-12:
+                    C[c] = v / nn
+
+    # nprobe=1: stable argsort ties toward the smaller list id
+    Xn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    primary = np.argsort(-(Xn @ C.T), axis=1, kind="stable")[:, 0]
+
+    lists: dict[int, list[int]] = {}
+    for k in range(n):
+        lists.setdefault(int(primary[k]), []).append(k)
+    norms = [np.sqrt(_fold(x * x for x in v)) for v in vecs]
+    dropped: set[int] = set()
+    for members in lists.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                x, y = members[i], members[j]
+                if ids[x] > ids[y]:
+                    x, y = y, x
+                if ids[x] == ids[y]:
+                    continue
+                c = _fold(a * b for a, b in zip(vecs[x], vecs[y])) / (
+                    norms[x] * norms[y]
+                )
+                if c >= threshold:
+                    dropped.add(int(ids[y]))
+
+    dt = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                       columns=["doc_id"])
+    kept = sorted(int(d) for d in dt["doc_id"].to_pylist()
+                  if int(d) not in dropped)
+    tbl = pa.table({"doc_id": pa.array(kept, type=pa.int64())})
+    pq.write_table(tbl, OUT_SEMDEDUP)
+    print(f"wrote {OUT_SEMDEDUP}: {len(kept)} kept "
+          f"({len(dropped)} dropped, cos >= {threshold}, nlist={nlist})")
+
+
 if __name__ == "__main__":
     only = sys.argv[1] if len(sys.argv) > 1 else None
     if only == "emd3d":
@@ -654,5 +737,6 @@ if __name__ == "__main__":
          "lshcos": make_lsh_cosine_fixture,
          "ivf": make_ivf_fixture,
          "ivfpairs": make_ivf_pairs_fixture,
+         "semdedup": make_semdedup_fixture,
          "arbitrary": make_arbitrary_fixture,
          "emd2d": main}[only]()

@@ -1399,3 +1399,56 @@ def test_pack_sequences_greedy_semantics(spark):
     assert got[(0, 2)] == (0, 0) and got[(0, 3)] == (0, 1)
     assert got[(2, 0)] == (0, 2) and got[(2, 1)] == (0, 3)
     assert got[(1, 0)] == (1, 0) and got[(1, 1)] == (1, 1)
+
+
+def test_semantic_dedup_within_cluster_rule(spark, docs, emb):
+    """semantic_dedup == anti-join of the larger ids of
+    ivf_cosine_pairs(nprobe=1) — the SemDeDup composition contract — and
+    keeps a SUPERSET of the all-pairs dedupe_embeddings at the same
+    threshold (cluster-local candidates are a subset of all pairs)."""
+    from melody_join_spark.operators.dedup import (
+        dedupe_embeddings,
+        semantic_dedup,
+    )
+    from melody_join_spark.operators.similarity import ivf_cosine_pairs
+
+    kept = {
+        r.doc_id for r in semantic_dedup(docs, emb, threshold=0.35).collect()
+    }
+    pairs = ivf_cosine_pairs(emb, 0.35, nprobe=1).collect()
+    expect = {r.doc_id for r in docs.collect()} - {r.sid for r in pairs}
+    assert kept == expect and len(kept) < docs.count()
+    exact_kept = {
+        r.doc_id
+        for r in dedupe_embeddings(
+            docs, emb, threshold=0.35, method="exact"
+        ).collect()
+    }
+    assert exact_kept <= kept
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """Planted near-identical vectors (cos ~0.97) drop: a near-dup pair
+    co-locates in the same primary cluster unless it straddles a boundary
+    (the SemDeDup-accepted miss), so the drop count sits at-or-near the
+    planted 40."""
+    import numpy as np
+
+    from melody_join_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 32))
+    pert = base + 0.1 * rng.standard_normal((40, 32))
+    V = np.vstack([base, pert])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(len(V))],
+        "vec_id long, embedding array<double>",
+    )
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", "src") for i in range(len(V))],
+        "doc_id long, text string, source string",
+    )
+    kept = {r.doc_id for r in semantic_dedup(docs, emb, 0.9).collect()}
+    # originals all survive (smaller ids); most perturbed copies drop
+    assert set(range(40)) <= kept
+    assert len(kept) <= 40 + 6  # >= 34 of 40 planted dups caught

@@ -1,0 +1,198 @@
+"""LM-scoring operators (operators/lm.py): unigram-LM perplexity and DSIR
+importance weights.
+
+The driver's sf0.01 hash gate covers engine==DuckDB at scale; these tests
+pin the MODEL semantics on hand-built corpora (OOV bucket, smoothing
+denominators, tie-breaks at the vocabulary cut, empty/whitespace documents)
+plus the two cross-engine knife edges: the ln() micro-nat quantization and
+the md5 bucket hash.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from melody_join_spark.operators.lm import (
+    MICRO,
+    dsir_select,
+    dsir_select_oracle_sql,
+    dsir_weights,
+    dsir_weights_oracle_sql,
+    perplexity_score,
+    perplexity_score_oracle_sql,
+)
+
+DOCS = [
+    (1, "the cat sat on the mat", "web"),
+    (2, "the the the the", "web"),          # minimal-perplexity repetition
+    (3, "zig zag zug quux", "books"),        # rare tokens -> high NLL
+    (4, "", "web"),                          # empty: all-zero row
+    (5, None, "web"),                        # null text == empty
+    (6, "\t \n  ", "books"),                 # whitespace-only == empty
+    (7, "THE Cat ON A MAT", "books"),        # case folding
+]
+SCHEMA = "doc_id long, text string, source string"
+
+
+def _duck(docs):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, source VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", docs)
+    return con
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_perplexity_matches_oracle(spark):
+    """Full-frame bit parity with the DuckDB twin on the adversarial
+    corpus, at a vocab cut (4) small enough that the OOV bucket carries
+    real mass."""
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    got = _rows(perplexity_score(df, vocab_size=4).orderBy("doc_id"))
+    want = [
+        tuple(r)
+        for r in _duck(DOCS)
+        .execute(perplexity_score_oracle_sql(vocab_size=4))
+        .fetchall()
+    ]
+    assert got == want
+    # the empty/null/whitespace docs are all-zero rows, not NULLs
+    by_id = {r[0]: r for r in got}
+    for i in (4, 5, 6):
+        assert by_id[i][1:] == (0, 0, 0, 0.0)
+
+
+def test_perplexity_model_semantics(spark):
+    """Hand-checked add-one unigram model: vocab_size=2 keeps {'the','cat'}
+    (count desc, token asc tie-break), everything else shares the OOV
+    bucket."""
+    docs = [(1, "the the cat zag", "w"), (2, "the zig", "w")]
+    df = spark.createDataFrame(docs, SCHEMA)
+    out = {
+        r["doc_id"]: r
+        for r in perplexity_score(df, vocab_size=2).collect()
+    }
+    # counts: the=3, cat=1, zag=1, zig=1 -> vocab {'the':3, 'cat':1}
+    # (cat beats zag/zig on the token asc tie-break); total=6, denom=6+3
+    denom = 9.0
+    lp_the = math.floor(math.log(4.0 / denom) * MICRO)
+    lp_cat = math.floor(math.log(2.0 / denom) * MICRO)
+    lp_oov = math.floor(math.log((6 - 4 + 1.0) / denom) * MICRO)
+    assert out[1]["nll_micro"] == -(2 * lp_the + lp_cat + lp_oov)
+    assert out[1]["oov_tok"] == 1
+    assert out[2]["nll_micro"] == -(lp_the + lp_oov)
+    assert out[2]["n_tok"] == 2
+
+
+def test_perplexity_join_route_matches_map(spark):
+    """via='join' (the large-vocabulary 100-TB route) is bit-identical to
+    the map-literal route."""
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    m = _rows(perplexity_score(df, vocab_size=4).orderBy("doc_id"))
+    j = _rows(
+        perplexity_score(df, vocab_size=4, via="join").orderBy("doc_id")
+    )
+    assert m == j
+
+
+def test_perplexity_rejects_bad_route(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    with pytest.raises(ValueError, match="via"):
+        perplexity_score(df, via="collect")
+
+
+def test_perplexity_ln_quantization_knife_edge():
+    """The Spark path quantizes ln() in driver python, the oracle in
+    DuckDB — both bind the same libm, so floor(ln(p)*1e6) agrees.  Sweep
+    every count a plausible vocabulary produces to pin it."""
+    con = duckdb.connect()
+    for c in list(range(1, 2000)) + [10**6, 10**9]:
+        for denom in (7.0, 1031.0, 2.5e9):
+            py = math.floor(math.log((c + 1.0) / denom) * MICRO)
+            db = con.execute(
+                f"SELECT CAST(floor(ln(({c} + 1.0) / {denom}) * {MICRO}) "
+                "AS BIGINT)"
+            ).fetchone()[0]
+            assert py == db, (c, denom)
+
+
+def test_dsir_weights_match_oracle(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    got = _rows(
+        dsir_weights(
+            df, F.col("source") == "books", n_buckets=64
+        ).orderBy("doc_id")
+    )
+    want = [
+        tuple(r)
+        for r in _duck(DOCS)
+        .execute(dsir_weights_oracle_sql("source = 'books'", n_buckets=64))
+        .fetchall()
+    ]
+    assert got == want
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """Documents made of target-domain tokens must outweigh raw-only
+    documents — the selection property DSIR exists for."""
+    docs = [(i, "alpha beta gamma delta", "tgt") for i in range(8)] + [
+        (i, "omega psi chi phi", "raw") for i in range(8, 16)
+    ] + [
+        (100, "alpha beta gamma delta", "raw"),   # target-like content
+        (101, "omega psi chi phi", "raw"),        # raw-like content
+    ]
+    df = spark.createDataFrame(docs, SCHEMA)
+    w = {
+        r["doc_id"]: r["weight_micro"]
+        for r in dsir_weights(df, F.col("source") == "tgt").collect()
+    }
+    assert w[100] > w[101]
+    top = _rows(
+        dsir_select(df, F.col("source") == "tgt", k=9).select("doc_id")
+    )
+    assert (100,) in top and (101,) not in top
+
+
+def test_dsir_select_matches_oracle(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    got = _rows(
+        dsir_select(df, F.col("source") == "books", k=3, n_buckets=64)
+    )
+    want = [
+        tuple(r)
+        for r in _duck(DOCS)
+        .execute(
+            dsir_select_oracle_sql("source = 'books'", k=3, n_buckets=64)
+        )
+        .fetchall()
+    ]
+    assert got == want
+
+
+def test_scoring_is_scan_shaped(spark):
+    """The scoring pass must stay a scan-side projection: no Exchange in
+    the map-literal route's plan (the model pass already ran at build
+    time; this checks the returned DataFrame's plan)."""
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    plan = (
+        perplexity_score(df, vocab_size=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    plan_w = (
+        dsir_weights(df, F.col("source") == "books", n_buckets=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan_w

@@ -264,3 +264,35 @@ def test_repetition_filter_gate(spark):
     # kept <-> no violations, on every row
     for r in rows.values():
         assert r.kept == (r.violations == "")
+
+
+def test_repetition_filter_oracle_parity(spark):
+    """repetition_filter == its DuckDB twin frame-for-frame on the
+    adversarial gate corpus (boilerplate, single-token spam, clean prose,
+    empty, whitespace-only, null)."""
+    import duckdb
+
+    from melody_join_spark.operators.text import (
+        repetition_filter,
+        repetition_filter_oracle_sql,
+    )
+
+    docs = [
+        (0, "home | about\nreal text\nhome | about\nmore text\n"
+            "home | about\nhome | about"),
+        (1, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        (2, "a perfectly ordinary line of text\nanother distinct line "
+            "with different words\nand a third unique line closing it"),
+        (3, ""),
+        (4, "\t \n "),
+        (5, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sp = repetition_filter(df).orderBy("doc_id")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    want = con.execute(repetition_filter_oracle_sql()).fetchall()
+    cols = [d[0] for d in con.description]
+    got = [tuple(r[c] for c in cols) for r in sp.collect()]
+    assert got == [tuple(r) for r in want]
