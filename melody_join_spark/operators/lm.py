@@ -59,6 +59,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 from melody_join_spark.operators.text import _WS, _word_tokens
 
 __all__ = [
+    "unigram_lm",
+    "nll_columns",
     "perplexity_score",
     "perplexity_score_oracle_sql",
     "dsir_weights",
@@ -83,13 +85,18 @@ def _duck_word_tokens(text_expr: str) -> str:
 # unigram-LM perplexity scoring (CCNet-style quality signal)
 # ---------------------------------------------------------------------------
 
-def _unigram_logprobs(
+def unigram_lm(
     df: DataFrame,
-    text_col: str,
-    vocab_size: int,
+    text_col: str = "text",
+    vocab_size: int = 1024,
 ) -> tuple[list[tuple[str, int]], int]:
     """Train the add-one-smoothed unigram LM: returns
     ``([(token, lp_micro)...] for the top-``vocab_size`` tokens, oov_lp_micro)``.
+
+    Public so the model can be trained ONCE on the reference corpus and
+    then applied to other relations — including a readStream at ingest
+    (:func:`~melody_join_spark.streaming.streaming_perplexity`), the CCNet
+    deployment shape: score new crawl batches against last month's LM.
 
     Model contract (mirrored exactly by the oracle SQL):
 
@@ -161,11 +168,23 @@ def perplexity_score(
     """
     if via not in ("map", "join"):
         raise ValueError(f"via must be 'map' or 'join', got {via!r}")
-    lp, oov_lp = _unigram_logprobs(df, text_col, vocab_size)
+    lp, oov_lp = unigram_lm(df, text_col, vocab_size)
     toks = _word_tokens(F.coalesce(F.col(text_col), F.lit("")))
     if via == "join":
         return _score_via_join(df, toks, lp, oov_lp, id_col)
+    return df.select(
+        F.col(id_col), *nll_columns(toks, lp, oov_lp)
+    )
 
+
+def nll_columns(
+    toks: Column, lp: list[tuple[str, int]], oov_lp: int
+) -> tuple[Column, Column, Column, Column]:
+    """The scan-side scoring projection as four columns
+    ``(n_tok, oov_tok, nll_micro, avg_nll)`` over a canonical token array —
+    shared by the batch map-literal route and the streaming scorer (pure
+    stateless codegen expressions, so they compose with readStream
+    unchanged)."""
     if lp:
         lp_map = F.create_map(
             *[F.lit(x) for w, v in lp for x in (w, v)]
@@ -180,8 +199,7 @@ def perplexity_score(
         lambda acc, x: acc + x,
     )
     oov = F.size(F.filter(toks, lambda w: look(w).isNull())).cast("long")
-    return df.select(
-        F.col(id_col),
+    return (
         n_tok.alias("n_tok"),
         oov.alias("oov_tok"),
         nll.alias("nll_micro"),

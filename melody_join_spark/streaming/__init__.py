@@ -47,6 +47,7 @@ __all__ = [
     "streaming_dedup",
     "streaming_near_dedup",
     "streaming_decontaminate",
+    "streaming_perplexity",
     "streaming_emd_lookup",
     "streaming_emd_join_nd",
     "streaming_sessionize",
@@ -354,6 +355,30 @@ def streaming_decontaminate(
         )
         .where(F.col("shared_ngrams") > 0)
     )
+
+
+def streaming_perplexity(
+    stream: DataFrame,
+    lm: tuple[list[tuple[str, int]], int],
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time unigram-LM quality scoring: apply a model trained
+    batch-side by :func:`..operators.lm.unigram_lm` to a document stream —
+    the CCNet deployment shape (score this month's crawl against last
+    month's LM, quarantine the worst-perplexity tail before it lands).
+
+    Fully STATELESS: the quantized model ships as a map literal inside
+    the same :func:`..operators.lm.nll_columns` codegen projection the
+    batch scorer uses, so stream scores are bit-identical to batch scores
+    by construction (shared expressions, not a parallel implementation —
+    pinned by the batch==stream test).  Appends
+    ``(n_tok, oov_tok, nll_micro, avg_nll)`` to every input column."""
+    from ..operators.lm import nll_columns
+    from ..operators.text import _word_tokens
+
+    lp, oov_lp = lm
+    toks = _word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    return stream.select("*", *nll_columns(toks, lp, oov_lp))
 
 
 def streaming_emd_lookup(

@@ -145,3 +145,47 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path, halves):
     assert want, "fixture should contain planted contamination"
     assert got == want
     evals.unpersist()
+
+
+def test_streaming_perplexity_matches_batch(spark, tmp_path, halves):
+    """Ingest-time LM scoring: a model trained batch-side on the reference
+    half scores the streamed half bit-identically to the batch scorer
+    (shared nll_columns expressions — same codegen, so same micro-nats)."""
+    from melody_join_spark.operators.lm import (
+        nll_columns,
+        unigram_lm,
+    )
+    from melody_join_spark.operators.text import _word_tokens
+    from melody_join_spark.streaming import streaming_perplexity
+
+    ref, new = halves
+    lm = unigram_lm(ref, vocab_size=16)
+
+    src = str(tmp_path / "ppl_stream")
+    new.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_perplexity(stream, lm)
+        .writeStream.format("memory")
+        .queryName("ppl_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+    got = {
+        r.doc_id: (r.n_tok, r.oov_tok, r.nll_micro, r.avg_nll)
+        for r in spark.sql("SELECT * FROM ppl_stream").collect()
+    }
+    toks = _word_tokens(F.coalesce(F.col("text"), F.lit("")))
+    want = {
+        r.doc_id: (r.n_tok, r.oov_tok, r.nll_micro, r.avg_nll)
+        for r in new.select("doc_id", *nll_columns(toks, *lm)).collect()
+    }
+    assert got == want and len(got) == new.count()
+    # the reference-half model really is cross-applied: OOV fires somewhere
+    assert any(v[1] > 0 for v in got.values())
