@@ -181,3 +181,50 @@ def register_text_sql_functions(spark: SparkSession) -> list[str]:
     )
     names.append("word_ngrams")
     return names
+
+
+def register_lm_sql_functions(spark: SparkSession, lm) -> list[str]:
+    """Register a TRAINED unigram LM (from ``operators.lm.unigram_lm``) as
+    SQL scalar functions — the round-11 LM-scoring surface in plain
+    ``spark.sql``:
+
+        lm = unigram_lm(docs, vocab_size=1024)
+        register_lm_sql_functions(spark, lm)
+        spark.sql("SELECT doc_id FROM docs WHERE doc_avg_nll(text) < 6.5")
+
+    ``doc_nll_micro(t)`` returns the exact int64 micro-nat NLL and
+    ``doc_avg_nll(t)`` the per-token mean in nats — identical arithmetic
+    to ``operators.lm.nll_columns`` (the quantized model bakes into the
+    expression body as a map literal; parity-tested).  Pure expression
+    bodies: calls inline into codegen, no UDF boundary."""
+    lp, oov_lp = lm
+    ws = r"\\s+"
+    # coalesce: NULL text scores as the empty document (0 tokens, 0 NLL),
+    # matching nll_columns' behavior, instead of propagating NULL
+    wtoks = (
+        f"filter(split(trim(lower(coalesce(t, ''))), '{ws}'), x -> x <> '')"
+    )
+
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    if lp:
+        entries = ", ".join(f"{_q(w)}, {v}L" for w, v in lp)
+        look = f"element_at(map({entries}), x)"
+    else:
+        look = "CAST(NULL AS BIGINT)"
+    nll = (
+        f"-aggregate(transform({wtoks}, x -> coalesce({look}, {oov_lp}L)), "
+        f"0L, (acc, v) -> acc + v)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION doc_nll_micro(t STRING) "
+        f"RETURNS BIGINT RETURN {nll}"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION doc_avg_nll(t STRING) "
+        "RETURNS DOUBLE RETURN CASE WHEN size(" + wtoks + ") > 0 "
+        f"THEN round(({nll}) / 1000000.0 / size({wtoks}), 6) "
+        "ELSE 0.0 END"
+    )
+    return ["doc_nll_micro", "doc_avg_nll"]

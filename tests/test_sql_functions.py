@@ -150,3 +150,38 @@ def test_word_ngrams_sql_function_parity(spark):
             "SELECT word_ngrams(text, 13) FROM docs_wng"
         ).explain("formatted")
     assert "EvalPython" not in buf.getvalue()
+
+
+def test_lm_sql_functions_match_column_builders(spark):
+    """doc_nll_micro / doc_avg_nll (trained-model SQL scalars) equal the
+    nll_columns expressions token for token, including the OOV bucket and
+    empty/null text."""
+    from melody_join_spark.functions import register_lm_sql_functions
+    from melody_join_spark.operators.lm import nll_columns, unigram_lm
+    from melody_join_spark.operators.text import _word_tokens
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "zig zag quux o'clock"),
+         (3, ""), (4, None), (5, "the the the")],
+        "doc_id long, text string",
+    )
+    lm = unigram_lm(docs, vocab_size=3)
+    names = register_lm_sql_functions(spark, lm)
+    assert names == ["doc_nll_micro", "doc_avg_nll"]
+    docs.createOrReplaceTempView("lm_docs")
+    got = {
+        r.doc_id: (r.nll, r.avg)
+        for r in spark.sql(
+            "SELECT doc_id, doc_nll_micro(text) AS nll, "
+            "doc_avg_nll(text) AS avg FROM lm_docs"
+        ).collect()
+    }
+    toks = _word_tokens(F.coalesce(F.col("text"), F.lit("")))
+    cols = nll_columns(toks, *lm)
+    want = {
+        r.doc_id: (r.nll_micro, r.avg_nll)
+        for r in docs.select("doc_id", cols[2], cols[3]).collect()
+    }
+    assert got == want
+    assert want[3] == (0, 0.0) and want[4] == (0, 0.0)
