@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from melody_join_spark.operators.dedup import (
     decontaminate_oracle_sql,
+    dedup_paragraphs_oracle_sql,
     scrub_contamination_oracle_sql,
     dedupe,
     dedupe_incremental,
@@ -1013,6 +1014,33 @@ def _q_dsir_weights(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# boilerplate header planted on every third doc: the synthetic corpus has
+# no naturally repeated lines at sf0.01, so the paragraph-dedup gate
+# injects the cross-document boilerplate it exists to remove (the
+# dedup_incremental doc_id%5 precedent) — ~167 docs must come back with
+# the header stripped and their own text intact
+BOILERPLATE = "subscribe to our newsletter | terms of service"
+
+
+def _q_dedup_paragraphs(spark, sf_dir):
+    """CCNet-style paragraph-level boilerplate removal (round 11): lines
+    occurring in >= 2 distinct docs vanish, unique content survives in
+    original order.  Input = documents with a deterministic boilerplate
+    header on doc_id % 3 == 0."""
+    from melody_join_spark.operators.dedup import dedup_paragraphs
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(BOILERPLATE + "\n"), F.coalesce("text", F.lit(""))),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup_paragraphs(d).orderBy("doc_id")
+
+
 SEMDEDUP_THETA = 0.35  # 65 of 500 sf0.01 docs drop — non-trivial gate
 
 
@@ -1443,7 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_contamination": _q_scrub_contamination,
         "pack_sequences": _q_pack_sequences,
         "dedup_clusters_lsh": _q_dedup_clusters_lsh,
-        "dedup_minhash_lsh": _q_minhash,
+        "dedup_paragraphs": _q_dedup_paragraphs,
         "cosine_pairs": _q_cosine_pairs,
         "cosine_pairs_lsh": _q_lsh_cosine,
         "cosine_topk": _q_cosine_topk,
@@ -1461,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _q_quality_filter,
         "corpus_stats": _q_corpus_stats,
         "pipeline_clean_corpus": _q_pipeline_clean,
+        "dedup_minhash_lsh": _q_minhash,
     }
 
 
@@ -1513,17 +1542,18 @@ ROTATION_TAILS: dict[int, tuple[str, ...]] = {
     # dedup_incremental's slot (round-10 ADVICE: new operators get a
     # driver-oracle hash in their introduction round); dedup_incremental
     # (last tailed never; hash-stable since r5) joins the tail.
-    # Four MORE round-11-new operators (lm_perplexity, dsir_weights,
-    # repetition_filter, semantic_dedup) enter at positions 0-3, same
-    # ADVICE rationale; the displaced text_features / quality_filter /
-    # corpus_stats / pipeline_clean_corpus (hash-stable since r1-r5, last
-    # tailed never) join the tail, now 17
+    # Five MORE round-11-new operators (lm_perplexity, dsir_weights,
+    # repetition_filter, semantic_dedup at positions 0-3; dedup_paragraphs
+    # at position 49) enter inside the window, same ADVICE rationale; the
+    # displaced text_features / quality_filter / corpus_stats /
+    # pipeline_clean_corpus / dedup_minhash_lsh (hash-stable since r1-r6,
+    # last tailed never or r6) join the tail, now 18
     11: ("cosine_pairs", "cosine_pairs_lsh", "cosine_topk",
          "cosine_topk_big", "events_window_hourly", "events_sessionize",
          "emd_user_behavior", "emd_knn_2d", "dedup_winnow",
          "corpus_stats_cube", "chunk_documents", "redact_pii",
          "dedup_incremental", "text_features", "quality_filter",
-         "corpus_stats", "pipeline_clean_corpus"),
+         "corpus_stats", "pipeline_clean_corpus", "dedup_minhash_lsh"),
 }
 
 
@@ -1940,6 +1970,13 @@ WITH rf AS ({repetition_filter_oracle_sql()})
 SELECT * EXCLUDE (kept), CAST(kept AS BIGINT) AS kept FROM rf
 ORDER BY doc_id""",
         "lm_perplexity": perplexity_score_oracle_sql(vocab_size=LM_VOCAB),
+        "dedup_paragraphs": dedup_paragraphs_oracle_sql(
+            table=(
+                "(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+                f"'{BOILERPLATE}' || chr(10) || coalesce(text, '') "
+                "ELSE text END AS text FROM documents)"
+            )
+        ),
         "dsir_weights": dsir_weights_oracle_sql("source = 'src0'"),
         "semantic_dedup": f"""
 SELECT doc_id FROM read_parquet('{_REPO}/fixtures/semdedup_sf001.parquet')

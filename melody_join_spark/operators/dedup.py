@@ -68,6 +68,8 @@ __all__ = [
     "dedupe_embeddings",
     "dedupe_embeddings_oracle_sql",
     "semantic_dedup",
+    "dedup_paragraphs",
+    "dedup_paragraphs_oracle_sql",
 ]
 
 
@@ -1300,6 +1302,132 @@ dropped AS (
 SELECT {id_col} FROM {docs_table}
 WHERE {id_col} NOT IN (SELECT id FROM dropped)
 ORDER BY {id_col}"""
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style paragraph-level deduplication (Wenzek et al. 2020 §3.2):
+    remove every line/paragraph whose normalized fingerprint appears in at
+    least ``min_docs`` DISTINCT documents — the boilerplate axis
+    (navigation bars, cookie banners, license headers) that document-level
+    dedup never touches because the surrounding text differs.  Documents
+    survive with their unique content; only the repeated lines vanish.
+
+    Contract: paragraphs are the canonical
+    :func:`~melody_join_spark.operators.text.doc_lines` split (shared with
+    repetition_stats — newline split, regexp-trimmed, blanks dropped);
+    fingerprint = md5(lower(line)); the distinct-DOC count (not occurrence
+    count) triggers removal, so in-document repetition alone never fires —
+    that axis belongs to repetition_filter.  Output:
+    ``(id_col, text_clean, n_paragraphs, n_removed)`` with surviving lines
+    rejoined by newline in original order; a fully-boilerplate document
+    yields ``text_clean = ''`` (downstream length gates drop it).
+
+    100-TB shape: ONE fingerprint-keyed shuffle for the distinct-doc count
+    (two-stage groupBy — expand-free, partial-aggregated map-side; the
+    relation is distinct-(line,doc)-sized, not occurrence-sized), an
+    anti-join of the exploded lines against the (small: boilerplate is by
+    definition a thin head of very frequent lines) flagged-fingerprint
+    set, then ONE document-keyed regroup carrying only surviving lines.
+    AQE broadcast-joins the flagged set when its stats allow; nothing is
+    collected to the driver."""
+    from .text import doc_lines
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    src = df.select(
+        F.col(id_col).alias("_id"), doc_lines(t).alias("_lines")
+    ).persist()
+    try:
+        ex = src.select(
+            "_id", F.posexplode("_lines").alias("_pos", "_line")
+        ).withColumn("_fp", F.md5(F.lower(F.col("_line"))))
+        # two-stage distinct-doc count (the build_vocab pattern: no expand)
+        flagged = (
+            ex.groupBy("_fp", "_id")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .groupBy("_fp")
+            .agg(F.count(F.lit(1)).alias("_ndocs"))
+            .where(F.col("_ndocs") >= int(min_docs))
+            .select("_fp")
+        )
+        surv = ex.join(flagged, "_fp", "anti")
+        rebuilt = surv.groupBy("_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_line"))
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("_kept"),
+        )
+        out = (
+            src.join(rebuilt, "_id", "left")
+            .select(
+                F.col("_id").alias(id_col),
+                F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+                F.size("_lines").cast("long").alias("n_paragraphs"),
+                (
+                    F.size("_lines").cast("long")
+                    - F.coalesce("_kept", F.lit(0)).cast("long")
+                ).alias("n_removed"),
+            )
+        )
+        from ..cache import release_on_gc
+
+        return release_on_gc(out, src)
+    except Exception:
+        src.unpersist()
+        raise
+
+
+def dedup_paragraphs_oracle_sql(
+    min_docs: int = 2,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`dedup_paragraphs` (same canonical line split
+    as the repetition_stats oracle)."""
+    t = f"coalesce({text_col}, '')"
+    lines = (
+        f"list_filter(list_transform(string_split({t}, chr(10)), "
+        f"l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')), l -> l <> '')"
+    )
+    return f"""
+WITH d AS (SELECT {id_col} AS id, {lines} AS lines FROM {table}),
+ex AS (
+  SELECT id, u.pos AS pos, u.line AS line,
+         md5(lower(u.line)) AS fp
+  FROM (
+    SELECT id, unnest(list_transform(range(1, len(lines) + 1),
+                                     i -> {{'pos': i, 'line': lines[i]}}))
+           AS u
+    FROM d
+  )
+),
+flagged AS (
+  SELECT fp FROM (SELECT fp, id FROM ex GROUP BY 1, 2)
+  GROUP BY fp HAVING count(*) >= {min_docs}
+),
+surv AS (SELECT * FROM ex WHERE fp NOT IN (SELECT fp FROM flagged)),
+rebuilt AS (
+  SELECT id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+         count(*) AS kept
+  FROM surv GROUP BY 1
+)
+SELECT d.id AS {id_col},
+       coalesce(r.text_clean, '') AS text_clean,
+       CAST(len(d.lines) AS BIGINT) AS n_paragraphs,
+       CAST(len(d.lines) - coalesce(r.kept, 0) AS BIGINT) AS n_removed
+FROM d LEFT JOIN rebuilt r ON r.id = d.id
+ORDER BY d.id"""
 
 
 def semantic_dedup(

@@ -42,6 +42,7 @@ __all__ = [
     "corpus_stats_cube",
     "corpus_stats_cube_oracle_sql",
     "word_ngram_windows",
+    "doc_lines",
     "word_ngrams",
     "repetition_stats",
     "repetition_stats_oracle_sql",
@@ -88,6 +89,25 @@ def _word_tokens(text: Column) -> Column:
     (``list_filter(..., t -> t <> '')``)."""
     return F.filter(
         F.split(F.lower(F.trim(text)), _WS), lambda x: x != ""
+    )
+
+
+def doc_lines(text: Column) -> Column:
+    """The ONE canonical line/paragraph split every line-level operator
+    derives from: split on newline, regexp-trim each line (F.trim strips
+    SPACES only, so a tab-only line would otherwise survive as a phantom
+    non-blank line), drop blanks.  Shared by :func:`repetition_stats`
+    (in-doc duplicate-line metrics) and
+    :func:`~melody_join_spark.operators.dedup.dedup_paragraphs`
+    (cross-corpus boilerplate removal), so they cannot silently diverge.
+    DuckDB twin: the ``lines`` expression in
+    :func:`repetition_stats_oracle_sql`."""
+    return F.filter(
+        F.transform(
+            F.split(text, "\n"),
+            lambda l: F.regexp_replace(l, r"^\s+|\s+$", ""),
+        ),
+        lambda l: l != "",
     )
 
 
@@ -667,15 +687,7 @@ def repetition_stats(
     shuffle, NO explode and no Python: the same shape as quality_filter,
     composable into the same single corpus pass."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    # regexp-trim each line: F.trim strips SPACES only, so a tab-only line
-    # would survive as a phantom non-blank line
-    lines = F.filter(
-        F.transform(
-            F.split(t, "\n"),
-            lambda l: F.regexp_replace(l, r"^\s+|\s+$", ""),
-        ),
-        lambda l: l != "",
-    )
+    lines = doc_lines(t)
     n_lines = F.size(lines).cast("long")
     n_dist = F.size(F.array_distinct(lines)).cast("long")
     line_chars = F.aggregate(

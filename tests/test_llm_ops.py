@@ -1452,3 +1452,52 @@ def test_semantic_dedup_planted_duplicates(spark):
     # originals all survive (smaller ids); most perturbed copies drop
     assert set(range(40)) <= kept
     assert len(kept) <= 40 + 6  # >= 34 of 40 planted dups caught
+
+
+def test_dedup_paragraphs_semantics_and_oracle(spark):
+    """Paragraph-level boilerplate removal: case-insensitive cross-doc
+    lines vanish, in-doc repetition alone never fires (that axis belongs
+    to repetition_filter), unique content survives in original order, and
+    the frame matches the DuckDB twin bit-for-bit (incl. empty /
+    whitespace-only / null docs)."""
+    import duckdb
+
+    from melody_join_spark.operators.dedup import (
+        dedup_paragraphs,
+        dedup_paragraphs_oracle_sql,
+    )
+
+    docs = [
+        (1, "COOKIE BANNER\nunique alpha content\nnav | bar"),
+        (2, "cookie banner\nunique beta content\nnav | bar"),
+        (3, "totally original document\nwith two lines"),
+        (4, "nav | bar\nnav | bar\nonly nav here"),
+        (5, ""),
+        (6, None),
+        (7, "  \n\t\n"),
+        (8, "repeat me\nrepeat me\nin one doc only"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_clean, r.n_paragraphs, r.n_removed)
+        for r in dedup_paragraphs(df).collect()
+    }
+    # boilerplate stripped, case-insensitively, from every carrier
+    assert got[1] == ("unique alpha content", 3, 2)
+    assert got[2] == ("unique beta content", 3, 2)
+    assert got[3] == ("totally original document\nwith two lines", 2, 0)
+    assert got[4] == ("only nav here", 3, 2)
+    # empty / null / whitespace-only -> zero-paragraph rows, not NULLs
+    for i in (5, 6, 7):
+        assert got[i] == ("", 0, 0)
+    # in-doc repetition alone is NOT cross-corpus boilerplate
+    assert got[8] == ("repeat me\nrepeat me\nin one doc only", 3, 0)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(dedup_paragraphs_oracle_sql()).fetchall()
+    }
+    assert got == want
