@@ -79,6 +79,8 @@ from melody_join_spark.operators.text import (
     text_features_oracle_sql,
 )
 from melody_join_spark.operators.lm import (
+    bigram_score,
+    bigram_score_oracle_sql,
     dsir_weights,
     dsir_weights_oracle_sql,
     perplexity_score,
@@ -1004,6 +1006,20 @@ def _q_lm_perplexity(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+LM_BIGRAMS = 64  # < the corpus's bigram-type count: the backoff path is live
+
+
+def _q_lm_bigram(spark, sf_dir):
+    """Bigram Stupid-Backoff NLL (round 11; Brants et al. 2007): the
+    word-order-sensitive upgrade of lm_perplexity — seen-bigram count
+    ratios, alpha*unigram backoff, all quantized driver-side so document
+    scores are exact integer sums.  bigram_size 64 keeps the backoff path
+    live at sf0.01."""
+    return bigram_score(
+        _docs(spark, sf_dir), vocab_size=LM_VOCAB, bigram_size=LM_BIGRAMS
+    ).orderBy("doc_id")
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR hashed importance weights toward source 'src0' as the target
     domain (round 11): one combined bucket-distribution pass (the target
@@ -1454,7 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generate_media_jpeg_arith": _q_generate_media_jpeg_arith,
         "generate_media_video": _q_generate_media_video,
         "dedupe_corpus": _q_dedupe_corpus,
-        "cosine_topk_ivf": _q_cosine_topk_ivf,
+        "lm_bigram": _q_lm_bigram,
         "generate_media_emd": _q_generate_media_emd,
         "generate_media_pixels": _q_generate_media_pixels,
         "generate_media_png": _q_generate_media_png,
@@ -1490,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "pipeline_clean_corpus": _q_pipeline_clean,
         "dedup_minhash_lsh": _q_minhash,
+        "cosine_topk_ivf": _q_cosine_topk_ivf,
     }
 
 
@@ -1542,18 +1559,21 @@ ROTATION_TAILS: dict[int, tuple[str, ...]] = {
     # dedup_incremental's slot (round-10 ADVICE: new operators get a
     # driver-oracle hash in their introduction round); dedup_incremental
     # (last tailed never; hash-stable since r5) joins the tail.
-    # Five MORE round-11-new operators (lm_perplexity, dsir_weights,
-    # repetition_filter, semantic_dedup at positions 0-3; dedup_paragraphs
-    # at position 49) enter inside the window, same ADVICE rationale; the
-    # displaced text_features / quality_filter / corpus_stats /
-    # pipeline_clean_corpus / dedup_minhash_lsh (hash-stable since r1-r6,
-    # last tailed never or r6) join the tail, now 18
+    # Six MORE round-11-new operators (lm_perplexity, dsir_weights,
+    # repetition_filter, semantic_dedup at positions 0-3; lm_bigram at
+    # cosine_topk_ivf's slot; dedup_paragraphs at position 49) enter
+    # inside the window, same ADVICE rationale; the displaced
+    # text_features / quality_filter / corpus_stats /
+    # pipeline_clean_corpus / dedup_minhash_lsh / cosine_topk_ivf
+    # (hash-stable since r1-r6, last tailed never or r6) join the tail,
+    # now 19
     11: ("cosine_pairs", "cosine_pairs_lsh", "cosine_topk",
          "cosine_topk_big", "events_window_hourly", "events_sessionize",
          "emd_user_behavior", "emd_knn_2d", "dedup_winnow",
          "corpus_stats_cube", "chunk_documents", "redact_pii",
          "dedup_incremental", "text_features", "quality_filter",
-         "corpus_stats", "pipeline_clean_corpus", "dedup_minhash_lsh"),
+         "corpus_stats", "pipeline_clean_corpus", "dedup_minhash_lsh",
+         "cosine_topk_ivf"),
 }
 
 
@@ -1970,6 +1990,9 @@ WITH rf AS ({repetition_filter_oracle_sql()})
 SELECT * EXCLUDE (kept), CAST(kept AS BIGINT) AS kept FROM rf
 ORDER BY doc_id""",
         "lm_perplexity": perplexity_score_oracle_sql(vocab_size=LM_VOCAB),
+        "lm_bigram": bigram_score_oracle_sql(
+            vocab_size=LM_VOCAB, bigram_size=LM_BIGRAMS
+        ),
         "dedup_paragraphs": dedup_paragraphs_oracle_sql(
             table=(
                 "(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "

@@ -221,10 +221,13 @@ def register_lm_sql_functions(spark: SparkSession, lm) -> list[str]:
         "CREATE OR REPLACE TEMPORARY FUNCTION doc_nll_micro(t STRING) "
         f"RETURNS BIGINT RETURN {nll}"
     )
+    # floor-truncated micro-nats, not round(x, 6): integer NLL over small
+    # token counts hits exact half-boundaries where engines' rounding
+    # disagrees (see operators.lm._avg_nll)
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION doc_avg_nll(t STRING) "
         "RETURNS DOUBLE RETURN CASE WHEN size(" + wtoks + ") > 0 "
-        f"THEN round(({nll}) / 1000000.0 / size({wtoks}), 6) "
+        f"THEN floor(({nll}) / size({wtoks})) / 1000000.0 "
         "ELSE 0.0 END"
     )
     return ["doc_nll_micro", "doc_avg_nll"]

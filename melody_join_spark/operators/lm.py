@@ -67,9 +67,36 @@ __all__ = [
     "dsir_weights_oracle_sql",
     "dsir_select",
     "dsir_select_oracle_sql",
+    "bigram_lm",
+    "bigram_score",
+    "bigram_score_oracle_sql",
 ]
 
 MICRO = 1_000_000  # micro-nat quantization: floor(ln(p) * MICRO) as int64
+
+
+def _avg_nll(nll: Column, n: Column) -> Column:
+    """Per-token mean NLL in nats, TRUNCATED to micro-nats:
+    ``floor(nll_micro / n) / 1e6``.  Deliberately not ``round(x, 6)`` —
+    integer nll over small n hits EXACT half-boundaries at the 6th decimal
+    (e.g. 12506181/6), where Spark's BigDecimal HALF_UP and DuckDB's
+    binary-double rounding disagree by 1 ulp of output.  Both engines
+    IEEE-divide the same integers to the same double and floor it
+    identically (exact for nll < 2^53 — petabytes of text), so truncation
+    is bit-stable where rounding is knife-edged.  DuckDB twin:
+    ``floor(nll_micro / n_tok) / 1e6``."""
+    return (
+        F.when(n > 0, F.floor(nll / n) / F.lit(float(MICRO)))
+        .otherwise(F.lit(0.0))
+        .alias("avg_nll")
+    )
+
+
+def _duck_avg_nll(nll: str, n: str) -> str:
+    return (
+        f"CASE WHEN {n} > 0 THEN floor({nll} * 1.0 / {n}) / {MICRO}.0 "
+        "ELSE 0.0 END AS avg_nll"
+    )
 
 
 def _duck_word_tokens(text_expr: str) -> str:
@@ -203,9 +230,7 @@ def nll_columns(
         n_tok.alias("n_tok"),
         oov.alias("oov_tok"),
         nll.alias("nll_micro"),
-        F.when(n_tok > 0, F.round(nll / F.lit(float(MICRO)) / n_tok, 6))
-        .otherwise(F.lit(0.0))
-        .alias("avg_nll"),
+        _avg_nll(nll, n_tok),
     )
 
 
@@ -245,15 +270,10 @@ def _score_via_join(
             F.coalesce("n_tok", F.lit(0)).cast("long").alias("n_tok"),
             F.coalesce("oov_tok", F.lit(0)).cast("long").alias("oov_tok"),
             F.coalesce("nll_micro", F.lit(0)).cast("long").alias("nll_micro"),
-            F.when(
-                F.coalesce("n_tok", F.lit(0)) > 0,
-                F.round(
-                    F.col("nll_micro") / F.lit(float(MICRO)) / F.col("n_tok"),
-                    6,
-                ),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("avg_nll"),
+            _avg_nll(
+                F.coalesce("nll_micro", F.lit(0)),
+                F.coalesce("n_tok", F.lit(0)),
+            ),
         )
     )
 
@@ -299,9 +319,7 @@ SELECT d.{id_col},
        CAST(coalesce(sc.n_tok, 0) AS BIGINT) AS n_tok,
        CAST(coalesce(sc.oov_tok, 0) AS BIGINT) AS oov_tok,
        CAST(coalesce(sc.nll_micro, 0) AS BIGINT) AS nll_micro,
-       CASE WHEN coalesce(sc.n_tok, 0) > 0
-            THEN round(sc.nll_micro / {MICRO}.0 / sc.n_tok, 6) + 0
-            ELSE 0.0 END AS avg_nll
+       {_duck_avg_nll('coalesce(sc.nll_micro, 0)', 'coalesce(sc.n_tok, 0)')}
 FROM {table} d LEFT JOIN sc ON sc.id = d.{id_col}
 ORDER BY d.{id_col}"""
 
@@ -484,3 +502,245 @@ def dsir_select_oracle_sql(
     return f"""
 SELECT * FROM ({inner})
 ORDER BY weight_micro DESC, {id_col} ASC LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# bigram Stupid-Backoff scoring (Brants et al. 2007)
+# ---------------------------------------------------------------------------
+
+def bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1024,
+    bigram_size: int = 4096,
+    alpha: float = 0.4,
+) -> tuple[list[tuple[str, int]], int, list[tuple[str, int]], int]:
+    """Train a bigram Stupid-Backoff model (Brants et al. 2007, "Large
+    Language Models in Machine Translation" §4 — the backoff scheme
+    DESIGNED for distributed corpus-scale LMs: no normalization pass, no
+    discounting, scores instead of probabilities):
+
+    - ``S(w_i | w_{i-1}) = cnt(w_{i-1} w_i) / cnt(w_{i-1})`` when the
+      bigram is among the stored top ``bigram_size`` (count desc, key asc);
+    - ``alpha * p_uni(w_i)`` otherwise (``p_uni`` = the same add-one
+      unigram distribution :func:`unigram_lm` trains, OOV bucket included).
+
+    Everything quantizes driver-side to int64 micro-nats — seen-bigram
+    scores are pure count ratios and the backoff is one additive constant
+    ``floor(ln(alpha)*1e6)`` — so document scores are integer sums,
+    order-independent and bit-exact vs the oracle.  Returns
+    ``(uni_lp, oov_lp, bi_lp, alpha_lp)`` where ``bi_lp`` keys are the
+    space-joined token pairs (exactly the
+    :func:`~melody_join_spark.operators.text.word_ngram_windows` n=2
+    form).
+
+    Scale shape: ONE pair-keyed groupBy for bigram counts and one
+    token-keyed groupBy for unigrams — both map-side partial-aggregated,
+    both model-sized outputs; the collects are bounded by
+    ``vocab_size`` / ``bigram_size``."""
+    toks = _word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    uni_lp, oov_lp = unigram_lm(df, text_col, vocab_size)
+
+    from melody_join_spark.operators.text import word_ngram_windows
+
+    pair_cnt = (
+        df.select(
+            F.explode(
+                word_ngram_windows(
+                    F.coalesce(F.col(text_col), F.lit("")), 2
+                )
+            ).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("g").asc())
+        .limit(int(bigram_size))
+        .collect()
+    )
+    # cnt(w1) for every w1 that heads a stored bigram: one more bounded agg
+    heads = {r["g"].split(" ", 1)[0] for r in pair_cnt}
+    if heads:
+        tok_cnt = {
+            r["w"]: r["c"]
+            for r in (
+                df.select(F.explode(toks).alias("w"))
+                .where(F.col("w").isin(*sorted(heads)))
+                .groupBy("w")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+        }
+    else:
+        tok_cnt = {}
+    bi_lp = [
+        (
+            r["g"],
+            int(
+                math.floor(
+                    math.log(
+                        r["c"] / tok_cnt[r["g"].split(" ", 1)[0]]
+                    )
+                    * MICRO
+                )
+            ),
+        )
+        for r in pair_cnt
+    ]
+    alpha_lp = int(math.floor(math.log(float(alpha)) * MICRO))
+    return uni_lp, oov_lp, bi_lp, alpha_lp
+
+
+def bigram_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1024,
+    bigram_size: int = 4096,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document bigram Stupid-Backoff NLL: ``-[lp_uni(w_1) +
+    sum_{i>=2} (lp_bi(w_{i-1} w_i)  or  lp_alpha + lp_uni(w_i))]`` in exact
+    int64 micro-nats — the two-gram upgrade of :func:`perplexity_score`
+    (word-order sensitivity: shuffled boilerplate and keyword spam score
+    visibly worse than fluent text under a bigram model while a unigram
+    model cannot tell them apart).
+
+    Output: ``(id_col, n_tok, nll_micro, avg_nll)``; empty docs are
+    all-zero rows.  Scoring is ONE scan-side codegen projection (two map
+    literals: bigram scores keyed by space-joined pairs, unigram
+    fallback); the 100-TB shape matches perplexity_score — two model
+    aggregations then a pure scan."""
+    uni_lp, oov_lp, bi_lp, alpha_lp = bigram_lm(
+        df, text_col, vocab_size, bigram_size, alpha
+    )
+    toks = _word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+
+    if uni_lp:
+        uni_map = F.create_map(
+            *[F.lit(x) for w, v in uni_lp for x in (w, v)]
+        )
+        uni = lambda w: F.coalesce(  # noqa: E731
+            F.element_at(uni_map, w), F.lit(oov_lp)
+        )
+    else:
+        uni = lambda w: F.lit(oov_lp)  # noqa: E731
+    if bi_lp:
+        bi_map = F.create_map(
+            *[F.lit(x) for g, v in bi_lp for x in (g, v)]
+        )
+        bi = lambda a, b: F.element_at(  # noqa: E731
+            bi_map, F.concat(a, F.lit(" "), b)
+        )
+    else:
+        bi = lambda a, b: F.lit(None).cast("int")  # noqa: E731
+
+    n = F.size(toks)
+    pair_sum = F.aggregate(
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.coalesce(bi(a, b), F.lit(alpha_lp) + uni(b)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nll = F.when(n > 0, -(uni(F.element_at(toks, 1)) + pair_sum)).otherwise(
+        F.lit(0).cast("long")
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tok"),
+        nll.alias("nll_micro"),
+        _avg_nll(nll, n),
+    )
+
+
+def bigram_score_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1024,
+    bigram_size: int = 4096,
+    alpha: float = 0.4,
+) -> str:
+    """DuckDB twin of :func:`bigram_score` — trains the same Stupid-Backoff
+    model in SQL (unnest + groupBy + joins instead of the scan-side map
+    lookups: an independent formulation)."""
+    t = f"coalesce({text_col}, '')"
+    toks = _duck_word_tokens(t)
+    pairs = (
+        f"CASE WHEN len({toks}) >= 2 THEN list_transform("
+        f"range(1, len({toks})), "
+        f"i -> array_to_string(({toks})[i:i+1], ' ')) "
+        f"ELSE [] END"
+    )
+    v1 = vocab_size + 1
+    return f"""
+WITH tok AS (SELECT {id_col} AS id, unnest({toks}) AS w FROM {table}),
+cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT coalesce(sum(c), 0) AS n FROM cnt),
+vocab AS (SELECT w, c FROM cnt ORDER BY c DESC, w ASC LIMIT {vocab_size}),
+uni AS (
+  SELECT w, CAST(floor(ln((c + 1.0) / ((SELECT n FROM tot) + {v1}.0))
+                       * {MICRO}) AS BIGINT) AS lp
+  FROM vocab
+),
+oov AS (
+  SELECT CAST(floor(ln(((SELECT n FROM tot)
+                        - coalesce((SELECT sum(c) FROM vocab), 0) + 1.0)
+                       / ((SELECT n FROM tot) + {v1}.0))
+                    * {MICRO}) AS BIGINT) AS lp
+),
+alpha_lp AS (SELECT CAST(floor(ln({alpha}) * {MICRO}) AS BIGINT) AS lp),
+pg AS (SELECT unnest({pairs}) AS g FROM {table}),
+bicnt AS (SELECT g, count(*) AS c FROM pg GROUP BY 1
+          ORDER BY c DESC, g ASC LIMIT {bigram_size}),
+bi AS (
+  SELECT b.g,
+         CAST(floor(ln(b.c * 1.0 / cnt.c) * {MICRO}) AS BIGINT) AS lp
+  FROM bicnt b JOIN cnt ON cnt.w = split_part(b.g, ' ', 1)
+),
+-- per-doc positional pairs: window i covers tokens (i, i+1)
+dp AS (
+  SELECT {id_col} AS id, u.g AS g, u.w2 AS w2
+  FROM (
+    SELECT {id_col},
+           unnest(CASE WHEN len({toks}) >= 2 THEN list_transform(
+                    range(1, len({toks})),
+                    i -> {{'g': array_to_string(({toks})[i:i+1], ' '),
+                          'w2': ({toks})[i+1]}})
+                  ELSE [] END) AS u
+    FROM {table}
+  )
+),
+pair_lp AS (
+  SELECT dp.id,
+         sum(coalesce(bi.lp,
+                      (SELECT lp FROM alpha_lp)
+                      + coalesce(u2.lp, (SELECT lp FROM oov)))) AS s
+  FROM dp
+  LEFT JOIN bi ON bi.g = dp.g
+  LEFT JOIN uni u2 ON u2.w = dp.w2
+  GROUP BY 1
+),
+first_tok AS (
+  SELECT {id_col} AS id,
+         CASE WHEN len({toks}) >= 1 THEN ({toks})[1] END AS w1,
+         len({toks}) AS n_tok
+  FROM {table}
+),
+sc AS (
+  SELECT f.id, f.n_tok,
+         CASE WHEN f.n_tok > 0 THEN
+           -(coalesce(u1.lp, (SELECT lp FROM oov))
+             + coalesce(p.s, 0))
+         ELSE 0 END AS nll_micro
+  FROM first_tok f
+  LEFT JOIN uni u1 ON u1.w = f.w1
+  LEFT JOIN pair_lp p ON p.id = f.id
+)
+SELECT id AS {id_col},
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(nll_micro AS BIGINT) AS nll_micro,
+       {_duck_avg_nll('nll_micro', 'n_tok')}
+FROM sc ORDER BY id"""

@@ -22,11 +22,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPEATS = 2
 TIERS = (1, 10, 100)
+ONLY = None
 for a in sys.argv[1:]:
     if a.startswith("--repeats="):
         REPEATS = int(a.split("=", 1)[1])
     elif a.startswith("--tiers="):
         TIERS = tuple(int(x) for x in a.split("=", 1)[1].split(","))
+    elif a.startswith("--ops="):
+        ONLY = set(a.split("=", 1)[1].split(","))
 
 SF01 = "/root/testdata/sf0.1"
 
@@ -61,12 +64,38 @@ def main() -> None:
         d = replicate(k).persist()
         tiers.append((f"x{k}", d, d.count()))
 
+    from melody_join_spark.operators.dedup import dedup_paragraphs
+
+    def para(d):
+        # plant a shared boilerplate header; suffix each doc's own line
+        # with its id so replicas stay unique content (otherwise the
+        # replicated corpus is 100% boilerplate and the surviving-line
+        # regroup — the expensive stage — carries nothing)
+        planted = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("subscribe | terms\n"),
+                F.coalesce("text", F.lit("")),
+                F.lit(" uniq"),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+        # the length filter forces text_clean's reconstruction under
+        # count() — otherwise Catalyst prunes the string rebuild out of
+        # the timed window entirely
+        return dedup_paragraphs(planted).where(
+            F.length("text_clean") >= 0
+        )
+
     ops = (
         ("ppl_map", lambda d: perplexity_score(d, vocab_size=16)),
         ("ppl_join", lambda d: perplexity_score(d, vocab_size=16,
                                                 via="join")),
         ("dsir", lambda d: dsir_weights(d, F.col("source") == "src0")),
+        ("para", para),
     )
+    if ONLY:
+        ops = tuple(o for o in ops if o[0] in ONLY)
     results: dict = {}
     for rep in range(REPEATS):
         for scale, d, n_d in tiers:

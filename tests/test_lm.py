@@ -17,6 +17,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from melody_join_spark.operators.lm import (
+    bigram_score,
+    bigram_score_oracle_sql,
     MICRO,
     dsir_select,
     dsir_select_oracle_sql,
@@ -196,3 +198,66 @@ def test_scoring_is_scan_shaped(spark):
         .toString()
     )
     assert "Exchange" not in plan_w
+
+
+def test_bigram_model_semantics(spark):
+    """Hand-checked Stupid-Backoff: seen bigrams score the raw count
+    ratio, unseen pairs back off to alpha * unigram (OOV bucket
+    included), the first token always scores unigram."""
+    docs = [(i, "the cat sat", "w") for i in range(1, 5)] + [
+        (9, "cat the", "w")
+    ]
+    df = spark.createDataFrame(docs, SCHEMA)
+    out = {
+        r["doc_id"]: r
+        for r in bigram_score(df, vocab_size=3, bigram_size=2).collect()
+    }
+    # counts: the=5, cat=5, sat=4 (total 14); vocab (size 3) holds all;
+    # denom = 14 + 4; bigrams: 'the cat'=4, 'cat sat'=4, 'cat the'=1 ->
+    # top-2 (count desc, key asc) = {'cat sat': 4, 'the cat': 4}
+    lp_the = math.floor(math.log(6.0 / 18.0) * MICRO)
+    lp_cat = math.floor(math.log(6.0 / 18.0) * MICRO)
+    lp_the_cat = math.floor(math.log(4.0 / 5.0) * MICRO)
+    lp_cat_sat = math.floor(math.log(4.0 / 5.0) * MICRO)
+    lp_alpha = math.floor(math.log(0.4) * MICRO)
+    assert out[1]["nll_micro"] == -(lp_the + lp_the_cat + lp_cat_sat)
+    # doc 9: 'cat the' fell outside the top-2 cut -> backoff path
+    assert out[9]["nll_micro"] == -(lp_cat + lp_alpha + lp_the)
+
+
+def test_bigram_word_order_sensitivity(spark):
+    """The property the bigram upgrade exists for: a token-shuffled copy
+    of fluent text scores WORSE than the fluent original (a unigram model
+    scores them identically)."""
+    fluent = "the cat sat on the mat"
+    docs = [(i, fluent, "w") for i in range(1, 9)] + [
+        (100, "mat the on sat cat the", "w")  # same bag of words
+    ]
+    df = spark.createDataFrame(docs, SCHEMA)
+    out = {
+        r["doc_id"]: r["avg_nll"]
+        for r in bigram_score(df, vocab_size=8, bigram_size=5).collect()
+    }
+    assert out[100] > out[1]
+    uni = {
+        r["doc_id"]: r["nll_micro"]
+        for r in perplexity_score(df, vocab_size=8).collect()
+    }
+    assert uni[100] == uni[1]  # unigram is order-blind by construction
+
+
+def test_bigram_matches_oracle(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    got = _rows(
+        bigram_score(df, vocab_size=4, bigram_size=4).orderBy("doc_id")
+    )
+    want = [
+        tuple(r)
+        for r in _duck(DOCS)
+        .execute(bigram_score_oracle_sql(vocab_size=4, bigram_size=4))
+        .fetchall()
+    ]
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    for i in (4, 5, 6):  # empty/null/whitespace -> all-zero rows
+        assert by_id[i][1:] == (0, 0, 0.0)
