@@ -1057,6 +1057,35 @@ def _q_dedup_paragraphs(spark, sf_dir):
     return dedup_paragraphs(d).orderBy("doc_id")
 
 
+BPE_MERGES = 50
+
+
+def _q_bpe_vocab(spark, sf_dir):
+    """BPE merge-table training (round 11; Sennrich 2016 §3.2): ONE
+    distributed word-type aggregation + the driver-side merge recurrence
+    over the (bounded) type table.  Oracle: merge table from an
+    independent regex-on-symbol-strings reimplementation of the spec
+    (scripts/make_fixtures.py bpe)."""
+    from melody_join_spark.operators.bpe import train_bpe
+
+    merges = train_bpe(_docs(spark, sf_dir), num_merges=BPE_MERGES)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    ).orderBy("rank")
+
+
+def _q_bpe_encode(spark, sf_dir):
+    """BPE encoding under the trained table: per-doc subword token counts
+    (the token-budget accounting pass) via one Arrow-batched word-memoized
+    scan — no shuffle, no collect."""
+    from melody_join_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = train_bpe(docs, num_merges=BPE_MERGES)
+    return bpe_encode(docs, merges).orderBy("doc_id")
+
+
 SEMDEDUP_THETA = 0.35  # 65 of 500 sf0.01 docs drop — non-trivial gate
 
 
@@ -1473,9 +1502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram": _q_lm_bigram,
         "generate_media_emd": _q_generate_media_emd,
         "generate_media_pixels": _q_generate_media_pixels,
-        "generate_media_png": _q_generate_media_png,
+        "bpe_vocab": _q_bpe_vocab,
         "generate_media_jpeg": _q_generate_media_jpeg,
-        "generate_media_jpeg2": _q_generate_media_jpeg2,
+        "bpe_encode": _q_bpe_encode,
         "generate_media_audio": _q_generate_media_audio,
         "split_corpus": _q_split_corpus,
         "dedup_clusters": _q_dedup_clusters,
@@ -1507,6 +1536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": _q_pipeline_clean,
         "dedup_minhash_lsh": _q_minhash,
         "cosine_topk_ivf": _q_cosine_topk_ivf,
+        "generate_media_png": _q_generate_media_png,
+        "generate_media_jpeg2": _q_generate_media_jpeg2,
     }
 
 
@@ -1559,21 +1590,22 @@ ROTATION_TAILS: dict[int, tuple[str, ...]] = {
     # dedup_incremental's slot (round-10 ADVICE: new operators get a
     # driver-oracle hash in their introduction round); dedup_incremental
     # (last tailed never; hash-stable since r5) joins the tail.
-    # Six MORE round-11-new operators (lm_perplexity, dsir_weights,
+    # Eight MORE round-11-new operators (lm_perplexity, dsir_weights,
     # repetition_filter, semantic_dedup at positions 0-3; lm_bigram at
-    # cosine_topk_ivf's slot; dedup_paragraphs at position 49) enter
-    # inside the window, same ADVICE rationale; the displaced
+    # cosine_topk_ivf's slot; bpe_vocab / bpe_encode at
+    # generate_media_png / _jpeg2's slots; dedup_paragraphs at position
+    # 49) enter inside the window, same ADVICE rationale; the displaced
     # text_features / quality_filter / corpus_stats /
-    # pipeline_clean_corpus / dedup_minhash_lsh / cosine_topk_ivf
-    # (hash-stable since r1-r6, last tailed never or r6) join the tail,
-    # now 19
+    # pipeline_clean_corpus / dedup_minhash_lsh / cosine_topk_ivf /
+    # generate_media_png / generate_media_jpeg2 (hash-stable since r1-r7,
+    # last tailed never or r6) join the tail, now 21
     11: ("cosine_pairs", "cosine_pairs_lsh", "cosine_topk",
          "cosine_topk_big", "events_window_hourly", "events_sessionize",
          "emd_user_behavior", "emd_knn_2d", "dedup_winnow",
          "corpus_stats_cube", "chunk_documents", "redact_pii",
          "dedup_incremental", "text_features", "quality_filter",
          "corpus_stats", "pipeline_clean_corpus", "dedup_minhash_lsh",
-         "cosine_topk_ivf"),
+         "cosine_topk_ivf", "generate_media_png", "generate_media_jpeg2"),
 }
 
 
@@ -1993,6 +2025,14 @@ ORDER BY doc_id""",
         "lm_bigram": bigram_score_oracle_sql(
             vocab_size=LM_VOCAB, bigram_size=LM_BIGRAMS
         ),
+        "bpe_vocab": f"""
+SELECT rank, "left", "right"
+FROM read_parquet('{_REPO}/fixtures/bpe_merges_sf001.parquet')
+ORDER BY rank""",
+        "bpe_encode": f"""
+SELECT doc_id, n_words, n_bpe_tokens
+FROM read_parquet('{_REPO}/fixtures/bpe_encode_sf001.parquet')
+ORDER BY doc_id""",
         "dedup_paragraphs": dedup_paragraphs_oracle_sql(
             table=(
                 "(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "

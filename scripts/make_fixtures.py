@@ -41,6 +41,8 @@ OUT_LSHCOS = os.path.join(_FIXDIR, "lsh_cosine_pairs_sf001.parquet")
 OUT_IVF = os.path.join(_FIXDIR, "ivf_topk_sf001.parquet")
 OUT_IVFPAIRS = os.path.join(_FIXDIR, "ivf_pairs_sf001.parquet")
 OUT_SEMDEDUP = os.path.join(_FIXDIR, "semdedup_sf001.parquet")
+OUT_BPE_MERGES = os.path.join(_FIXDIR, "bpe_merges_sf001.parquet")
+OUT_BPE_ENCODE = os.path.join(_FIXDIR, "bpe_encode_sf001.parquet")
 OUT_3D = os.path.join(_FIXDIR, "emd3d_pairs_sf001.parquet")
 OUT_ARB = os.path.join(_FIXDIR, "emd2d_sqrtl1_pairs_sf001.parquet")
 
@@ -636,6 +638,101 @@ def make_ivf_pairs_fixture(
           f"nlist={nlist}, nprobe={nprobe})")
 
 
+def make_bpe_fixture(num_merges: int = 50) -> None:
+    """Independent re-execution of operators/bpe.py's spec (Sennrich 2016
+    §3.2) in the ORIGINAL reference style: word types as space-joined
+    symbol STRINGS merged via word-boundary regex — a different data
+    representation and merge mechanism from the operator's list-based
+    loop, converging on the same merge table iff both implement the spec.
+    Encoding applies merges sequentially in rank order (equivalent to the
+    operator's lowest-rank-first loop: a merge can only enable
+    higher-rank merges, since any merge consuming a produced symbol was
+    necessarily learned later).  Writes the merge table and the per-doc
+    encoded token counts for the sf0.01 documents."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dt = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    ids = dt["doc_id"].to_pylist()
+    texts = dt["text"].to_pylist()
+
+    def words(t):
+        return [w for w in (t or "").strip().lower().split() if w]
+
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in words(t):
+            counts[w] = counts.get(w, 0) + 1
+    # (count desc, word asc) like the operator's type ranking
+    types = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    # training state: word type -> space-joined symbol string
+    state = {w: " ".join(list(w) + ["</w>"]) for w, _ in types}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for w, c in types:
+            sym = state[w].split(" ")
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] < 2:
+            break
+        merges.append(best)
+        pat = re.compile(
+            r"(?<!\S)" + re.escape(best[0] + " " + best[1]) + r"(?!\S)"
+        )
+        joined = best[0] + best[1]
+        state = {w: pat.sub(joined, s) for w, s in state.items()}
+
+    tbl = pa.table(
+        {
+            "rank": pa.array(range(len(merges)), type=pa.int64()),
+            "left": pa.array([m[0] for m in merges]),
+            "right": pa.array([m[1] for m in merges]),
+        }
+    )
+    pq.write_table(tbl, OUT_BPE_MERGES)
+
+    # encode: apply merges sequentially in rank order per word
+    def enc_len(w: str) -> int:
+        s = " ".join(list(w) + ["</w>"])
+        for a, b in merges:
+            pat = re.compile(
+                r"(?<!\S)" + re.escape(a + " " + b) + r"(?!\S)"
+            )
+            s = pat.sub(a + b, s)
+        return len(s.split(" "))
+
+    memo: dict[str, int] = {}
+    n_words, n_tok = [], []
+    for t in texts:
+        ws = words(t)
+        n_words.append(len(ws))
+        total = 0
+        for w in ws:
+            if w not in memo:
+                memo[w] = enc_len(w)
+            total += memo[w]
+        n_tok.append(total)
+    tbl2 = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "n_bpe_tokens": pa.array(n_tok, type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl2, OUT_BPE_ENCODE)
+    print(f"wrote {OUT_BPE_MERGES}: {len(merges)} merges; "
+          f"{OUT_BPE_ENCODE}: {len(ids)} docs")
+
+
 def make_semdedup_fixture(
     threshold: float = 0.35,
     kmeans_iters: int = 5,
@@ -738,5 +835,6 @@ if __name__ == "__main__":
          "ivf": make_ivf_fixture,
          "ivfpairs": make_ivf_pairs_fixture,
          "semdedup": make_semdedup_fixture,
+         "bpe": make_bpe_fixture,
          "arbitrary": make_arbitrary_fixture,
          "emd2d": main}[only]()
