@@ -87,12 +87,22 @@ def main() -> None:
             F.length("text_clean") >= 0
         )
 
+    from melody_join_spark.operators.bpe import bpe_encode, train_bpe
+    from melody_join_spark.operators.lm import bigram_score
+
+    def bpe(d):
+        merges = train_bpe(d, num_merges=50)
+        return bpe_encode(d, merges)
+
     ops = (
         ("ppl_map", lambda d: perplexity_score(d, vocab_size=16)),
         ("ppl_join", lambda d: perplexity_score(d, vocab_size=16,
                                                 via="join")),
         ("dsir", lambda d: dsir_weights(d, F.col("source") == "src0")),
         ("para", para),
+        ("bigram", lambda d: bigram_score(d, vocab_size=16,
+                                          bigram_size=64)),
+        ("bpe", bpe),
     )
     if ONLY:
         ops = tuple(o for o in ops if o[0] in ONLY)
@@ -101,7 +111,22 @@ def main() -> None:
         for scale, d, n_d in tiers:
             for op_name, op in ops:
                 t0 = time.perf_counter()
-                out = op(d).count()
+                res = op(d)
+                # hash EVERY output column: a bare count() lets Catalyst
+                # prune the scoring/reconstruction projections out of the
+                # timed window (measured: para read a flat 0.7 s at every
+                # tier until the text rebuild was forced).  bit_xor, not
+                # sum: summing 500k xxhash64 values overflows long under
+                # ANSI mode
+                out = (
+                    res.select(
+                        F.xxhash64(
+                            *[F.col(c) for c in res.columns]
+                        ).alias("_h")
+                    )
+                    .agg(F.count(F.lit(1)), F.expr("bit_xor(_h)"))
+                    .collect()[0][0]
+                )
                 wall = time.perf_counter() - t0
                 key = (scale, op_name)
                 best = results.get(key)
