@@ -28,7 +28,11 @@ from ..kernel import (
     normalize,
 )
 
-__all__ = ["register_sql_functions", "register_text_sql_functions"]
+__all__ = [
+    "register_sql_functions",
+    "register_text_sql_functions",
+    "register_lm_sql_functions",
+]
 
 
 def register_sql_functions(
