@@ -89,6 +89,13 @@ def main() -> None:
 
     from melody_join_spark.operators.bpe import bpe_encode, train_bpe
     from melody_join_spark.operators.lm import bigram_score
+    from melody_join_spark.operators.text import repetition_filter
+
+    def _rep(d):
+        return repetition_filter(d).select(
+            "doc_id", "dup_line_frac", "top_2gram_char_frac",
+            "dup_5gram_char_frac", "violations", "kept",
+        )
 
     def bpe(d):
         merges = train_bpe(d, num_merges=50)
@@ -103,6 +110,7 @@ def main() -> None:
         ("bigram", lambda d: bigram_score(d, vocab_size=16,
                                           bigram_size=64)),
         ("bpe", bpe),
+        ("rep", _rep),
     )
     if ONLY:
         ops = tuple(o for o in ops if o[0] in ONLY)
