@@ -215,6 +215,42 @@ def test_streaming_quality_pipeline_matches_batch(spark, tmp_path):
     assert got == exp and len(got) > 0
 
 
+def test_streaming_repetition_gate_matches_batch(spark, tmp_path):
+    """repetition_filter is a doc-local codegen projection like
+    quality_filter, so it composes with readStream unchanged — the
+    boilerplate gate runs at ingest with batch-identical verdicts."""
+    from melody_join_spark.operators.text import repetition_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "rep_src")
+    docs.repartition(3).write.parquet(src)
+
+    def gate(df):
+        return repetition_filter(df).select(
+            "doc_id", "dup_line_frac", "violations", "kept"
+        )
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        gate(stream)
+        .writeStream.format("memory")
+        .queryName("q_rep")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.dup_line_frac, r.violations, r.kept)
+        for r in spark.sql("SELECT * FROM q_rep").collect()
+    }
+    exp = {
+        r.doc_id: (r.dup_line_frac, r.violations, r.kept)
+        for r in gate(spark.read.parquet(src)).collect()
+    }
+    assert got == exp and len(got) == docs.count()
+
+
 def test_asof_join_semantics_and_plan(spark):
     """Inclusive as-of semantics (right at equal ts matches), NULL when no
     prior right row, strictly-later right rows never leak backward; the
