@@ -1309,6 +1309,7 @@ def dedup_paragraphs(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    against: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style paragraph-level deduplication (Wenzek et al. 2020 §3.2):
     remove every line/paragraph whose normalized fingerprint appears in at
@@ -1334,7 +1335,16 @@ def dedup_paragraphs(
     definition a thin head of very frequent lines) flagged-fingerprint
     set, then ONE document-keyed regroup carrying only surviving lines.
     AQE broadcast-joins the flagged set when its stats allow; nothing is
-    collected to the driver."""
+    collected to the driver.
+
+    ``against=`` is the INCREMENTAL form (the dedupe_incremental shape):
+    the distinct-doc counts come from ``against`` (an existing corpus)
+    instead of ``df`` itself, so a nightly crawl is scrubbed of the
+    corpus's KNOWN boilerplate at admission — each new batch pays one
+    scan of itself plus the against-side fingerprint aggregation (which a
+    pipeline materializes once and reuses); new-batch-internal repeats
+    deliberately do not fire (they will, once admitted, on the next
+    batch)."""
     from .text import doc_lines
 
     t = F.coalesce(F.col(text_col), F.lit(""))
@@ -1345,9 +1355,18 @@ def dedup_paragraphs(
         ex = src.select(
             "_id", F.posexplode("_lines").alias("_pos", "_line")
         ).withColumn("_fp", F.md5(F.lower(F.col("_line"))))
+        if against is not None:
+            ta = F.coalesce(F.col(text_col), F.lit(""))
+            flag_src = against.select(
+                F.col(id_col).alias("_id"), doc_lines(ta).alias("_lines")
+            ).select(
+                "_id", F.explode("_lines").alias("_line")
+            ).withColumn("_fp", F.md5(F.lower(F.col("_line"))))
+        else:
+            flag_src = ex
         # two-stage distinct-doc count (the build_vocab pattern: no expand)
         flagged = (
-            ex.groupBy("_fp", "_id")
+            flag_src.groupBy("_fp", "_id")
             .agg(F.count(F.lit(1)).alias("_c"))
             .groupBy("_fp")
             .agg(F.count(F.lit(1)).alias("_ndocs"))

@@ -1501,3 +1501,38 @@ def test_dedup_paragraphs_semantics_and_oracle(spark):
         for r in con.execute(dedup_paragraphs_oracle_sql()).fetchall()
     }
     assert got == want
+
+
+def test_dedup_paragraphs_incremental_against_corpus(spark):
+    """against=: a new batch is scrubbed of the EXISTING corpus's
+    boilerplate (lines in >= min_docs corpus documents); new-batch-only
+    repeats do not fire at admission."""
+    from melody_join_spark.operators.dedup import dedup_paragraphs
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "nav | bar\nreal old content one"),
+            (2, "nav | bar\nreal old content two"),
+            (3, "corpus-only line"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "nav | bar\nfresh insight"),          # corpus boilerplate
+            (101, "new spam\nactual words"),
+            (102, "new spam\nother words"),             # batch-only repeat
+            (103, "corpus-only line\nplus something"),  # 1 corpus doc < 2
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text_clean, r.n_removed)
+        for r in dedup_paragraphs(batch, against=corpus).collect()
+    }
+    assert got[100] == ("fresh insight", 1)
+    # 'new spam' repeats only within the batch -> kept at admission
+    assert got[101] == ("new spam\nactual words", 0)
+    assert got[102] == ("new spam\nother words", 0)
+    # 'corpus-only line' appears in ONE corpus doc < min_docs -> kept
+    assert got[103] == ("corpus-only line\nplus something", 0)
