@@ -351,6 +351,7 @@ def dsir_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 1024,
+    ngmax: int = 1,
 ) -> DataFrame:
     """Hashed-unigram importance weights toward a target domain (DSIR,
     Xie et al. 2023): ``weight_micro = sum_w lr[bucket(w)]`` where
@@ -364,11 +365,22 @@ def dsir_weights(
     driver collect, then scan-side scoring through a bucket->ratio map
     literal — never a token-stream shuffle.  Output:
     ``(id_col, n_tok, weight_micro)``; higher = more target-like.
+
+    ``ngmax=2`` hashes word BIGRAM windows alongside unigrams — the
+    feature set the DSIR paper actually uses (Xie et al. 2023 §2.2,
+    "hashed n-gram features" with n<=2); ``n_tok`` stays the unigram
+    token count either way.  Default 1 keeps the cheaper feature space.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
     toks = _word_tokens(t)
+    feats = toks
+    if ngmax >= 2:
+        from melody_join_spark.operators.text import word_ngram_windows
+
+        for n in range(2, int(ngmax) + 1):
+            feats = F.concat(feats, word_ngram_windows(t, n))
     ex = df.select(
-        target.cast("int").alias("_t"), F.explode(toks).alias("w")
+        target.cast("int").alias("_t"), F.explode(feats).alias("w")
     ).select("_t", _bucket(F.col("w"), n_buckets).alias("b"))
     rows = (
         ex.groupBy("b")
@@ -400,7 +412,7 @@ def dsir_weights(
     n_tok = F.size(toks).cast("long")
     weight = F.aggregate(
         F.transform(
-            toks, lambda w: F.element_at(lr_map, _bucket(w, n_buckets))
+            feats, lambda w: F.element_at(lr_map, _bucket(w, n_buckets))
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
@@ -418,18 +430,29 @@ def dsir_weights_oracle_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 1024,
+    ngmax: int = 1,
 ) -> str:
     """DuckDB twin of :func:`dsir_weights` (``target_sql`` is the predicate
     as SQL, e.g. ``"source = 'src0'"``)."""
     toks = _duck_word_tokens(f"coalesce({text_col}, '')")
+    feats = toks
+    for n in range(2, int(ngmax) + 1):
+        win = (
+            f"CASE WHEN len({toks}) >= {n} THEN list_transform("
+            f"range(1, len({toks}) - {n - 1} + 1), "
+            f"i -> array_to_string(({toks})[i:i+{n - 1}], ' ')) "
+            f"ELSE [] END"
+        )
+        feats = f"list_concat({feats}, {win})"
     b = _duck_bucket("w", n_buckets)
     return f"""
 WITH tok AS (
   SELECT {id_col} AS id,
          CAST(({target_sql}) AS INT) AS t,
-         unnest({toks}) AS w
+         unnest({feats}) AS w
   FROM {table}
 ),
+uni_n AS (SELECT {id_col} AS id, len({toks}) AS n_tok FROM {table}),
 bt AS (SELECT {b} AS b, count(*) AS rc, sum(t) AS tc FROM tok GROUP BY 1),
 tots AS (
   SELECT coalesce(sum(rc), 0) AS r_tot, coalesce(sum(tc), 0) AS t_tot FROM bt
@@ -452,14 +475,16 @@ lr_all AS (
   LEFT JOIN lr ON lr.b = r.b
 ),
 sc AS (
-  SELECT t.id, count(*) AS n_tok, sum(l.lr) AS weight_micro
+  SELECT t.id, sum(l.lr) AS weight_micro
   FROM tok t JOIN lr_all l ON l.b = {_duck_bucket('t.w', n_buckets)}
   GROUP BY 1
 )
 SELECT d.{id_col},
-       CAST(coalesce(sc.n_tok, 0) AS BIGINT) AS n_tok,
+       CAST(coalesce(u.n_tok, 0) AS BIGINT) AS n_tok,
        CAST(coalesce(sc.weight_micro, 0) AS BIGINT) AS weight_micro
-FROM {table} d LEFT JOIN sc ON sc.id = d.{id_col}
+FROM {table} d
+LEFT JOIN uni_n u ON u.id = d.{id_col}
+LEFT JOIN sc ON sc.id = d.{id_col}
 ORDER BY d.{id_col}"""
 
 

@@ -261,3 +261,41 @@ def test_bigram_matches_oracle(spark):
     by_id = {r[0]: r for r in got}
     for i in (4, 5, 6):  # empty/null/whitespace -> all-zero rows
         assert by_id[i][1:] == (0, 0, 0.0)
+
+
+def test_dsir_bigram_features_match_oracle(spark):
+    """ngmax=2 (the paper's actual feature set: hashed unigrams AND word
+    bigrams) stays bit-exact vs the twin; n_tok remains the unigram
+    count; the bigram features change weights on multi-word docs."""
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    got = _rows(
+        dsir_weights(
+            df, F.col("source") == "books", n_buckets=64, ngmax=2
+        ).orderBy("doc_id")
+    )
+    want = [
+        tuple(r)
+        for r in _duck(DOCS)
+        .execute(
+            dsir_weights_oracle_sql(
+                "source = 'books'", n_buckets=64, ngmax=2
+            )
+        )
+        .fetchall()
+    ]
+    assert got == want
+    uni = {
+        r[0]: r
+        for r in _rows(
+            dsir_weights(
+                df, F.col("source") == "books", n_buckets=64
+            ).orderBy("doc_id")
+        )
+    }
+    bi = {r[0]: r for r in got}
+    # n_tok unchanged; weights differ where bigram windows exist
+    assert all(bi[i][1] == uni[i][1] for i in bi)
+    assert bi[1][2] != uni[1][2]
+    # empty/null docs: still all-zero rows
+    for i in (4, 5, 6):
+        assert bi[i][1:] == (0, 0)
