@@ -63,6 +63,7 @@ from melody_join_spark.operators.corpus import (
     redact_pii_oracle_sql,
     sample_corpus,
     sample_corpus_oracle_sql,
+    mix_corpus_oracle_sql,
 )
 from melody_join_spark.operators.text import (
     corpus_stats,
@@ -1106,6 +1107,23 @@ def _q_semantic_dedup(spark, sf_dir):
 # mixture weights for the sampling query: even sources downweighted, odd kept
 SAMPLE_RATES = {f"src{i}": (0.25 if i % 2 == 0 else 1.0) for i in range(20)}
 
+# token budgets for the epoch-mixing query: src0 ~2.8 epochs (UPsampled —
+# the capability sample_corpus lacks), src1 ~0.45, src2 ~0.9; all other
+# sources unbudgeted -> dropped
+MIX_BUDGETS = {"src0": 4000, "src1": 700, "src2": 1300}
+
+
+def _q_mix_corpus(spark, sf_dir):
+    """Token-budget-driven epoch mixing (round 11): rates derived from one
+    source-keyed token aggregation; full epochs always emit, the
+    fractional epoch keeps an md5-decided subset — deterministic,
+    partitioning-independent, restartable."""
+    from melody_join_spark.operators.corpus import mix_corpus
+
+    return mix_corpus(_docs(spark, sf_dir), MIX_BUDGETS).orderBy(
+        "doc_id", "epoch"
+    )
+
 
 def _q_chunk_documents(spark, sf_dir):
     """Fixed-token training-window chunking (scan-speed generator explode)."""
@@ -1503,7 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generate_media_emd": _q_generate_media_emd,
         "generate_media_pixels": _q_generate_media_pixels,
         "bpe_vocab": _q_bpe_vocab,
-        "generate_media_jpeg": _q_generate_media_jpeg,
+        "mix_corpus": _q_mix_corpus,
         "bpe_encode": _q_bpe_encode,
         "generate_media_audio": _q_generate_media_audio,
         "split_corpus": _q_split_corpus,
@@ -1538,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_ivf": _q_cosine_topk_ivf,
         "generate_media_png": _q_generate_media_png,
         "generate_media_jpeg2": _q_generate_media_jpeg2,
+        "generate_media_jpeg": _q_generate_media_jpeg,
     }
 
 
@@ -1590,22 +1609,23 @@ ROTATION_TAILS: dict[int, tuple[str, ...]] = {
     # dedup_incremental's slot (round-10 ADVICE: new operators get a
     # driver-oracle hash in their introduction round); dedup_incremental
     # (last tailed never; hash-stable since r5) joins the tail.
-    # Eight MORE round-11-new operators (lm_perplexity, dsir_weights,
+    # Nine MORE round-11-new operators (lm_perplexity, dsir_weights,
     # repetition_filter, semantic_dedup at positions 0-3; lm_bigram at
-    # cosine_topk_ivf's slot; bpe_vocab / bpe_encode at
-    # generate_media_png / _jpeg2's slots; dedup_paragraphs at position
-    # 49) enter inside the window, same ADVICE rationale; the displaced
-    # text_features / quality_filter / corpus_stats /
+    # cosine_topk_ivf's slot; bpe_vocab / mix_corpus / bpe_encode at
+    # generate_media_png / _jpeg / _jpeg2's slots; dedup_paragraphs at
+    # position 49) enter inside the window, same ADVICE rationale; the
+    # displaced text_features / quality_filter / corpus_stats /
     # pipeline_clean_corpus / dedup_minhash_lsh / cosine_topk_ivf /
-    # generate_media_png / generate_media_jpeg2 (hash-stable since r1-r7,
-    # last tailed never or r6) join the tail, now 21
+    # generate_media_png / _jpeg2 / _jpeg (hash-stable since r1-r7, last
+    # tailed never or r6) join the tail, now 22
     11: ("cosine_pairs", "cosine_pairs_lsh", "cosine_topk",
          "cosine_topk_big", "events_window_hourly", "events_sessionize",
          "emd_user_behavior", "emd_knn_2d", "dedup_winnow",
          "corpus_stats_cube", "chunk_documents", "redact_pii",
          "dedup_incremental", "text_features", "quality_filter",
          "corpus_stats", "pipeline_clean_corpus", "dedup_minhash_lsh",
-         "cosine_topk_ivf", "generate_media_png", "generate_media_jpeg2"),
+         "cosine_topk_ivf", "generate_media_png", "generate_media_jpeg2",
+         "generate_media_jpeg"),
 }
 
 
@@ -2025,6 +2045,7 @@ ORDER BY doc_id""",
         "lm_bigram": bigram_score_oracle_sql(
             vocab_size=LM_VOCAB, bigram_size=LM_BIGRAMS
         ),
+        "mix_corpus": mix_corpus_oracle_sql(MIX_BUDGETS),
         "bpe_vocab": f"""
 SELECT rank, "left", "right"
 FROM read_parquet('{_REPO}/fixtures/bpe_merges_sf001.parquet')

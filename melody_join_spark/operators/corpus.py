@@ -31,6 +31,8 @@ __all__ = [
     "redact_pii_oracle_sql",
     "sample_corpus",
     "sample_corpus_oracle_sql",
+    "mix_corpus",
+    "mix_corpus_oracle_sql",
     "build_vocab",
     "build_vocab_oracle_sql",
     "pack_sequences",
@@ -317,6 +319,130 @@ def sample_corpus_oracle_sql(
             f"ELSE {rate} END"
         )
     return f"SELECT * FROM {table} WHERE {u} < {rate}"
+
+
+def mix_corpus(
+    df: DataFrame,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Token-budget-driven mixture with EPOCH up-sampling: given a target
+    token budget per source (the data-mixing recipe of a pretraining run —
+    'books: 3 epochs worth, web: 30%'), derive each source's sampling
+    rate ``budget / source_tokens`` and emit each document once per kept
+    epoch.  Rates above 1 REPLICATE — the capability
+    :func:`sample_corpus` (rates clamped to [0,1] by construction) lacks:
+    full epochs ``0 .. floor(rate)-1`` always emit, and the one fractional
+    epoch keeps an independent md5-decided subset of documents, so
+    'rate 2.4' means every doc twice plus an unbiased 40% third copy.
+    Sources without a budget are dropped.
+
+    Output: ``(id_col, source_col, epoch)`` — join back on ``id_col``
+    for the text (epochs carry no payload; at 100 TB replicating text
+    rows through the mixer would be the bug).
+
+    Scale shape: ONE tiny aggregation (source-keyed token totals —
+    #sources rows, partial map-side), then a scan-side generator explode
+    bounded by ``ceil(rate)`` per source with a pure-hash keep filter —
+    deterministic, engine- and partitioning-independent, restartable.
+    The rate table compiles into CASE literals exactly like
+    :func:`sample_corpus`."""
+    from .text import _word_tokens  # canonical tokenization
+
+    toks = _word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    totals = {
+        r["s"]: int(r["nt"])
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(F.size(toks)).alias("nt"))
+        .collect()
+    }
+    rates = {
+        src: float(b) / totals[src]
+        for src, b in budgets.items()
+        if totals.get(src, 0) > 0 and b > 0
+    }
+    if not rates:
+        return df.select(
+            F.col(id_col), F.col(source_col), F.lit(0).cast("long")
+            .alias("epoch")
+        ).where(F.lit(False))
+    rate: Column = F.lit(0.0)
+    for src in sorted(rates, reverse=True):
+        rate = F.when(
+            F.col(source_col) == src, F.lit(rates[src])
+        ).otherwise(rate)
+    n_copies = F.ceil(rate).cast("int")
+    out = (
+        df.select(F.col(id_col), F.col(source_col), rate.alias("_r"))
+        .where(F.col("_r") > 0)
+        .select(
+            id_col,
+            source_col,
+            "_r",
+            F.explode(
+                F.sequence(F.lit(0), n_copies - 1)
+            ).alias("epoch"),
+        )
+    )
+    u = _uniform_u32(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit(":mix:"),
+            F.col("epoch").cast("string"),
+        )
+    )
+    return out.where(
+        (F.col("epoch") < F.floor("_r")) | (u < F.col("_r") - F.floor("_r"))
+    ).select(id_col, source_col, F.col("epoch").cast("long").alias("epoch"))
+
+
+def mix_corpus_oracle_sql(
+    budgets: dict[str, int],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> str:
+    """DuckDB twin of :func:`mix_corpus` — rates derived in SQL from the
+    same integer token totals and budget literals (IEEE int/int division
+    gives the identical double in both engines)."""
+    toks = (
+        f"list_filter(string_split_regex(trim(lower(coalesce({text_col}, ''))),"
+        f" '{_WS}'), w -> w <> '')"
+    )
+    vals = ", ".join(f"('{s}', {int(b)})" for s, b in sorted(budgets.items()))
+    # the epoch-keep decision runs INSIDE a list_filter lambda, before the
+    # unnest: DuckDB's optimizer pushes post-unnest WHERE predicates back
+    # through the unnest projection and hits an internal binder error
+    # ("Failed to bind column reference") on this query shape
+    u = (
+        f"(CAST(CAST('0x' || substr(md5(CAST(d.{id_col} AS VARCHAR)"
+        f" || ':mix:' || CAST(ep AS VARCHAR)), 1, 8) AS UBIGINT)"
+        f" AS DOUBLE) / {float(1 << 32)})"
+    )
+    return f"""
+WITH tot AS (
+  SELECT {source_col} AS s, sum(len({toks})) AS nt
+  FROM {table} GROUP BY 1
+),
+b(s, budget) AS (VALUES {vals}),
+rates AS (
+  SELECT tot.s, CAST(b.budget AS DOUBLE) / tot.nt AS rate
+  FROM tot JOIN b ON b.s = tot.s
+  WHERE tot.nt > 0 AND b.budget > 0
+),
+raw AS (
+  SELECT d.{id_col}, d.{source_col},
+         list_filter(range(0, CAST(ceil(r.rate) AS BIGINT)),
+                     ep -> ep < floor(r.rate)
+                           OR {u} < r.rate - floor(r.rate)) AS eps
+  FROM {table} d JOIN rates r ON r.s = d.{source_col}
+)
+SELECT {id_col}, {source_col}, CAST(unnest(eps) AS BIGINT) AS epoch
+FROM raw
+ORDER BY {id_col}, epoch"""
 
 
 def split_corpus(

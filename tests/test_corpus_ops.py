@@ -318,3 +318,49 @@ def test_split_after_sample_keeps_all_splits(spark):
     assert n > 50
     assert counts["val"] > 0 and counts["test"] > 0
     assert 0.65 * n <= counts["train"] <= 0.92 * n
+
+
+def test_mix_corpus_epoch_semantics(spark):
+    """Epoch mixing: rate >= 2 emits every doc at least floor(rate) times,
+    the fractional epoch keeps a hash-decided subset, unbudgeted sources
+    drop, and the oracle matches frame-for-frame."""
+    import duckdb
+
+    from melody_join_spark.operators.corpus import (
+        mix_corpus,
+        mix_corpus_oracle_sql,
+    )
+
+    docs = [
+        (i, "alpha beta gamma delta epsilon", "keep2x") for i in range(10)
+    ] + [
+        (i, "one two three four five", "half") for i in range(10, 20)
+    ] + [
+        (i, "dropped words here", "nobudget") for i in range(20, 25)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    # keep2x: 50 tokens total, budget 125 -> rate 2.5; half: budget 25 -> 0.5
+    budgets = {"keep2x": 125, "half": 25}
+    rows = mix_corpus(df, budgets).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append((r.doc_id, r.epoch))
+    assert "nobudget" not in by_src
+    # every keep2x doc appears at epochs 0 AND 1; epoch 2 is a subset
+    k2 = by_src["keep2x"]
+    for i in range(10):
+        assert (i, 0) in k2 and (i, 1) in k2
+    n_e2 = sum(1 for _, e in k2 if e == 2)
+    assert 0 < n_e2 < 10
+    # half: single epoch, strict subset
+    h = by_src["half"]
+    assert all(e == 0 for _, e in h) and 0 < len(h) < 10
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, source VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", docs)
+    want = con.execute(mix_corpus_oracle_sql(budgets)).fetchall()
+    got = sorted((r.doc_id, r.source, r.epoch) for r in rows)
+    assert got == [tuple(r) for r in want]
