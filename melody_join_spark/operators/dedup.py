@@ -1461,12 +1461,23 @@ def semantic_dedup(
     kmeans_iters: int = 5,
     seed: int = 42,
     list_cap: int = 4096,
+    keep: str = "smallest_id",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): cluster the embedding space
     with a seeded spherical-kmeans codebook, then remove documents whose
     embedding has cosine >= ``threshold`` with a smaller-id document IN THE
-    SAME CLUSTER.  The cluster restriction is the semantics (and the whole
+    SAME CLUSTER.
+
+    ``keep='smallest_id'`` (default) is the repo-wide greedy survivor rule
+    (same contract as :func:`dedupe_embeddings`).  ``keep='centroid'`` is
+    the PAPER's rule (Abbas et al. §3 step 4): close the cluster-local
+    near-dup pairs into connected components (:func:`dup_clusters` —
+    smallest-id labels), then per component keep exactly the member with
+    the LOWEST cosine to its cluster centroid (ties by smaller id) — the
+    most "atypical" example survives.  Costs one extra assignment scan
+    (centroid similarities) and the component closure over the
+    (edge-sized, tiny) pair relation.  The cluster restriction is the semantics (and the whole
     scale story): candidate work is sum over clusters of |cluster|^2 ~
     N^1.5 at the default nlist ~ sqrt(N), vs the quadratic all-pairs of
     :func:`dedupe_embeddings` — the price is that a near-dup pair straddling
@@ -1484,6 +1495,10 @@ def semantic_dedup(
     Documents without an embedding row are kept."""
     from .similarity import ivf_cosine_pairs
 
+    if keep not in ("smallest_id", "centroid"):
+        raise ValueError(
+            f"keep must be 'smallest_id' or 'centroid', got {keep!r}"
+        )
     pairs = ivf_cosine_pairs(
         emb,
         threshold,
@@ -1496,8 +1511,75 @@ def semantic_dedup(
         seed=seed,
         list_cap=list_cap,
     )
-    dropped = pairs.select(F.col("sid").alias(id_col)).distinct()
+    if keep == "smallest_id":
+        dropped = pairs.select(F.col("sid").alias(id_col)).distinct()
+        return docs.join(dropped, id_col, "anti")
+
+    comps = dup_clusters(pairs, id_col="id")  # (id, cluster_id)
+    sims = _centroid_sims(
+        emb, emb_id_col, vec_col, nlist, kmeans_sample, kmeans_iters, seed
+    )
+    labeled = comps.join(sims, comps["id"] == sims["_sid"]).select(
+        "id", "cluster_id", "_csim"
+    )
+    reps = labeled.groupBy("cluster_id").agg(
+        F.min(F.struct(F.col("_csim"), F.col("id"))).alias("_m")
+    ).select(F.col("_m.id").alias("_keep_id"))
+    dropped = comps.join(
+        reps, comps["id"] == reps["_keep_id"], "anti"
+    ).select(F.col("id").alias(id_col))
     return docs.join(dropped, id_col, "anti")
+
+
+def _centroid_sims(
+    emb: DataFrame,
+    emb_id_col: str,
+    vec_col: str,
+    nlist: int | None,
+    kmeans_sample: int,
+    kmeans_iters: int,
+    seed: int,
+) -> DataFrame:
+    """Per-vector cosine to its primary cluster centroid — the SAME
+    codebook and stable-argmax assignment ivf_cosine_pairs(nprobe=1)
+    computes (identical derivation, so component membership and
+    similarity refer to one clustering).  One Arrow-batched scan."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _as_double, _ivf_codebook, derive_nlist
+
+    e = emb.select(
+        F.col(emb_id_col).alias("_sid"), _as_double(vec_col).alias("_v")
+    )
+    if nlist is None:
+        nlist = derive_nlist(emb.count())
+    C = _ivf_codebook(
+        e.select(F.col("_sid").alias(emb_id_col),
+                 F.col("_v").alias(vec_col)),
+        nlist, emb_id_col, vec_col, kmeans_sample, kmeans_iters, seed,
+    )
+    b_c = e.sparkSession.sparkContext.broadcast(C)
+
+    def assign(it):
+        C_ = b_c.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["_v"].to_numpy())
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+            )
+            sims = Vn @ C_.T
+            pri = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+            yield pd.DataFrame(
+                {
+                    "_sid": pdf["_sid"],
+                    "_csim": sims[np.arange(len(pri)), pri],
+                }
+            )
+
+    return e.mapInPandas(assign, "_sid long, _csim double")
 
 
 # ---------------------------------------------------------------------------

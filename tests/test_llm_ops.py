@@ -1536,3 +1536,51 @@ def test_dedup_paragraphs_incremental_against_corpus(spark):
     assert got[102] == ("new spam\nother words", 0)
     # 'corpus-only line' appears in ONE corpus doc < min_docs -> kept
     assert got[103] == ("corpus-only line\nplus something", 0)
+
+
+def test_semantic_dedup_centroid_keep_rule(spark, docs, emb):
+    """keep='centroid' (the SemDeDup paper's rule): per connected
+    component of cluster-local near-dup pairs, EXACTLY the member with
+    the lowest centroid cosine survives (ties by id); singletons
+    untouched; same total component coverage as the greedy rule."""
+    import numpy as np
+
+    from melody_join_spark.operators.dedup import (
+        _centroid_sims,
+        dup_clusters,
+        semantic_dedup,
+    )
+    from melody_join_spark.operators.similarity import ivf_cosine_pairs
+
+    kept = {
+        r.doc_id
+        for r in semantic_dedup(
+            docs, emb, threshold=0.35, keep="centroid"
+        ).collect()
+    }
+    pairs = ivf_cosine_pairs(emb, 0.35, nprobe=1)
+    comps = dup_clusters(pairs, id_col="id").collect()
+    sims = {
+        r._sid: r._csim
+        for r in _centroid_sims(
+            emb, "vec_id", "embedding", None, 4096, 5, 42
+        ).collect()
+    }
+    by_comp: dict = {}
+    for r in comps:
+        by_comp.setdefault(r.cluster_id, []).append(r.id)
+    all_ids = {r.doc_id for r in docs.collect()}
+    expect_dropped = set()
+    for members in by_comp.values():
+        rep = min(members, key=lambda i: (sims[i], i))
+        expect_dropped |= set(members) - {rep}
+    assert kept == all_ids - expect_dropped
+    assert expect_dropped  # non-trivial at this sf / theta
+    # the paper's rule dedups AT LEAST as hard as the greedy one: greedy
+    # keeps every local-minimum node (no smaller-id neighbor), the
+    # component closure keeps exactly ONE member per component
+    greedy_kept = {
+        r.doc_id
+        for r in semantic_dedup(docs, emb, threshold=0.35).collect()
+    }
+    assert len(kept) <= len(greedy_kept)
