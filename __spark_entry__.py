@@ -1058,6 +1058,41 @@ def _q_dedup_paragraphs(spark, sf_dir):
     return dedup_paragraphs(d).orderBy("doc_id")
 
 
+def _q_pipeline_llm_prep(spark, sf_dir):
+    """The round-11 capstone composition — the full LLM-corpus prep chain
+    as ONE declarative plan: Gopher quality gate AND repetition gate ->
+    cross-document paragraph dedup -> unigram-LM scoring of the CLEANED
+    text (the CCNet bucket signal).  Catalyst fuses the two gates into the
+    scan; the oracle is the same chain composed from each operator's own
+    SQL twin (the oracle builders take table= subqueries by design)."""
+    from melody_join_spark.operators.dedup import dedup_paragraphs
+
+    docs = _docs(spark, sf_dir)
+    qk = quality_filter(docs).where("kept").select("doc_id")
+    rk = repetition_filter(docs).where("kept").select("doc_id")
+    base = docs.join(qk, "doc_id").join(rk, "doc_id").select(
+        "doc_id", "text"
+    )
+    dp = dedup_paragraphs(base)
+    return perplexity_score(
+        dp, text_col="text_clean", vocab_size=LM_VOCAB
+    ).orderBy("doc_id")
+
+
+def _pipeline_llm_prep_oracle_sql() -> str:
+    """The composed DuckDB twin: each stage's oracle chained through
+    table= subqueries (DuckDB accepts WITH-prefixed derived tables)."""
+    base = f"""(SELECT d.doc_id, d.text FROM documents d
+  JOIN (SELECT doc_id FROM ({quality_filter_oracle_sql()}) WHERE kept) qk
+    ON qk.doc_id = d.doc_id
+  JOIN (SELECT doc_id FROM ({repetition_filter_oracle_sql()}) WHERE kept) rk
+    ON rk.doc_id = d.doc_id)"""
+    dp = dedup_paragraphs_oracle_sql(table=base)
+    return perplexity_score_oracle_sql(
+        table=f"({dp})", text_col="text_clean", vocab_size=LM_VOCAB
+    )
+
+
 BPE_MERGES = 50
 
 
@@ -1523,7 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": _q_bpe_vocab,
         "mix_corpus": _q_mix_corpus,
         "bpe_encode": _q_bpe_encode,
-        "generate_media_audio": _q_generate_media_audio,
+        "pipeline_llm_prep": _q_pipeline_llm_prep,
         "split_corpus": _q_split_corpus,
         "dedup_clusters": _q_dedup_clusters,
         "emd_knn_big": _q_emd_knn_big,
@@ -1557,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generate_media_png": _q_generate_media_png,
         "generate_media_jpeg2": _q_generate_media_jpeg2,
         "generate_media_jpeg": _q_generate_media_jpeg,
+        "generate_media_audio": _q_generate_media_audio,
     }
 
 
@@ -1609,15 +1645,16 @@ ROTATION_TAILS: dict[int, tuple[str, ...]] = {
     # dedup_incremental's slot (round-10 ADVICE: new operators get a
     # driver-oracle hash in their introduction round); dedup_incremental
     # (last tailed never; hash-stable since r5) joins the tail.
-    # Nine MORE round-11-new operators (lm_perplexity, dsir_weights,
+    # Ten MORE round-11-new operators (lm_perplexity, dsir_weights,
     # repetition_filter, semantic_dedup at positions 0-3; lm_bigram at
-    # cosine_topk_ivf's slot; bpe_vocab / mix_corpus / bpe_encode at
-    # generate_media_png / _jpeg / _jpeg2's slots; dedup_paragraphs at
-    # position 49) enter inside the window, same ADVICE rationale; the
-    # displaced text_features / quality_filter / corpus_stats /
-    # pipeline_clean_corpus / dedup_minhash_lsh / cosine_topk_ivf /
-    # generate_media_png / _jpeg2 / _jpeg (hash-stable since r1-r7, last
-    # tailed never or r6) join the tail, now 22
+    # cosine_topk_ivf's slot; bpe_vocab / mix_corpus / bpe_encode /
+    # pipeline_llm_prep at generate_media_png / _jpeg / _jpeg2 / _audio's
+    # slots; dedup_paragraphs at position 49) enter inside the window,
+    # same ADVICE rationale; the displaced text_features / quality_filter
+    # / corpus_stats / pipeline_clean_corpus / dedup_minhash_lsh /
+    # cosine_topk_ivf / generate_media_png / _jpeg2 / _jpeg / _audio
+    # (hash-stable since r1-r9, last tailed never or r6) join the tail,
+    # now 23
     11: ("cosine_pairs", "cosine_pairs_lsh", "cosine_topk",
          "cosine_topk_big", "events_window_hourly", "events_sessionize",
          "emd_user_behavior", "emd_knn_2d", "dedup_winnow",
@@ -1625,7 +1662,7 @@ ROTATION_TAILS: dict[int, tuple[str, ...]] = {
          "dedup_incremental", "text_features", "quality_filter",
          "corpus_stats", "pipeline_clean_corpus", "dedup_minhash_lsh",
          "cosine_topk_ivf", "generate_media_png", "generate_media_jpeg2",
-         "generate_media_jpeg"),
+         "generate_media_jpeg", "generate_media_audio"),
 }
 
 
@@ -2046,6 +2083,7 @@ ORDER BY doc_id""",
             vocab_size=LM_VOCAB, bigram_size=LM_BIGRAMS
         ),
         "mix_corpus": mix_corpus_oracle_sql(MIX_BUDGETS),
+        "pipeline_llm_prep": _pipeline_llm_prep_oracle_sql(),
         "bpe_vocab": f"""
 SELECT rank, "left", "right"
 FROM read_parquet('{_REPO}/fixtures/bpe_merges_sf001.parquet')
