@@ -1064,19 +1064,33 @@ def _q_pipeline_llm_prep(spark, sf_dir):
     cross-document paragraph dedup -> unigram-LM scoring of the CLEANED
     text (the CCNet bucket signal).  Catalyst fuses the two gates into the
     scan; the oracle is the same chain composed from each operator's own
-    SQL twin (the oracle builders take table= subqueries by design)."""
-    from melody_join_spark.operators.dedup import dedup_paragraphs
+    SQL twin (the oracle builders take table= subqueries by design).
 
-    docs = _docs(spark, sf_dir)
+    The input goes through dedup's _spread guard AND a persist first: the
+    repetition gate is heavy per-row codegen (six sorted-run n-gram
+    folds), the sf0.1 table is ONE parquet file, and — the subtle part —
+    a bare repartition does NOT help because PushDownPredicate moves the
+    deterministic ``kept`` filter (and with it the whole metric
+    computation) below the exchange, back into the single-split scan
+    (measured: 26.7 s with no spread, 28.9 s with spread alone).  The
+    cache boundary blocks the pushdown, so the gate predicates evaluate
+    across the 32 cached partitions (~4 s total).  At real scale the
+    input arrives in thousands of splits and both guards no-op."""
+    from melody_join_spark.cache import release_on_gc
+    from melody_join_spark.operators.dedup import _spread, dedup_paragraphs
+
+    docs = _spread(_docs(spark, sf_dir)).persist()
+    docs.count()
     qk = quality_filter(docs).where("kept").select("doc_id")
     rk = repetition_filter(docs).where("kept").select("doc_id")
     base = docs.join(qk, "doc_id").join(rk, "doc_id").select(
         "doc_id", "text"
     )
     dp = dedup_paragraphs(base)
-    return perplexity_score(
+    out = perplexity_score(
         dp, text_col="text_clean", vocab_size=LM_VOCAB
     ).orderBy("doc_id")
+    return release_on_gc(out, docs)
 
 
 def _pipeline_llm_prep_oracle_sql() -> str:
