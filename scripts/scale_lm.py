@@ -111,6 +111,9 @@ def main() -> None:
                                           bigram_size=64)),
         ("bpe", bpe),
         ("rep", _rep),
+        ("mix", lambda d: __import__(
+            "melody_join_spark.operators.corpus", fromlist=["mix_corpus"]
+        ).mix_corpus(d, {"src0": 400_000, "src1": 70_000, "src2": 130_000})),
     )
     if ONLY:
         ops = tuple(o for o in ops if o[0] in ONLY)
