@@ -156,6 +156,15 @@ def unigram_lm(
         )
     finally:
         cnt.unpersist()
+    return _lp_from_counts(top, total, vocab_size)
+
+
+def _lp_from_counts(
+    top, total: int, vocab_size: int
+) -> tuple[list[tuple[str, int]], int]:
+    """Quantize the add-one unigram model from (top rows, total) — shared
+    by :func:`unigram_lm` and :func:`bigram_lm` so the two trainers cannot
+    diverge on the smoothing contract."""
     denom = float(total + vocab_size + 1)
     lp = [
         (r["w"], int(math.floor(math.log((r["c"] + 1.0) / denom) * MICRO)))
@@ -564,39 +573,53 @@ def bigram_lm(
     both model-sized outputs; the collects are bounded by
     ``vocab_size`` / ``bigram_size``."""
     toks = _word_tokens(F.coalesce(F.col(text_col), F.lit("")))
-    uni_lp, oov_lp = unigram_lm(df, text_col, vocab_size)
-
     from melody_join_spark.operators.text import word_ngram_windows
 
-    pair_cnt = (
-        df.select(
-            F.explode(
-                word_ngram_windows(
-                    F.coalesce(F.col(text_col), F.lit("")), 2
-                )
-            ).alias("g")
-        )
-        .groupBy("g")
+    # ONE cached token-count relation serves the unigram model AND the
+    # bigram heads' raw counts (the first cut re-scanned the corpus for
+    # the head counts — a full third token pass for a <= bigram_size
+    # lookup; reading the cached vocabulary-sized relation is free)
+    cnt = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.col("c").desc(), F.col("g").asc())
-        .limit(int(bigram_size))
-        .collect()
+        .persist()
     )
-    # cnt(w1) for every w1 that heads a stored bigram: one more bounded agg
-    heads = {r["g"].split(" ", 1)[0] for r in pair_cnt}
-    if heads:
-        tok_cnt = {
-            r["w"]: r["c"]
-            for r in (
-                df.select(F.explode(toks).alias("w"))
-                .where(F.col("w").isin(*sorted(heads)))
-                .groupBy("w")
-                .agg(F.count(F.lit(1)).alias("c"))
-                .collect()
+    try:
+        total = cnt.agg(F.coalesce(F.sum("c"), F.lit(0))).collect()[0][0]
+        top = (
+            cnt.orderBy(F.col("c").desc(), F.col("w").asc())
+            .limit(int(vocab_size))
+            .collect()
+        )
+        uni_lp, oov_lp = _lp_from_counts(top, total, vocab_size)
+
+        pair_cnt = (
+            df.select(
+                F.explode(
+                    word_ngram_windows(
+                        F.coalesce(F.col(text_col), F.lit("")), 2
+                    )
+                ).alias("g")
             )
-        }
-    else:
-        tok_cnt = {}
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("g").asc())
+            .limit(int(bigram_size))
+            .collect()
+        )
+        heads = {r["g"].split(" ", 1)[0] for r in pair_cnt}
+        if heads:
+            tok_cnt = {
+                r["w"]: r["c"]
+                for r in cnt.where(
+                    F.col("w").isin(*sorted(heads))
+                ).collect()
+            }
+        else:
+            tok_cnt = {}
+    finally:
+        cnt.unpersist()
     bi_lp = [
         (
             r["g"],
