@@ -172,7 +172,7 @@ def register_text_sql_functions(spark: SparkSession) -> list[str]:
     #   JOIN (SELECT eval_id, explode(gs) AS g FROM
     #         (SELECT eval_id, word_ngrams(text, 13) AS gs FROM ev)) e
     #     USING (g) GROUP BY 1, 2
-    wtoks = f"filter(split(trim(lower(t)), '{ws}'), x -> x <> '')"
+    wtoks = f"filter(split(lower(t), '{ws}'), x -> x <> '')"
     ngram_body = (
         f"CASE WHEN size({wtoks}) >= n THEN array_distinct(transform("
         f"sequence(1, size({wtoks}) - (n - 1)), "
@@ -206,7 +206,7 @@ def register_lm_sql_functions(spark: SparkSession, lm) -> list[str]:
     # coalesce: NULL text scores as the empty document (0 tokens, 0 NLL),
     # matching nll_columns' behavior, instead of propagating NULL
     wtoks = (
-        f"filter(split(trim(lower(coalesce(t, ''))), '{ws}'), x -> x <> '')"
+        f"filter(split(lower(coalesce(t, '')), '{ws}'), x -> x <> '')"
     )
 
     def _q(s: str) -> str:

@@ -409,7 +409,7 @@ def mix_corpus_oracle_sql(
     same integer token totals and budget literals (IEEE int/int division
     gives the identical double in both engines)."""
     toks = (
-        f"list_filter(string_split_regex(trim(lower(coalesce({text_col}, ''))),"
+        f"list_filter(string_split_regex(lower(coalesce({text_col}, '')),"
         f" '{_WS}'), w -> w <> '')"
     )
     vals = ", ".join(f"('{s}', {int(b)})" for s, b in sorted(budgets.items()))

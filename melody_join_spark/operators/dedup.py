@@ -1641,7 +1641,7 @@ def _duck_word_ngrams(text_col: str, n: int) -> str:
     end-inclusive, so ``w[i:i+n-1]`` is the n-window at i; the empty-token
     filter mirrors the canonical ``_word_tokens``)."""
     w = (
-        f"list_filter(string_split_regex(trim(lower({text_col})), '\\s+'), "
+        f"list_filter(string_split_regex(lower({text_col}), '\\s+'), "
         f"t -> t <> '')"
     )
     return (
@@ -1755,11 +1755,11 @@ def scrub_contamination_oracle_sql(
     semantics; the index-filtered rebuild uses a CASE-over-range then
     drops the NULL slots, which needs no indexed-lambda support)."""
     w = (
-        f"list_filter(string_split_regex(trim(lower({text_col})), '\\s+'), "
+        f"list_filter(string_split_regex(lower({text_col}), '\\s+'), "
         f"t -> t <> '')"
     )
     ew = (
-        f"list_filter(string_split_regex(trim(lower({eval_text_col})), "
+        f"list_filter(string_split_regex(lower({eval_text_col}), "
         f"'\\s+'), t -> t <> '')"
     )
     eg = (

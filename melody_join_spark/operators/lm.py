@@ -103,7 +103,7 @@ def _duck_word_tokens(text_expr: str) -> str:
     """DuckDB twin of text._word_tokens (same canonical tokenization the
     repetition_stats oracle uses)."""
     return (
-        f"list_filter(string_split_regex(trim(lower({text_expr})), '{_WS}'), "
+        f"list_filter(string_split_regex(lower({text_expr}), '{_WS}'), "
         f"w -> w <> '')"
     )
 

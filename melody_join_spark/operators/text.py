@@ -77,18 +77,23 @@ def _tokens(text: Column) -> Column:
 
 def _word_tokens(text: Column) -> Column:
     """The ONE canonical tokenization every word-n-gram operator derives
-    from (lowercase, trim, whitespace split, empty tokens dropped) —
-    decontaminate, scrub and repetition_stats share it by construction, so
-    they cannot silently diverge.
+    from (lowercase, whitespace split, empty tokens dropped) —
+    decontaminate, scrub, repetition_stats and the LM family share it by
+    construction, so they cannot silently diverge.
 
-    The empty-token filter matters: Spark/DuckDB ``trim`` strips SPACES
-    only, so text with tab/newline boundaries ("\\n foo") would otherwise
-    carry phantom '' tokens into every n-gram window (round 11: a
-    whitespace-only document scored top_2gram_char_frac = 1.0 on the
-    2-gram " " before the filter).  Mirrored in every DuckDB twin
-    (``list_filter(..., t -> t <> '')``)."""
+    Deliberately NO ``trim()``: the empty-token filter already eats the
+    '' tokens that leading/trailing whitespace splits produce, so trim
+    added nothing for ASCII text — and it is a cross-engine hazard:
+    Spark's ``trim`` strips ASCII space only while DuckDB's also strips
+    non-breaking space (U+00A0), so a leading-NBSP document tokenized
+    differently per engine (found by the round-11 adversarial-shapes
+    sweep: the divergent token shifted the top-N vocabulary cut and
+    every downstream LM score with it).  Both engines' ``\\s`` regex
+    classes agree (ASCII whitespace), so split+filter alone is
+    bit-portable.  Mirrored in every DuckDB twin
+    (``list_filter(string_split_regex(lower(..)), t -> t <> '')``)."""
     return F.filter(
-        F.split(F.lower(F.trim(text)), _WS), lambda x: x != ""
+        F.split(F.lower(text), _WS), lambda x: x != ""
     )
 
 
@@ -806,7 +811,7 @@ def repetition_stats_oracle_sql(
         f"l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')), l -> l <> '')"
     )
     toks = (
-        f"list_filter(string_split_regex(trim(lower({t})), '{_WS}'), "
+        f"list_filter(string_split_regex(lower({t}), '{_WS}'), "
         f"w -> w <> '')"
     )
 

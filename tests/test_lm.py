@@ -299,3 +299,70 @@ def test_dsir_bigram_features_match_oracle(spark):
     # empty/null docs: still all-zero rows
     for i in (4, 5, 6):
         assert bi[i][1:] == (0, 0)
+
+
+ADVERSARIAL = [
+    (1, "café naïve résumé 中文 中文"),
+    (2, "line one\r\nline two\r\nline one\r\n"),      # CRLF endings
+    (3, "it's o'clock 'quoted' \"double\" `tick`"),    # quote soup
+    (4, "back\\slash %percent_ [bracket] (paren) {brace}"),
+    (5, "a" * 500 + " " + "b" * 500),                  # very long tokens
+    (6, "TAB\there\tTAB\nTAB\there"),
+    (7, "    nbsp separated    words  "),    # non-breaking space
+    (8, "x " * 200),                                   # extreme repetition
+    (9, "$1.99 +3e8 1,000,000 C++ f(x)=y^2"),
+    (10, "é\né\né\nunique line"),
+]
+
+
+def test_adversarial_text_shapes_cross_engine_parity(spark):
+    """One nasty corpus (unicode, CRLF, quotes, regex metachars, 500-char
+    tokens, NBSP, numerics) through EVERY round-11 text operator vs its
+    DuckDB twin — the adversarial-shapes sweep that pinned tokenize
+    parity for decontaminate (round 10) extended to the new surface."""
+    import duckdb
+
+    from melody_join_spark.operators.dedup import (
+        dedup_paragraphs,
+        dedup_paragraphs_oracle_sql,
+    )
+    from melody_join_spark.operators.text import (
+        repetition_filter,
+        repetition_filter_oracle_sql,
+    )
+
+    docs = [(i, t, "s%d" % (i % 2)) for i, t in ADVERSARIAL]
+    df = spark.createDataFrame(docs, SCHEMA)
+    con = _duck(docs)
+
+    pairs = [
+        (
+            perplexity_score(df, vocab_size=8).orderBy("doc_id"),
+            perplexity_score_oracle_sql(vocab_size=8),
+        ),
+        (
+            bigram_score(df, vocab_size=8, bigram_size=8).orderBy("doc_id"),
+            bigram_score_oracle_sql(vocab_size=8, bigram_size=8),
+        ),
+        (
+            dsir_weights(
+                df, F.col("source") == "s0", n_buckets=32, ngmax=2
+            ).orderBy("doc_id"),
+            dsir_weights_oracle_sql("source = 's0'", n_buckets=32, ngmax=2),
+        ),
+        (
+            dedup_paragraphs(df).orderBy("doc_id"),
+            dedup_paragraphs_oracle_sql(),
+        ),
+        (
+            repetition_filter(df)
+            .select("doc_id", "violations", F.col("kept").cast("long"))
+            .orderBy("doc_id"),
+            f"""SELECT doc_id, violations, CAST(kept AS BIGINT)
+                FROM ({repetition_filter_oracle_sql()}) ORDER BY doc_id""",
+        ),
+    ]
+    for sdf, sql in pairs:
+        got = [tuple(r) for r in sdf.collect()]
+        want = [tuple(r) for r in con.execute(sql).fetchall()]
+        assert got == want, sql[:80]
