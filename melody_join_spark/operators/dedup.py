@@ -89,6 +89,26 @@ def _spread(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    # A plan that already contains a wide operator (aggregate/join/window/
+    # sort/repartition/...) is already partitioned by spark.sql.shuffle.
+    # partitions — and, critically, calling .rdd on it under AQE EAGERLY
+    # executes every materialized query stage, so the probe itself would
+    # run the upstream chain one extra time (measured: +8 s on the
+    # pipeline_llm_prep capstone when the LM trainer probed its cleaned
+    # input).  Only narrow scan-shaped inputs are probed and spread.
+    import re
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if re.search(
+        # `Repartition n, false` is coalesce() — narrow, still a spread
+        # candidate; `Repartition n, true` is an explicit shuffle
+        r"(?m)^[ :+\-]*(Aggregate|Join|Window|Sort"
+        r"|RepartitionByExpression|RebalancePartitions|Deduplicate"
+        r"|GlobalLimit|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas)\b"
+        r"|Repartition \d+, true",
+        plan,
+    ):
+        return df
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
     return df
@@ -1621,7 +1641,13 @@ def decontaminate(
     of training bytes at all; the only exchange is the output-sized
     groupBy on (train id, eval id).  n-gram generation happens in JVM
     codegen (split/transform/slice), no Python in the hot path."""
-    tg = train.select(
+    # _spread: the n-gram generation is scan-stage codegen, so a train
+    # corpus arriving as one file would tokenize on one core (measured
+    # 4.2 s single-task at sf0.1 vs ~0.3 s spread — guide §2.5); at real
+    # scale the input has thousands of splits and this is a no-op, which
+    # preserves the "one streaming scan, no shuffle of training bytes"
+    # contract where it matters
+    tg = _spread(train).select(
         F.col(id_col).cast("long").alias(id_col),
         F.explode(word_ngrams(F.col(text_col), n)).alias("_g"),
     )
@@ -1707,7 +1733,8 @@ def scrub_contamination(
     expression over the kept rows; clean documents never shuffle."""
     w = _word_tokens(F.col(text_col))
     grams = word_ngram_windows(F.col(text_col), n)
-    tg = train.select(
+    # same single-split guard as decontaminate (guide §2.5; no-op at scale)
+    tg = _spread(train).select(
         F.col(id_col).cast("long").alias(id_col),
         F.posexplode(grams).alias("_pos0", "_g"),
     ).select(id_col, (F.col("_pos0") + 1).alias("_i"), "_g")
@@ -1719,6 +1746,10 @@ def scrub_contamination(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_set("_i")).alias("_hits"))
     )
+    # (deliberately un-spread: the rebuild side's token work is light, the
+    # hits join is broadcast-sized, and at scale the input is multi-split
+    # anyway — the guard exchange here measured a separated 1.36x on the
+    # bench where the heavy tg subtree is join-eliminated under count())
     base = train.select(
         F.col(id_col).cast("long").alias(id_col), w.alias("_w")
     ).join(hits, id_col, "left")

@@ -141,8 +141,13 @@ def unigram_lm(
     are bit-identical to the oracle's.
     """
     toks = _word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    # tokenize+explode runs in the SCAN stage, so a single-file corpus would
+    # run the whole token pass on one core (guide §2.5 input skew); _spread
+    # is a no-op at real scale (thousands of splits)
+    from .dedup import _spread
+
     cnt = (
-        df.select(F.explode(toks).alias("w"))
+        _spread(df).select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -388,7 +393,11 @@ def dsir_weights(
 
         for n in range(2, int(ngmax) + 1):
             feats = F.concat(feats, word_ngram_windows(t, n))
-    ex = df.select(
+    # single-split guard: the feature explode (tokens + hashed bigrams) is
+    # scan-stage expression work — see the bigram_lm note (guide §2.5)
+    from .dedup import _spread
+
+    ex = _spread(df).select(
         target.cast("int").alias("_t"), F.explode(feats).alias("w")
     ).select("_t", _bucket(F.col("w"), n_buckets).alias("b"))
     rows = (
@@ -574,6 +583,14 @@ def bigram_lm(
     ``vocab_size`` / ``bigram_size``."""
     toks = _word_tokens(F.coalesce(F.col(text_col), F.lit("")))
     from melody_join_spark.operators.text import word_ngram_windows
+
+    # single-split guard for BOTH training scans (token counts and pair
+    # counts): the n=2 window pass allocates a pair string per token and
+    # measured 3.5 s on one core at sf0.1 vs ~0.15 s spread (guide §2.5);
+    # no-op when the corpus already arrives in many splits
+    from .dedup import _spread
+
+    df = _spread(df)
 
     # ONE cached token-count relation serves the unigram model AND the
     # bigram heads' raw counts (the first cut re-scanned the corpus for

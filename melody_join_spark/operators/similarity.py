@@ -752,9 +752,14 @@ def lsh_cosine_pairs(
     planes = rng.standard_normal((num_planes, dim))
     rows = num_planes // bands
 
-    e = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v")).withColumn(
-        "nrm", _norm_expr("v")
-    )
+    # single-split guard (guide §2.5): the norm fold, the sketch UDF and
+    # both verify join-backs all read this relation; a one-file embeddings
+    # table would otherwise run them at parallelism 1 (no-op at scale)
+    from .dedup import _spread
+
+    e = _spread(
+        emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    ).withColumn("nrm", _norm_expr("v"))
 
     # sign bits via an Arrow-batched UDF that replicates the LEFT-FOLD
     # accumulation order of the SQL `aggregate(zip_with(...))` formulation

@@ -58,7 +58,11 @@ def get_spark(app_name: str = "melody-join-spark", shuffle_partitions: int | Non
     # scripts/profile_session_state.py can attribute wall time without the UI
     evdir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
     if evdir:
-        builder = builder.config("spark.eventLog.enabled", "true").config(
-            "spark.eventLog.dir", f"file://{evdir}"
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", f"file://{evdir}")
+            # this container has no zstd binary/module to read the default
+            # compressed log; plain JSON keeps the profiler self-contained
+            .config("spark.eventLog.compress", "false")
         )
     return builder.getOrCreate()

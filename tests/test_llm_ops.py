@@ -966,6 +966,32 @@ def test_jaccard_tokens_spread_guard(spark):
     assert toks.rdd.getNumPartitions() >= max(2, par // 2)
 
 
+def test_spread_skips_wide_plans_without_execution(spark):
+    """Round-11 optimization pin: `_spread` must NOT probe `.rdd` on an
+    input whose plan already contains a wide operator — under AQE that
+    probe EAGERLY executes every upstream shuffle stage, so the LM trainer
+    spreading its cleaned (aggregated) input re-ran the whole pipeline
+    chain once per training pass (measured +8 s on pipeline_llm_prep at
+    sf0.1).  Wide inputs come back untouched (they are already partitioned
+    by spark.sql.shuffle.partitions); narrow single-split inputs still
+    spread (the test above)."""
+    from melody_join_spark.operators.dedup import _spread
+
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(i % 7, f"text {i}") for i in range(100)], "k long, text string"
+    )
+    agg = docs.groupBy("k").agg(F.count("*").alias("c"))
+    jobs_before = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
+    out = _spread(agg)
+    assert out is agg  # untouched, no repartition inserted
+    jobs_after = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
+    assert jobs_after == jobs_before  # and no eager AQE stage execution
+    joined = docs.join(agg, "k")
+    assert _spread(joined) is joined
+
+
 def test_derive_nprobe_recall_target_properties():
     """recall_target escalation (round-7 VERDICT next #3): monotone in the
     target, never below the base derivation, exhaustive (nprobe=nlist) at
