@@ -157,7 +157,13 @@ def emd_threshold_join(
     # h feeds both sides of two joins; persist so the upstream (scan + agg +
     # O(B^2) cum expression) runs once.  A histogram row is ~8B + 16*B bytes —
     # tiny relative to the fact table it came from, so this holds at scale.
+    # The count() is a materialization BARRIER, not a stat: the two joins
+    # fan out into four exchange map stages that AQE materializes
+    # concurrently, and concurrent first readers of an unmaterialized cache
+    # RACE — each recomputed the whole upstream chain (four full media
+    # decodes measured on the generate->join path, guide §5 caching).
     h = h.persist()
+    h.count()
     a, b = _pair_frame(h, "a"), _pair_frame(h, "b")
 
     # same-cell pairs, dedup by id ordering

@@ -1521,10 +1521,17 @@ def decode_features(
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
     # select() before mapInPandas prunes every other column from the scan.
-    # Parallelism comes from the source layout (spark.sql.files.
-    # maxPartitionBytes) — repartitioning here would shuffle every content
-    # byte, which does not survive a 100 TB corpus.
-    return df.select("media_id", "content").mapInPandas(run, out_schema)
+    # Parallelism normally comes from the source layout (spark.sql.files.
+    # maxPartitionBytes) — at 100 TB the corpus arrives in thousands of
+    # splits and _spread is a no-op, so content bytes are never shuffled
+    # there.  The guard only fires for few-split local inputs, where the
+    # decode otherwise runs on one core (measured 2.6 s single-task for
+    # the 5k-doc byte-histogram pass at sf0.1 vs ~0.15 s spread).
+    from .dedup import _spread
+
+    return _spread(df.select("media_id", "content")).mapInPandas(
+        run, out_schema
+    )
 
 
 def frame_sample(
