@@ -29,6 +29,24 @@ def _default_heap() -> str:
 
 def get_spark(app_name: str = "melody-join-spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Allocator hygiene for the Python workers (guide §5): this kernel
+    # faults NEW anonymous mappings at ~140 ms/MB (measured: a first-touch
+    # 75 MB numpy fill costs ~10-12 s cold; the same bytes through a warm
+    # heap cost ~20 ms).  glibc serves large numpy/Arrow buffers via
+    # mmap/munmap by default, so EVERY sizable temporary in a UDF batch
+    # re-pays the cold-fault tax even in a reused worker.  Raising the
+    # mmap threshold and disabling trim keeps those buffers in the sbrk
+    # heap, which both faults ~15x cheaper cold AND stays warm across
+    # tasks for the lifetime of the (reused) worker.  Set via the
+    # environment BEFORE the JVM starts so the pyspark daemon and its
+    # forked workers inherit it; harmless on kernels with normal fault
+    # costs, and a standard deployment-level allocator setting on real
+    # clusters (spark-env.sh) rather than a local[32]-only trick.
+    for var, val in (
+        ("MALLOC_MMAP_THRESHOLD_", str(1 << 30)),
+        ("MALLOC_TRIM_THRESHOLD_", "-1"),
+    ):
+        os.environ.setdefault(var, val)
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus) * 2 if cpus.isdigit() else 64, 32)
     builder = (
@@ -48,6 +66,15 @@ def get_spark(app_name: str = "melody-join-spark", shuffle_partitions: int | Non
         # so the session still starts on small hosts; SPARK_GRAFT_DRIVER_MEM
         # overrides for bench hosts.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_heap())
+        # pin Xms to Xmx so G1 never uncommits heap regions back to the
+        # OS between queries — re-faulting uncommitted pages costs ~140
+        # ms/MB on this kernel (see the allocator note above); pages stay
+        # resident once touched.  Standard long-lived-service JVM setting.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms"
+            + (os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_heap()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # deterministic epoch math for naive (NTZ) timestamps across hosts
