@@ -577,50 +577,59 @@ def bigram_lm(
     :func:`~melody_join_spark.operators.text.word_ngram_windows` n=2
     form).
 
-    Scale shape: ONE pair-keyed groupBy for bigram counts and one
-    token-keyed groupBy for unigrams — both map-side partial-aggregated,
-    both model-sized outputs; the collects are bounded by
-    ``vocab_size`` / ``bigram_size``."""
-    toks = _word_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    Scale shape: ONE corpus scan — tokens and 2-gram windows explode out
+    of the same pass tagged by kind (0=token, 1=pair) into one map-side
+    partial-aggregated groupBy, so the expensive part (tokenizing 100 TB
+    of text) happens once, not once per key space; the collects are
+    bounded by ``vocab_size`` / ``bigram_size``."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = _word_tokens(text)
     from melody_join_spark.operators.text import word_ngram_windows
 
-    # single-split guard for BOTH training scans (token counts and pair
-    # counts): the n=2 window pass allocates a pair string per token and
-    # measured 3.5 s on one core at sf0.1 vs ~0.15 s spread (guide §2.5);
-    # no-op when the corpus already arrives in many splits
+    # single-split guard for the (now single) training scan: the n=2
+    # window pass allocates a pair string per token and measured 3.5 s on
+    # one core at sf0.1 vs ~0.15 s spread (guide §2.5); no-op when the
+    # corpus already arrives in many splits
     from .dedup import _spread
 
     df = _spread(df)
 
-    # ONE cached token-count relation serves the unigram model AND the
-    # bigram heads' raw counts (the first cut re-scanned the corpus for
-    # the head counts — a full third token pass for a <= bigram_size
-    # lookup; reading the cached vocabulary-sized relation is free)
+    # ONE cached (kind, key)-count relation serves the unigram model, the
+    # bigram counts AND the bigram heads' raw counts.  Earlier cuts paid a
+    # corpus scan per key space (and originally a third for the head
+    # lookup); tokens and pairs derive from the same token array, so one
+    # tagged explode counts both in a single pass (guide §2.1/§6: read —
+    # and tokenize — the data once).  Per-kind count multisets are
+    # IDENTICAL to the two-scan form, so the model is bit-exact.
+    tagged = F.concat(
+        F.transform(
+            toks, lambda x: F.struct(F.lit(0).alias("k"), x.alias("w"))
+        ),
+        F.transform(
+            word_ngram_windows(text, 2),
+            lambda x: F.struct(F.lit(1).alias("k"), x.alias("w")),
+        ),
+    )
     cnt = (
-        df.select(F.explode(toks).alias("w"))
-        .groupBy("w")
+        df.select(F.explode(tagged).alias("e"))
+        .select(F.col("e.k").alias("k"), F.col("e.w").alias("w"))
+        .groupBy("k", "w")
         .agg(F.count(F.lit(1)).alias("c"))
         .persist()
     )
     try:
-        total = cnt.agg(F.coalesce(F.sum("c"), F.lit(0))).collect()[0][0]
+        uni = cnt.where(F.col("k") == 0)
+        total = uni.agg(F.coalesce(F.sum("c"), F.lit(0))).collect()[0][0]
         top = (
-            cnt.orderBy(F.col("c").desc(), F.col("w").asc())
+            uni.orderBy(F.col("c").desc(), F.col("w").asc())
             .limit(int(vocab_size))
             .collect()
         )
         uni_lp, oov_lp = _lp_from_counts(top, total, vocab_size)
 
         pair_cnt = (
-            df.select(
-                F.explode(
-                    word_ngram_windows(
-                        F.coalesce(F.col(text_col), F.lit("")), 2
-                    )
-                ).alias("g")
-            )
-            .groupBy("g")
-            .agg(F.count(F.lit(1)).alias("c"))
+            cnt.where(F.col("k") == 1)
+            .select(F.col("w").alias("g"), "c")
             .orderBy(F.col("c").desc(), F.col("g").asc())
             .limit(int(bigram_size))
             .collect()
@@ -629,7 +638,7 @@ def bigram_lm(
         if heads:
             tok_cnt = {
                 r["w"]: r["c"]
-                for r in cnt.where(
+                for r in uni.where(
                     F.col("w").isin(*sorted(heads))
                 ).collect()
             }
