@@ -104,16 +104,17 @@ class EmdCascade:
         self.dual_keys = [d.keys(self.weights) for d in self.duals]
         self.reduced_weights = [r.reduce_weights(self.weights) for r in self.reductions]
         # per-projection normal fits + approximation errors (P4/P7): feed the
-        # O(1)-per-pair normal bound stage (F4, HistUtil.getNormalEmd)
-        self.normal_stats = []
-        if self.use_normal:
-            for pos in self.proj_positions:
-                order = np.argsort(pos, kind="stable")
-                ps = np.asarray(pos)[order]
-                Ws = self.weights[:, order]
-                mu, sigma = fit_normal(Ws, ps)
-                err = cdf_approx_error(Ws, ps, mu, sigma)
-                self.normal_stats.append((mu, sigma, err))
+        # O(1)-per-pair normal bound stage (F4, HistUtil.getNormalEmd).
+        # LAZY (round 11): the err fit integrates |F - Phi| per record —
+        # ~3B math.erf evaluations per row per projection through a
+        # python-loop vectorize (numpy has no erf) — which measured 22.5 s
+        # of the 92 s sf0.1 3-d join-stage CPU, paid in EVERY per-group
+        # cascade construction, while the stage pruned ZERO pairs there
+        # (the Rubner screen sees the same centroid geometry first).  The
+        # fits now happen inside run(), only when a candidate block is big
+        # enough to repay them (see the stage-2 gate); None = not fitted.
+        self.normal_stats = None if self.use_normal else []
+        self._normal_on = bool(self.use_normal and self.proj_positions)
         self._indmin_on = True
         self._reduction_on = True
         # netted-IndMin soundness gate: Minkowski grounds are metrics by
@@ -147,6 +148,27 @@ class EmdCascade:
 
     def exact(self, li: int, ri: int) -> float:
         return emd_exact(self.weights[li], self.weights[ri], self.cost)
+
+    def _fit_normal_stat(self, i: int):
+        """Fit projection ``i``'s (mu, sigma, err) columns — the normal
+        stage's per-record precompute, deferred out of __post_init__."""
+        pos = self.proj_positions[i]
+        order = np.argsort(pos, kind="stable")
+        ps = np.asarray(pos)[order]
+        Ws = self.weights[:, order]
+        mu, sigma = fit_normal(Ws, ps)
+        err = cdf_approx_error(Ws, ps, mu, sigma)
+        return (mu, sigma, err)
+
+    # minimum candidate-pairs-per-row before the normal stage's fit can
+    # repay itself: the fit costs ~3B python-level erf calls per ROW
+    # (~25 us/row/projection at B=27) while a normal-pruned pair saves
+    # ~1-2 us of downstream screens — blocks smaller than this skip
+    # straight to the (strictly tighter) projection bound, which prunes
+    # every pair the normal bound would have (identical output either way:
+    # skipping a sound lower-bound stage only shifts WHERE a pair is
+    # pruned, never whether it survives to the exact stage)
+    NORMAL_GATE = 16
 
     def _indmin_pairs(self, li: int, ri: int) -> float:
         """IndMin bound for one pair via sparse gathers: restrict the cost
@@ -217,16 +239,50 @@ class EmdCascade:
             st.pruned_rubner += int((~keep).sum())
             li, ri = li[keep], ri[keep]
 
-        # 2. normal-approximation bounds (O(1) per pair on precomputed
+        # 2. normal-approximation bounds (O(1) per pair on per-record
         # (mu, sigma, err) columns — HistUtil.getNormalEmd semantics): a
-        # cheaper approximation of each projection bound, run first
-        for mu, sigma, err in self.normal_stats:
-            if li.size == 0:
-                break
-            lb = normal_bound_pairs(mu, sigma, err, li, ri)
-            keep = lb <= thr
+        # cheaper approximation of each projection bound, run first.
+        # GATED + ADAPTIVE (round 11): the fits are the cascade's priciest
+        # precompute (see __post_init__) and only repay themselves when the
+        # block brings far more pairs than the group has rows — small
+        # blocks skip to the projection stage unfitted.  Big blocks fit
+        # ONE projection and probe; the stage keeps running (and fits the
+        # remaining projections) only when the probe shows it pruning —
+        # the indmin/reduction self-disable idiom.
+        if li.size and self._normal_on and (
+            self.normal_stats is not None
+            or li.size >= self.NORMAL_GATE * self.weights.shape[0]
+        ):
+            if self.normal_stats is None:
+                self.normal_stats = [self._fit_normal_stat(0)]
+            mu, sigma, err = self.normal_stats[0]
+            probe_n = min(8192, li.size)
+            lb = normal_bound_pairs(mu, sigma, err, li[:probe_n], ri[:probe_n])
+            keep_p = lb <= thr
+            probe_pruned = int((~keep_p).sum())
+            if probe_pruned < max(1, probe_n // 200) and li.size > probe_n:
+                self._normal_on = False  # not earning its keep
+                keep = np.ones(li.size, dtype=bool)
+                keep[:probe_n] = keep_p
+            else:
+                lb_rest = normal_bound_pairs(
+                    mu, sigma, err, li[probe_n:], ri[probe_n:]
+                )
+                keep = np.concatenate([keep_p, lb_rest <= thr])
             st.pruned_normal += int((~keep).sum())
             li, ri = li[keep], ri[keep]
+            if self._normal_on and li.size:
+                while len(self.normal_stats) < len(self.proj_positions):
+                    self.normal_stats.append(
+                        self._fit_normal_stat(len(self.normal_stats))
+                    )
+                for mu, sigma, err in self.normal_stats[1:]:
+                    if li.size == 0:
+                        break
+                    lb = normal_bound_pairs(mu, sigma, err, li, ri)
+                    keep = lb <= thr
+                    st.pruned_normal += int((~keep).sum())
+                    li, ri = li[keep], ri[keep]
 
         # 3. projection bounds (cumsum dot, O(B) per pair)
         for pos in self.proj_positions:

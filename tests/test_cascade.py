@@ -103,3 +103,67 @@ def test_build_config_ships_metric_verdict():
     C2 = ((bin_pts[:, None, :] - bin_pts[None, :, :]) ** 2).sum(axis=2)
     cfg3 = build_config(bin_pts, ground=C2)
     assert cfg3.metric_cost is False
+
+
+def test_normal_stage_lazy_gate_fit_and_probe_disable():
+    """Round-11 normal-stage laziness: (a) blocks below NORMAL_GATE *
+    rows never pay the (mu, sigma, err) fit; (b) big blocks fit and run
+    the stage; (c) a probe block that prunes nothing self-disables the
+    stage after fitting only the FIRST projection.  In every case the
+    survivor set equals the brute-force exact filter — skipping a sound
+    lower-bound stage must never change the output."""
+    rng = np.random.default_rng(11)
+    B, D, N = 10, 2, 16
+    bin_pts = rng.random((B, D))
+    cost = ground_distance_matrix(bin_pts.ravel(), D, "l2")
+    W = rng.random((N, B))
+    W = W / W.sum(axis=1, keepdims=True)
+    vecs = [rng.standard_normal(D) for _ in range(2)]
+    proj = [projection_positions(bin_pts, v) for v in vecs]
+
+    li, ri = np.triu_indices(N, k=1)  # 120 pairs
+    exact = np.array([emd_exact(W[a], W[b], cost) for a, b in zip(li, ri)])
+    theta = float(np.median(exact))  # some survive, some pruned
+    want = {
+        (int(a), int(b))
+        for a, b, e in zip(li, ri, exact)
+        if e <= theta
+    }
+
+    def fresh():
+        return EmdCascade(
+            weights=W, cost=cost, bin_points=bin_pts, proj_positions=proj
+        )
+
+    # (a) small block: 120 < NORMAL_GATE * 16 rows -> fit skipped entirely
+    casc = fresh()
+    cl, cr, _ = casc.run(li, ri, theta, slack=0.0)
+    assert casc.normal_stats is None
+    assert {(int(a), int(b)) for a, b in zip(cl, cr)} == want
+
+    # (b) big block (duplicated pairs): gate passes -> stats fitted for
+    # ALL projections (probe covers the whole block, so no disable), and
+    # the survivor SET is unchanged
+    casc2 = fresh()
+    rep = max(1, (EmdCascade.NORMAL_GATE * N) // li.size + 1)
+    cl2, cr2, _ = casc2.run(np.tile(li, rep), np.tile(ri, rep), theta, slack=0.0)
+    assert casc2.normal_stats is not None
+    assert len(casc2.normal_stats) == len(proj)
+    assert {(int(a), int(b)) for a, b in zip(cl2, cr2)} == want
+
+    # (c) identical rows: every bound is 0, the probe prunes nothing on a
+    # block bigger than the probe window -> the stage self-disables having
+    # fitted only projection 0; all pairs survive (exact EMD = 0)
+    W_id = np.tile(W[:1], (32, 1))
+    casc3 = EmdCascade(
+        weights=W_id, cost=cost, bin_points=bin_pts, proj_positions=proj
+    )
+    k = 16384
+    li3 = rng.integers(0, 32, size=k)
+    ri3 = rng.integers(0, 32, size=k)
+    st = CascadeStats()
+    cl3, _, ce3 = casc3.run(li3, ri3, theta, stats=st, slack=0.0)
+    assert casc3._normal_on is False
+    assert casc3.normal_stats is not None and len(casc3.normal_stats) == 1
+    assert st.pruned_normal == 0
+    assert cl3.size == k and np.all(ce3 == 0.0)
