@@ -762,13 +762,39 @@ def _build_grid_ctx(
     # 3-join + groupBy chain — measured ~40% of the whole d=2 query before
     # this cache)
     rec0 = _centroid_cols(rec, bin_points, "w").persist()
-    n_rec = None
     if grid is None:
-        # the count materializes the cache the boundary agg needs anyway
-        n_rec = rec0.count()
+        # ONE fused job for count + boundaries (round 12, guide §2.1/§2.6:
+        # the auto-grid path used to pay two sequential driver actions —
+        # count() to derive G, then the percentile agg at probs i/G — each
+        # a full pass/job with its own scheduling gap).  Both come from a
+        # single agg now: the count plus one fixed fine quantile sketch
+        # (127 points) per dimension; G is derived from the count and the
+        # G-1 cell boundaries linearly interpolated from the sketch.
+        # Boundaries are load-balancing geometry, not semantics — ANY
+        # monotone boundary set yields the same join output (cell screens
+        # are sound, the exact filter decides) — and the interpolated
+        # values are deterministic for a given dataset.  Explicit-grid
+        # callers (tests, emd_index) keep the exact percentile_approx
+        # boundaries below.
+        fine_probs = [i / 128.0 for i in range(1, 128)]
+        aggs = [F.count(F.lit(1)).alias("n")] + [
+            F.percentile_approx(
+                f"cent_{k}", F.array(*[F.lit(p) for p in fine_probs]), 10000
+            ).alias(f"b{k}")
+            for k in range(d)
+        ]
+        row = rec0.agg(*aggs).collect()[0]  # materializes rec0
+        n_rec = int(row["n"])
         grid = _derive_grid(n_rec, d)
-    bnds = _grid_boundaries(rec0, d, grid)  # (d, grid-1); materializes rec0
-    if n_rec is None:
+        want = np.arange(1, grid) / grid
+        bnds = np.stack(
+            [
+                np.interp(want, fine_probs, np.asarray(row[f"b{k}"], dtype=np.float64))
+                for k in range(d)
+            ]
+        )
+    else:
+        bnds = _grid_boundaries(rec0, d, grid)  # materializes rec0
         n_rec = rec0.count()  # cached by now: metadata-cheap
     if cfg is None:
         seed_rows = rec0.select("w").limit(8).collect()
@@ -1002,59 +1028,94 @@ def _grid_join(
     grp_key = (F.col("cell") * (max_s * max_s) + F.col("sub")).alias("grp")
     allrows = allrows.select("id", "w", "side", "cell", "native", "blk", grp_key)
 
-    def join_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"rid": [], "sid": [], "emd": []}).astype(
-            {"rid": "int64", "sid": "int64", "emd": "float64"}
-        )
-        ids = pdf["id"].to_numpy()
-        W = normalize(np.stack(pdf["w"].to_numpy()).astype(np.float64))
-        nat = pdf["native"].to_numpy()
-        side = pdf["side"].to_numpy()
+    def join_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Partition-batched cascade (round 12, guide §4): hash partitioning
+        # on "grp" already places every row of a group in exactly one
+        # partition, so per-GROUP pair generation below is unchanged — but
+        # the cascade (np.unique row-grouping, support table, dual keys,
+        # every pruning stage and the batched exact solver) runs ONCE on
+        # the whole partition's rows and on the CONCATENATED candidate
+        # list.  The old one-pandas-DataFrame-per-group applyInPandas paid
+        # Arrow + cascade-construction overhead per group (9,597 groups of
+        # a few rows each at sf0.1 3-d ~ 10 s of the 60 s join-stage CPU)
+        # and fragmented the exact stage's support classes below MIN_BATCH
+        # (scalar-LP fallback).  Output identity: the pair set is generated
+        # per group exactly as before, and every cascade stage is a sound
+        # per-pair screen whose survivors are decided by the same exact-EMD
+        # filter — batching changes only WHERE a pair is pruned, never
+        # whether it survives, so rid/sid/emd are bit-identical.
+        pdfs = [pdf for pdf in it if len(pdf)]
+        if not pdfs:
+            return
+        allp = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+        ids = allp["id"].to_numpy()
+        W = normalize(np.stack(allp["w"].to_numpy()).astype(np.float64))
+        nat = allp["native"].to_numpy()
+        side = allp["side"].to_numpy()
+        blks = allp["blk"].to_numpy()
+        grps = allp["grp"].to_numpy()
         casc = _cascade_for(W, cfg)
-        if two_table:
-            # anchors: R rows; partners: S rows.  A pair is computed in the
-            # lower of the two native cells, i.e. exactly when at least one
-            # end is native here (never guest x guest).
-            anchors = np.flatnonzero(side == 0)
-            partner_pool = np.flatnonzero(side == 1)
-        else:
-            anchors = np.flatnonzero(nat)
-            partner_pool = np.arange(ids.size)
-        if anchors.size == 0 or partner_pool.size == 0:
-            return empty
-        # candidate generation via a sorted window on centroid dim 0: a
-        # qualifying partner must lie within reach on EVERY centroid dim
-        # (Rubner), so pairs outside the dim-0 window are never materialized
         c0 = casc.cents[:, 0]
-        pool_sorted = partner_pool[np.argsort(c0[partner_pool], kind="stable")]
-        cs = c0[pool_sorted]
-        lo = np.searchsorted(cs, c0[anchors] - reach, side="left")
-        hi = np.searchsorted(cs, c0[anchors] + reach, side="right")
-        counts = hi - lo
-        if counts.sum() == 0:
-            return empty
-        li = np.repeat(anchors, counts)
-        ri = pool_sorted[
-            np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
-        ]
-        if two_table:
-            # at least one native end (pair lives in the lower native cell)
-            keep = nat[li] | nat[ri]
-        else:
-            # native partners once by id order; guest partners all (guests
-            # never appear in their native cell, so no self/guest dups)
-            keep = np.where(nat[ri], ids[ri] > ids[li], True)
-        # salted cells: this sub-group owns exactly the pairs whose block
-        # pair is (gi, gj) — each pair computed in one sub-group
-        sub = int(pdf["grp"].iloc[0]) % (max_s * max_s)
-        gi, gj = divmod(sub, max_s)
-        blks = pdf["blk"].to_numpy()
-        keep &= (np.minimum(blks[li], blks[ri]) == gi) & (
-            np.maximum(blks[li], blks[ri]) == gj
-        )
-        li, ri = li[keep], ri[keep]
-        if li.size == 0:
-            return empty
+        order = np.argsort(grps, kind="stable")
+        gs = grps[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        ends = np.r_[starts[1:], order.size]
+        li_parts: list[np.ndarray] = []
+        ri_parts: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            idx = order[s:e]
+            if two_table:
+                # anchors: R rows; partners: S rows.  A pair is computed in
+                # the lower of the two native cells, i.e. exactly when at
+                # least one end is native here (never guest x guest).
+                anchors = idx[side[idx] == 0]
+                pool = idx[side[idx] == 1]
+            else:
+                anchors = idx[nat[idx]]
+                pool = idx
+            if anchors.size == 0 or pool.size == 0:
+                continue
+            # candidate generation via a sorted window on centroid dim 0: a
+            # qualifying partner must lie within reach on EVERY centroid
+            # dim (Rubner), so pairs outside the dim-0 window never
+            # materialize
+            pool_sorted = pool[np.argsort(c0[pool], kind="stable")]
+            pcs = c0[pool_sorted]
+            lo = np.searchsorted(pcs, c0[anchors] - reach, side="left")
+            hi = np.searchsorted(pcs, c0[anchors] + reach, side="right")
+            counts = hi - lo
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            li = np.repeat(anchors, counts)
+            # vectorized window expansion (no per-anchor Python loop)
+            offs = np.arange(total) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            ri = pool_sorted[np.repeat(lo, counts) + offs]
+            if two_table:
+                # at least one native end (pair lives in the lower native
+                # cell)
+                keep = nat[li] | nat[ri]
+            else:
+                # native partners once by id order; guest partners all
+                # (guests never appear in their native cell, so no
+                # self/guest dups)
+                keep = np.where(nat[ri], ids[ri] > ids[li], True)
+            # salted cells: this sub-group owns exactly the pairs whose
+            # block pair is (gi, gj) — each pair computed in one sub-group
+            gi, gj = divmod(int(gs[s]) % (max_s * max_s), max_s)
+            keep &= (np.minimum(blks[li], blks[ri]) == gi) & (
+                np.maximum(blks[li], blks[ri]) == gj
+            )
+            li, ri = li[keep], ri[keep]
+            if li.size:
+                li_parts.append(li)
+                ri_parts.append(ri)
+        if not li_parts:
+            return
+        li = np.concatenate(li_parts) if len(li_parts) > 1 else li_parts[0]
+        ri = np.concatenate(ri_parts) if len(ri_parts) > 1 else ri_parts[0]
         if stats is not None:
             from ..kernel import CascadeStats
 
@@ -1063,19 +1124,21 @@ def _grid_join(
             stats.update(st)
         else:
             li, ri, emds = casc.run(li, ri, theta, slack=cfg.slack)
-        return _emit_pairs(ids, li, ri, emds, ordered=two_table)
+        if li.size:
+            yield _emit_pairs(ids, li, ri, emds, ordered=two_table)
 
     # explicit hash repartition on the group key: the exact stage is
     # CPU-quadratic per group but tiny in BYTES, so AQE's byte-based
     # coalescing would pack salted sub-groups back onto one task and
     # re-serialize the hot cell (measured: scripts/skew_bench.py).  A
     # user-specified count is exempt from AQE coalescing, and hash
-    # partitioning on "grp" satisfies applyInPandas' clustering requirement,
-    # so this adds NO extra exchange — it just pins the task count.
+    # partitioning on "grp" keeps whole-group locality for the
+    # partition-local grouping in join_partition, so this adds NO extra
+    # exchange — it just pins the task count.
     spark = rec1.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     allrows = allrows.repartition(n_part, "grp")
-    return allrows.groupBy("grp").applyInPandas(join_cell, _PAIR_SCHEMA)
+    return allrows.mapInPandas(join_partition, _PAIR_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1396,10 +1459,13 @@ def _pivot_join(
             lo = np.searchsorted(pcs, c0[anchors] - (theta + cfg.slack), side="left")
             hi = np.searchsorted(pcs, c0[anchors] + (theta + cfg.slack), side="right")
             cnt = hi - lo
-            if cnt.sum() == 0:
+            total = int(cnt.sum())
+            if total == 0:
                 return empty
             li = np.repeat(anchors, cnt)
-            ri = pool_sorted[np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])]
+            # vectorized window expansion (no per-anchor Python loop)
+            offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            ri = pool_sorted[np.repeat(lo, cnt) + offs]
         else:
             # arbitrary (metric) cost: no centroid geometry, but the SAME
             # sorted-window shape as the Minkowski branch applies on the
@@ -1424,10 +1490,13 @@ def _pivot_join(
                 lo = np.searchsorted(pcs, key[anchors] - reach_w, side="left")
                 hi = np.searchsorted(pcs, key[anchors] + reach_w, side="right")
                 cnt = hi - lo
-                if cnt.sum() == 0:
+                total = int(cnt.sum())
+                if total == 0:
                     return empty
                 li = np.repeat(anchors, cnt)
-                ri = pool_sorted[np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])]
+                # vectorized window expansion (no per-anchor Python loop)
+                offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                ri = pool_sorted[np.repeat(lo, cnt) + offs]
             else:
                 # defensive: the admission rule guarantees finiteness, but a
                 # full block enumeration stays correct if it ever breaks
@@ -1882,15 +1951,51 @@ def emd_topk_nd(
     bin_points = np.atleast_2d(np.asarray(bin_points, dtype=np.float64))
     if bin_points.shape[0] == 1 and bin_points.shape[1] > 1:
         bin_points = bin_points.T
-    if cfg is None:
-        seed_rows = hist.select(w_col).limit(8).collect()
-        sw = np.array([r[0] for r in seed_rows], dtype=np.float64)
-        cfg = build_config(bin_points, seed_weights=sw, seed=seed, ground=ground)
-    if cfg.rubner_ord is None and strategy == "grid":
+    minkowski_g = (
+        cfg.rubner_ord
+        if cfg is not None
+        else (
+            {"l1": 1.0, "l2": 2.0, "l3": 3.0}.get(ground)
+            if isinstance(ground, str)
+            else None
+        )
+    )
+    if minkowski_g is None and strategy == "grid":
         strategy = "bruteforce"  # arbitrary cost: no centroid grid geometry
 
     rec = hist.select(F.col(id_col).cast("long").alias("id"), F.col(w_col).alias("w"))
-    rec = rec.persist()
+    ctx = None
+    rec_n = None
+    if strategy == "grid":
+        # build the theta-independent grid context FIRST (round 12, guide
+        # §2.1): its fused count+boundaries agg supplies N for the
+        # sample-size rule (the per-cell counts sum to it for free), its
+        # cached rec1 serves the seed sample without re-running the
+        # upstream chain, and cfg seeding happens inside against the cache.
+        # The old order — cfg seed collect on the raw chain, persist+count
+        # rec, sample rec, then build the ctx with its own count/boundary
+        # jobs — paid three extra upstream-chain actions for the same
+        # information.  (Sampling from the mass-filtered cache is
+        # output-safe: the ceiling is an upper bound for the kth distance
+        # over rows the join actually considers, and any ceiling >= the
+        # true kth yields the identical top-k.)
+        mass = F.aggregate(F.col("w"), F.lit(0.0), lambda a, x: a + x) > 0
+        ctx = _build_grid_ctx(
+            rec.where(mass).withColumn("side", F.lit(0)),
+            bin_points, cfg, grid, seed=seed, ground=ground,
+        )
+        cfg = ctx.cfg
+        rec_n = int(ctx.cs.cnt.sum())
+        sample_src = ctx.rec1
+    else:
+        if cfg is None:
+            seed_rows = hist.select(w_col).limit(8).collect()
+            sw = np.array([r[0] for r in seed_rows], dtype=np.float64)
+            cfg = build_config(
+                bin_points, seed_weights=sw, seed=seed, ground=ground
+            )
+        rec = rec.persist()
+        sample_src = rec
 
     # driver-side seed bound for the global kth distance (QNEPreReducer.java:
     # 96-109 / HistUtil.getKEmd:641-652 analog, upgraded by the batched
@@ -1920,16 +2025,17 @@ def emd_topk_nd(
         # the hand-tuned 600 at sf0.1 (N=5793 -> 609) and scales the seed
         # with the dup-tail mass; the 4096 cap bounds the driver-side
         # LB matrix (seeds^2/2 pairs) at any N.
-        n_rec = rec.count()  # persisted above: cheap, reused by the sample
-        sample_size = max(500, 15 * k, min(int(8.0 * n_rec**0.5), 4096))
+        if rec_n is None:
+            rec_n = rec.count()  # persisted above: cheap, reused by the sample
+        sample_size = max(500, 15 * k, min(int(8.0 * rec_n**0.5), 4096))
     sample = (
-        rec.orderBy(F.xxhash64(F.col("id"), F.lit(int(seed))), F.col("id"))
+        sample_src.select("id", "w")
+        .orderBy(F.xxhash64(F.col("id"), F.lit(int(seed))), F.col("id"))
         .limit(max(sample_size, 4 * k))
         .collect()
     )
     SW = normalize(np.array([r["w"] for r in sample], dtype=np.float64))
     n = SW.shape[0]
-    ctx = None
     scored = None
     if n * (n - 1) // 2 < k:
         scored = _block_bruteforce(
@@ -1992,38 +2098,36 @@ def emd_topk_nd(
             # log it (micro-units; accumulators are ints) so seed-sampling
             # changes are A/B-comparable
             stats.add("seed_ceiling_micro", round(probe * 1e6))
-        if strategy == "grid":
-            # the quantile grid + cell screens are theta-independent: built
-            # once; the (defensive) re-probe loop below reuses them
-            mass = F.aggregate(F.col("w"), F.lit(0.0), lambda a, x: a + x) > 0
-            ctx = _build_grid_ctx(
-                rec.where(mass).withColumn("side", F.lit(0)), bin_points, cfg, grid
-            )
         while True:
             if ctx is not None:
-                cand = _grid_join(ctx, probe, stats=stats).persist()
+                # the quantile grid + cell screens are theta-independent:
+                # built once above; the (defensive) re-probe loop reuses them
+                cand = _grid_join(ctx, probe, stats=stats)
             else:
                 cand = emd_join_nd(
                     rec, bin_points, probe, cfg=cfg, strategy=strategy,
                     grid=grid, num_blocks=num_blocks, stats=stats,
-                ).persist()
-            if cand.count() >= k:
-                scored = cand
+                )
+            # ONE action (round 12): TakeOrdered answers both "are there
+            # >= k pairs at this radius" (len(rows) == k) and "which are
+            # the global top k" — the old persist + count() + collect
+            # shape paid an extra job and a cache for the same information.
+            rows = cand.orderBy("emd", "rid", "sid").limit(k).collect()
+            if len(rows) >= k:
                 break
             # unreachable by construction (the k seed pairs qualify at
             # probe); kept as a defensive escape hatch only
-            cand.unpersist()
             probe = probe * 4 + 4 * cfg.slack
-    # the global top-k is k rows by definition — merge on the driver
-    # (TakeOrdered), release every cache deterministically, and return a
-    # local DataFrame so no cached RDDs outlive the call
-    rows = scored.orderBy("emd", "rid", "sid").limit(k).collect()
+    else:
+        # the global top-k is k rows by definition — merge on the driver
+        rows = scored.orderBy("emd", "rid", "sid").limit(k).collect()
+    # release every cache deterministically and return a local DataFrame so
+    # no cached RDDs outlive the call
     spark = hist.sparkSession
-    if scored.is_cached:
-        scored.unpersist()
     if ctx is not None:
         ctx.rec1.unpersist()
-    rec.unpersist()
+    if rec.is_cached:
+        rec.unpersist()
     out = spark.createDataFrame(
         [(i + 1, r.rid, r.sid, float(r.emd)) for i, r in enumerate(rows)],
         "rank long, rid long, sid long, emd double",
