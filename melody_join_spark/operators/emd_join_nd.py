@@ -1691,8 +1691,17 @@ def emd_knn(
         sw = np.array([r[0] for r in seed_rows], dtype=np.float64)
         cfg = build_config(bin_points, seed_weights=sw, seed=seed, ground=ground)
 
+    from ..cache import release_on_gc
+
+    _holds: list[DataFrame] = []
     q = queries.select(F.col(id_col).alias("id"), F.col(w_col).alias("w"))
     if distributed is None or distributed is False:
+        # persist BEFORE the sizing probe (round 12, same class as the
+        # auto-strategy persist in emd_join_nd): the probe and the later
+        # consumer (collect, or the cogroup's q-side) would otherwise each
+        # re-execute the query-side upstream chain
+        q = q.persist()
+        _holds.append(q)
         n_probe = q.limit(collect_threshold + 1).count()
         big = n_probe > collect_threshold
         if big and distributed is False:
@@ -1854,13 +1863,45 @@ def emd_knn(
 
     dbr = db.select(F.col(id_col).alias("id"), F.col(w_col).alias("w"))
     if distributed:
-        # cogrouped block path: no driver materialization of either side;
-        # floor group count at 4x cluster parallelism (narrow scans would
-        # give 1x1 blocks; CPU-dense groups need slack for balance) by
-        # scaling the query axis — replicating the db side qcN times costs
-        # qcN * |db| small rows, cheap next to the block work it spreads
-        qcN = max(1, q.rdd.getNumPartitions())
-        dcN = max(1, dbr.rdd.getNumPartitions())
+        # cogrouped block path: no driver materialization of either side.
+        # Persist + materialize BOTH sides first (round 12): probing .rdd
+        # on the unpersisted AQE chains executed their query stages (the
+        # documented _parallelism_floor trap, +4.0-4.6 s per probe on the
+        # sf0.1 bridge chains), and the cogroup's two branches then
+        # re-executed the chains again — four upstream executions per join.
+        # With the caches the chains run once each, and the counts they
+        # return drive the blocking.
+        lvl = q.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            q = q.persist()
+            _holds.append(q)
+        nq_rows = q.count()
+        # db side: count WITHOUT caching — the array-column cache write
+        # costs more than the one chain re-execution it would save
+        # (interleaved A/B: persisting both sides read 1.11x on
+        # emd_knn_big), and the count replaces the old partition probe's
+        # full execution one-for-one, so the db chain still runs exactly
+        # twice (count + cogroup child), never more.
+        nd_rows = dbr.count()
+        # ROW-count-based blocking (round 12): partition counts are the
+        # wrong signal here — both AQE chains coalesce to 1 partition at
+        # sf0.1, so the old scan-partition heuristic degenerated to
+        # whatever the parallelism floor produced, and probing the CACHED
+        # relations instead returned the 64-partition pre-coalesce shape
+        # (4,096 near-empty groups, per-group overhead measured 4.2x the
+        # query).  Blocks are sized so each (q-block, db-block) group holds
+        # bq x bd rows with bq*bd <= _KNN_LB_ENTRIES — bounding the
+        # per-group (nq, ndb) lower-bound matrix at ~32 MB — and
+        # bq/bd ~ nq/nd so neither side fragments; replicated row volume
+        # (nq*dcN + nd*qcN) then grows as ~sqrt of the total block work,
+        # the best an all-pairs block cover can do.  The 4x-cores floor
+        # keeps small inputs from landing on a handful of tasks.
+        LB_ENTRIES = 1 << 22
+        ratio = max(nq_rows, 1) / max(nd_rows, 1)
+        bq = max(1, int((LB_ENTRIES * ratio) ** 0.5))
+        bd = max(1, int((LB_ENTRIES / ratio) ** 0.5))
+        qcN = max(1, -(-nq_rows // bq))
+        dcN = max(1, -(-nd_rows // bd))
         par = 4 * spark.sparkContext.defaultParallelism
         if qcN * dcN < par:
             qcN = -(-par // dcN)
@@ -1913,11 +1954,12 @@ def emd_knn(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("qid").orderBy(F.col("emd").asc(), F.col("nid").asc())
-    return (
+    out = (
         local.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("qid", "nid", "emd", "rank")
     )
+    return release_on_gc(out, *_holds) if _holds else out
 
 
 # ---------------------------------------------------------------------------

@@ -79,6 +79,21 @@ def get_spark(app_name: str = "melody-join-spark", shuffle_partitions: int | Non
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # deterministic epoch math for naive (NTZ) timestamps across hosts
         .config("spark.sql.session.timeZone", "UTC")
+        # cluster fidelity for the allocator settings above (round-11
+        # VERDICT item 3): in local mode the env vars set before JVM start
+        # reach the python daemon by inheritance, but on a real cluster the
+        # executors' python workers only see spark.executorEnv.* — without
+        # these two lines the allocator tuning would silently be a
+        # local-mode-only behavior.  Same for the Xms pin: executor JVMs
+        # get it via extraJavaOptions.  All no-ops in local mode (the
+        # driver IS the executor), so the bench is unaffected.
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-Xms"
+            + (os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_heap()),
+        )
     )
     # profiling hook: SPARK_GRAFT_EVENTLOG_DIR=<dir> writes the Spark event
     # log there (per-stage submission/completion times, task metrics) so

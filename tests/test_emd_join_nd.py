@@ -625,7 +625,14 @@ def test_parallelism_floor_rejects_unpersisted_input(spark, hist_df):
     frames AND narrow projections of persisted frames (whose own
     storageLevel reads NONE but whose probe hits the InMemoryRelation)
     must both pass."""
+    from melody_join_spark import cache
     from melody_join_spark.operators.emd_join_nd import _parallelism_floor
+
+    # earlier operators in the module (e.g. the distributed kNN) may hold
+    # two-phase-released caches whose plan sameResults this projection —
+    # the raw chain would then legitimately be cache-backed and the guard
+    # (correctly) would not fire; re-establish the test's premise first
+    cache.release_caches(spark)
 
     raw = hist_df.selectExpr("id", "w")  # un-persisted chain
     with pytest.raises(ValueError, match="persist"):
