@@ -25,7 +25,6 @@ from .bounds import (
     indmin_bound_pairs,
     is_metric_cost,
     projection_bound_pairs,
-    reduction_bound,
     rubner_bound,
 )
 from .emd import emd_1d_pairs, emd_exact
@@ -135,6 +134,15 @@ class EmdCascade:
         # support table for the BATCHED exact stage (one stacked simplex per
         # support-shape class instead of one Python LP per pair)
         self._sup, self._cnt = support_table(self.weights)
+        # lazily-built per-ReductionMap batch state (round 12): the
+        # reduction stage solves an exact LP per surviving pair on the
+        # REDUCED (<=8-bin) histograms — profiled at 15.2k scalar python
+        # LPs = 3.4 s of the 6.7 s sf0.1 2-d join-stage python CPU.  The
+        # same stacked-simplex + row-group memo machinery as the exact
+        # stage applies: reduced rows collapse into few distinct groups
+        # and few support classes, so the whole block solves in a handful
+        # of batch calls.  (group ids, n_groups, support, counts, memo)
+        self._red_state: list = [None] * len(self.reductions)
         # d=1 closed-form fast path (DistanceUtil.get1dEmd with real bins,
         # utils/DistanceUtil.java:57-79): exact EMD on a line is the area
         # between step CDFs — vectorized, no LP
@@ -359,31 +367,47 @@ class EmdCascade:
             st.pruned_indmin += int((~keep).sum())
             li, ri = li[keep], ri[keep]
 
-        # 5. reduction bounds (small exact LP per surviving pair).  Skipped
-        # on the d=1 fast path: there the projection bound IS the exact EMD
-        # and the final stage is a vectorized closed form, so an LP-grade
+        # 5. reduction bounds (small exact LP per surviving pair, BATCHED —
+        # round 12: one stacked simplex per reduced support class with a
+        # reduced-row-group memo replaces the scalar python LP loop, same
+        # values to solver tolerance, see __post_init__).  Skipped on the
+        # d=1 fast path: there the projection bound IS the exact EMD and
+        # the final stage is a vectorized closed form, so an LP-grade
         # bound can only lose (measured: 100k wasted LPs = 40 s at sf0.1).
         # ADAPTIVE like the indmin stage: after the earlier screens, the
         # reduction bound often catches almost nothing (measured 5 prunes
         # out of 15k LP-priced probes on the sf0.1 d=2 workload) — probe a
-        # block and self-disable when it isn't earning its LPs.
+        # block and self-disable when it isn't earning its keep.
         if self._line is None and self._reduction_on:
             PROBE_R = 1024
-            for rmap, rw in zip(self.reductions, self.reduced_weights):
+            for j, (rmap, rw) in enumerate(
+                zip(self.reductions, self.reduced_weights)
+            ):
                 if li.size == 0:
                     break
-                keep = np.ones(li.size, dtype=bool)
+                if self._red_state[j] is None:
+                    _, rgrp = np.unique(rw, axis=0, return_inverse=True)
+                    rsup, rcnt = support_table(rw)
+                    ng = int(rgrp.max()) + 1 if rgrp.size else 0
+                    self._red_state[j] = (rgrp, ng, rsup, rcnt, {})
+                rgrp, ng, rsup, rcnt, rmemo = self._red_state[j]
                 probe_n = min(PROBE_R, li.size)
-                for k in range(probe_n):
-                    if reduction_bound(rmap, rw[li[k]], rw[ri[k]]) > thr:
-                        keep[k] = False
-                probe_pruned = int((~keep[:probe_n]).sum())
+                lb_p = emd_exact_pairs_memo(
+                    rw, rmap.reduced_cost, li[:probe_n], ri[:probe_n],
+                    rgrp, rmemo, sup=rsup, cnt=rcnt, n_groups=ng,
+                )
+                keep_p = lb_p <= thr
+                probe_pruned = int((~keep_p).sum())
                 if probe_pruned < max(1, probe_n // 200) and li.size > probe_n:
                     self._reduction_on = False  # not earning its keep
+                    keep = np.ones(li.size, dtype=bool)
+                    keep[:probe_n] = keep_p
                 else:
-                    for k in range(probe_n, li.size):
-                        if reduction_bound(rmap, rw[li[k]], rw[ri[k]]) > thr:
-                            keep[k] = False
+                    lb_r = emd_exact_pairs_memo(
+                        rw, rmap.reduced_cost, li[probe_n:], ri[probe_n:],
+                        rgrp, rmemo, sup=rsup, cnt=rcnt, n_groups=ng,
+                    )
+                    keep = np.concatenate([keep_p, lb_r <= thr])
                 st.pruned_reduction += int((~keep).sum())
                 li, ri = li[keep], ri[keep]
                 if not self._reduction_on:

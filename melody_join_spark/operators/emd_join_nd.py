@@ -783,6 +783,20 @@ def _build_grid_ctx(
             ).alias(f"b{k}")
             for k in range(d)
         ]
+        if cfg is None:
+            # fold the dual-seed sample into the same agg (round 12): 8
+            # hash-min rows — min_by over xxhash64(id, salt) is one
+            # deterministic row per salt — replace the separate limit(8)
+            # collect job.  Seeds only shape the dual-potential SCREENS
+            # (sound lower bounds), so any seed choice yields identical
+            # join output; this one is also more deterministic than the
+            # old partition-order limit(8).
+            aggs += [
+                F.min_by("w", F.xxhash64(F.col("id"), F.lit(9000 + t))).alias(
+                    f"sw{t}"
+                )
+                for t in range(8)
+            ]
         row = rec0.agg(*aggs).collect()[0]  # materializes rec0
         n_rec = int(row["n"])
         grid = _derive_grid(n_rec, d)
@@ -793,6 +807,15 @@ def _build_grid_ctx(
                 for k in range(d)
             ]
         )
+        if cfg is None:
+            seed_ws = [row[f"sw{t}"] for t in range(8)]
+            sw = np.array(
+                [list(w) for w in seed_ws if w is not None], dtype=np.float64
+            )
+            cfg = build_config(
+                bin_points, seed_weights=sw if sw.size else None,
+                seed=seed, ground=ground,
+            )
     else:
         bnds = _grid_boundaries(rec0, d, grid)  # materializes rec0
         n_rec = rec0.count()  # cached by now: metadata-cheap

@@ -181,14 +181,39 @@ def _cosine_topk_blocked(
     local selection then sorts by (cosine desc, nid asc), the exact global
     tie order, so exact-duplicate vectors never drop nondeterministically
     at the block boundary.  ~3x the matmul's constant; same asymptotics."""
+    from ..cache import release_on_gc
+    from .dedup import _spread
+
     db = emb.select(F.col(id_col).alias("nid"), _as_double(vec_col).alias("v"))
-    qcN = max(1, q_blocks or q.rdd.getNumPartitions())
-    dcN = max(1, db_blocks or db.rdd.getNumPartitions())
-    # floor the group count at 4x cluster parallelism: a narrow scan (one
-    # parquet file) would otherwise yield 1x1 blocks — one giant group on
-    # one core — and CPU-dense matmul groups need slack for balance.
-    # Scale the QUERY axis (replicating queries across db blocks is the
-    # cheap direction when queries outnumber lists).
+    # Persist + count the query side BEFORE any sizing (round 12): the old
+    # .rdd partition probes executed the query-synthesis chain once each
+    # (two 1-task serial stages, 1.6 s + 0.9 s on cosine_topk_big's
+    # single-file scan), and the cogroup's q-branch then re-ran it again.
+    # _spread first so the synthesis materializes into the cache at full
+    # width instead of on the scan's single split.  The db side is counted
+    # only (column-pruned parquet count ~ metadata) — caching the vector
+    # payload costs more than the one re-execution it saves (measured on
+    # the emd_knn cogroup, same shape).
+    q = _spread(q).persist()
+    nq_rows = q.count()
+    nd_rows = db.count()
+    # ROW-count-based blocking (round 12): partition counts were the wrong
+    # signal — AQE coalesces these chains to one partition locally, so the
+    # old heuristic degenerated to whatever the parallelism floor made of
+    # it.  Size blocks so each (q-block, db-block) group's score matrix
+    # stays ~32 MB with bq/bd ~ nq/nd (see emd_knn for the replication
+    # argument).
+    S_ENTRIES = 1 << 22
+    ratio = max(nq_rows, 1) / max(nd_rows, 1)
+    bq = max(1, int((S_ENTRIES * ratio) ** 0.5))
+    bd = max(1, int((S_ENTRIES / ratio) ** 0.5))
+    qcN = max(1, q_blocks or -(-nq_rows // bq))
+    dcN = max(1, db_blocks or -(-nd_rows // bd))
+    # floor the group count at 4x cluster parallelism: small inputs would
+    # otherwise yield 1x1 blocks — one giant group on one core — and
+    # CPU-dense matmul groups need slack for balance.  Scale the QUERY
+    # axis (replicating queries across db blocks is the cheap direction
+    # when queries outnumber lists).
     par = 4 * q.sparkSession.sparkContext.defaultParallelism
     if q_blocks is None and qcN * dcN < par:
         qcN = -(-par // dcN)
@@ -262,7 +287,7 @@ def _cosine_topk_blocked(
         .cogroup(d2.repartition(n_part, "qc", "dc").groupBy("qc", "dc"))
         .applyInPandas(block, "qid long, nid long, cosine double")
     )
-    return _rank_topk(local, k, round_to)
+    return release_on_gc(_rank_topk(local, k, round_to), q)
 
 
 def cosine_topk(

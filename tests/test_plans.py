@@ -235,13 +235,32 @@ def test_cogroup_pin_adds_no_extra_exchange(spark):
         cosine_topk(emb, qs, k=3, q_id_col="qid", q_vec_col="qv", distributed=True)
     )
     tree = plan.split("(1) ")[0]
-    # exchanges feeding the cogroup: count hashpartitioning exchanges in the
-    # whole plan; the ranking window adds one more — so <= 3 total, and no
-    # adjacent Exchange-over-Exchange anywhere
-    n_ex = tree.count("Exchange")
+    # exchanges feeding the cogroup: count exchanges in the EXECUTED part
+    # of the plan — subtrees under an InMemoryRelation are the cached
+    # query-side build (materialized exactly once, including its spread
+    # repartition) and are excluded: the guard is about per-branch cost,
+    # and a cache's one-time exchange is the opposite of a stacked one.
+    # The ranking window adds one more — so <= 3 total, and no adjacent
+    # Exchange-over-Exchange anywhere outside the cache.
+    lines = tree.splitlines()
+    kept, skip_indent = [], None
+    for ln in lines:
+        indent = len(ln) - len(ln.lstrip(" :+-"))
+        if skip_indent is not None:
+            if indent > skip_indent:
+                continue
+            skip_indent = None
+        if "InMemoryRelation" in ln:
+            skip_indent = indent
+            continue
+        kept.append(ln)
+    executed = "\n".join(kept)
+    n_ex = executed.count("Exchange")
     assert n_ex <= 3, tree
     # no exchange stacked directly on another exchange anywhere
-    assert not re.search(r"Exchange[^\n]*\n[^\n]*Exchange[^\n]*\n[^\n]*Exchange", tree)
+    assert not re.search(
+        r"Exchange[^\n]*\n[^\n]*Exchange[^\n]*\n[^\n]*Exchange", executed
+    )
 
 
 def test_ivf_cosine_pairs_plan_shape(spark):
