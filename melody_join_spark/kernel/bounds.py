@@ -252,29 +252,42 @@ def indmin_bound_pairs(
 ) -> np.ndarray:
     """Vectorized :func:`indmin_bound` over candidate pair blocks: the netted
     surplus at each bin must travel at least to that pair's cheapest deficit
-    bin (max of both directions).  Dense masked-min formulation — O(B^2) per
-    pair as ONE numpy pass per sub-block instead of a Python loop of sparse
-    gathers (the scalar form's interpreter cost dominates at B<=64).
+    bin (max of both directions).
 
-    Sub-blocked so the (K, B, B) masked-cost temporary stays ~32 MB."""
+    Formulation (round 12): one pass PER BIN over (K, B) running-min
+    buffers — for bin j, every pair with a deficit at j folds cost column
+    C[:, j] into its per-bin deficit minimum (and symmetrically for
+    surpluses).  Same masked-min math as the previous dense
+    ``where((neg>0)[:, None, :], C, inf).min(axis=2)`` form, but the
+    temporaries shrink from (K, B, B) — ~33 MB per sub-block, measured as
+    the single largest CPU sink of the sf0.1 3-d join (171-334 s
+    cumulative, memory-bandwidth-bound on this host's expensive fresh
+    mmap pages) — to (K_j, B) slices that stay cache-resident, and bins
+    where no pair has mass are skipped entirely (histogram support is
+    sparse: the work drops from K*B^2 to K*support*B)."""
     W = weights
     C = np.asarray(cost, dtype=np.float64)
     B = C.shape[0]
     n = li.size
     out = np.empty(n, dtype=np.float64)
-    step = max(1, (1 << 22) // (B * B))
+    step = max(1, (1 << 21) // B)
     for s in range(0, n, step):
         ls = li[s : s + step]
         rs = ri[s : s + step]
         D = W[ls] - W[rs]  # (K, B) net flow
         pos = np.maximum(D, 0.0)
         neg = np.maximum(-D, 0.0)
-        # min cost from every bin to any DEFICIT bin of the pair (axis 2),
-        # and to any SURPLUS bin (for the reverse direction)
-        masked_def = np.where((neg > 0.0)[:, None, :], C[None, :, :], np.inf)
-        min_to_def = masked_def.min(axis=2)  # (K, B)
-        masked_sur = np.where((pos > 0.0)[:, None, :], C[None, :, :], np.inf)
-        min_to_sur = masked_sur.min(axis=2)  # (K, B)
+        K = D.shape[0]
+        min_to_def = np.full((K, B), np.inf)
+        min_to_sur = np.full((K, B), np.inf)
+        for j in range(B):
+            col = C[:, j]  # C[i, j] for every source bin i
+            nj = np.flatnonzero(D[:, j] < 0.0)
+            if nj.size:
+                min_to_def[nj] = np.minimum(min_to_def[nj], col[None, :])
+            pj = np.flatnonzero(D[:, j] > 0.0)
+            if pj.size:
+                min_to_sur[pj] = np.minimum(min_to_sur[pj], col[None, :])
         # One-sided net flow (surplus bins but NO deficit bins, or the
         # reverse — rounding-ulp different normalizations of near-identical
         # rows): the masked min stays +inf for every bin, and pos * inf
