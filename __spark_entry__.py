@@ -1086,11 +1086,17 @@ def _q_pipeline_llm_prep(spark, sf_dir):
     base = docs.join(qk, "doc_id").join(rk, "doc_id").select(
         "doc_id", "text"
     )
-    dp = dedup_paragraphs(base)
+    # persist the cleaned corpus (round 12): the LM TRAINING pass
+    # (unigram_lm's token count) and the final scoring plan both consume
+    # dp, so without the cache the gate joins + paragraph-dedup chain
+    # executed twice end-to-end.  Training runs first and is a single
+    # sequential action, so it materializes the cache without a
+    # concurrent-first-reader race; no count() barrier needed.
+    dp = dedup_paragraphs(base).persist()
     out = perplexity_score(
         dp, text_col="text_clean", vocab_size=LM_VOCAB
     ).orderBy("doc_id")
-    return release_on_gc(out, docs)
+    return release_on_gc(out, docs, dp)
 
 
 def _pipeline_llm_prep_oracle_sql() -> str:

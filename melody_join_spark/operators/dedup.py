@@ -801,59 +801,57 @@ def winnow_pairs(
     scheme): docs sharing >= ``min_common`` fingerprints with fingerprint-set
     Jaccard >= ``threshold``.  Output (doc_a, doc_b, n_common, sim).
 
-    Plan shape (all equi-joins, no cross join; round 12 removed the two
-    sort-heavy / serial pieces the event-log profile surfaced — a full
-    sort of the exploded (id, fp) relation under the old
-    count-over-Window(fp), and TWO separately-built per-doc-size
-    broadcasts whose aggs each re-ran serially inside a broadcast build):
-      1. ``winnow_fingerprints`` — pure codegen scan, no shuffle; exploded
-         to (id, fp) and persisted behind a count() barrier (three
-         consumers below would otherwise race the unmaterialized cache and
-         each recompute the fingerprint scan);
-      2. fingerprint document frequencies via a map-side-partial
-         ``groupBy(fp)`` (no sort), broadcast-joined back to drop
-         fingerprints present in more than ``max_df_frac`` of the corpus
-         (MOSS's ubiquitous-fingerprint cull — boilerplate shingles would
-         otherwise create quadratic candidate blowup; this is the skew cap
-         that makes the join 100x-safe).  The corpus size arrives via a
-         broadcast one-row aggregate, not a driver-side collect;
-      3. per-doc set sizes broadcast-joined ONCE onto the surviving rows —
-         each side of the self-join then carries its own ``n_fp``, so the
-         pair aggregation reads the Jaccard denominator with ``min()``
-         instead of two more joins;
-      4. self-equi-join on fp, group to common counts + carried sizes.
+    Plan shape (all equi-joins, no cross join):
+      1. ``winnow_fingerprints`` — pure codegen scan, no shuffle;
+      2. explode to (id, fp) and drop fingerprints present in more than
+         ``max_df_frac`` of the corpus (MOSS's ubiquitous-fingerprint cull —
+         boilerplate shingles would otherwise create quadratic candidate
+         blowup; this is the skew cap that makes the join 100x-safe).  The
+         corpus size arrives via a broadcast one-row aggregate, not a
+         driver-side collect;
+      3. self-equi-join on fp (reuses the window's hash partitioning),
+         group to common counts, then attach per-doc set sizes from a slim
+         (id, n_fp) aggregate for the Jaccard denominator.  ``sizes`` is
+         persisted (round 12): its broadcast is built once per join SIDE
+         and each build re-ran the aggregate serially inside the broadcast
+         future — the cache makes the second build a cache read.  (A round-
+         12 attempt to remove the Window sort and carry n_fp through the
+         self-join instead measured 2.6x WORSE — AQE turned one of the
+         rewritten broadcast builds into an 8 s single-task stage — and was
+         reverted; see OPTIMIZATION_r12.md.)
     """
+    from pyspark.sql import Window
+
     fp = winnow_fingerprints(
         _spread(df), text_col=text_col, k=k, w=w, impl=impl
     ).select(F.col(id_col).alias("id"), "fps")
-    ex0 = fp.select("id", F.explode("fps").alias("fp")).persist()
-    ex0.count()  # barrier: see step 1 above
+    ex0 = fp.select("id", F.explode("fps").alias("fp"))
     total = df.agg(F.count("*").alias("__n_docs"))
-    dfreq = ex0.groupBy("fp").agg(F.count("*").alias("df_"))
+    # persist: ex feeds THREE plan branches (sizes + both self-join sides);
+    # without it the codegen fingerprint scan + fp window re-run per branch
     ex = (
-        ex0.join(F.broadcast(dfreq), "fp")
+        ex0.withColumn("df_", F.count("*").over(Window.partitionBy("fp")))
         .join(F.broadcast(total))
         .filter(F.col("df_") <= F.col("__n_docs") * F.lit(max_df_frac))
         .select("id", "fp")
+        .persist()
     )
-    sizes = ex.groupBy("id").agg(F.count("*").alias("n_fp"))
-    ex2 = ex.join(F.broadcast(sizes), "id")
-    a, b = ex2.alias("a"), ex2.alias("b")
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n_fp")).persist()
+    a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-        .agg(
-            F.count("*").alias("n_common"),
-            F.min("a.n_fp").alias("na_fp"),
-            F.min("b.n_fp").alias("nb_fp"),
-        )
+        .agg(F.count("*").alias("n_common"))
     )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
     res = (
-        inter.withColumn(
+        inter.join(na, F.col("doc_a") == F.col("na.id"))
+        .join(nb, F.col("doc_b") == F.col("nb.id"))
+        .withColumn(
             "sim",
             F.round(
                 F.col("n_common")
-                / (F.col("na_fp") + F.col("nb_fp") - F.col("n_common")),
+                / (F.col("na.n_fp") + F.col("nb.n_fp") - F.col("n_common")),
                 6,
             ),
         )
@@ -862,7 +860,7 @@ def winnow_pairs(
     )
     from ..cache import release_on_gc
 
-    return release_on_gc(res, ex0)
+    return release_on_gc(res, ex, sizes)
 
 
 def winnow_pairs_oracle_sql(
