@@ -1540,15 +1540,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_correctness.py asserts no query tails two consecutive
     # rounds (round-7 ADVICE).
     return {
-        "lm_perplexity": _q_lm_perplexity,
-        "dsir_weights": _q_dsir_weights,
-        "repetition_filter": _q_repetition_filter,
-        "semantic_dedup": _q_semantic_dedup,
-        "events_asof": _q_events_asof,
-        "events_range_incidents": _q_events_range,
-        "cosine_pairs_ivf": _q_cosine_pairs_ivf,
-        "dedup_simhash": _q_simhash,
-        "events_rollup": _q_events_rollup,
+        "cosine_pairs": _q_cosine_pairs,
+        "cosine_pairs_lsh": _q_lsh_cosine,
+        "cosine_topk": _q_cosine_topk,
+        "cosine_topk_big": _q_cosine_topk_big,
+        "events_window_hourly": _q_events_window,
+        "events_sessionize": _q_events_sessionize,
+        "emd_user_behavior": _q_emd_user_behavior,
+        "emd_knn_2d": _q_emd_knn_2d,
+        "dedup_winnow": _q_winnow,
         "emd_threshold_bruteforce": _q_emd_threshold_bf,
         "emd_threshold_cells": _q_emd_threshold_cells,
         "emd_topk": _q_emd_topk,
@@ -1564,22 +1564,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emd_nd_threshold_pivot_2d": _q_emd_nd_pivot_2d,
         "emd_nd_threshold_arbitrary": _q_emd_nd_arbitrary,
         "emd_index_search": _q_emd_index_search,
-        "sample_corpus": _q_sample_corpus,
-        "events_window_streaming": _q_events_window_streaming,
-        "dedup_exact": _q_exact_dedup,
+        "corpus_stats_cube": _q_corpus_stats_cube,
+        "chunk_documents": _q_chunk_documents,
+        "redact_pii": _q_redact_pii,
         "events_sessionize_streaming": _q_events_sessionize_streaming,
-        "build_vocab": _q_build_vocab,
-        "generate_media_jpeg_arith": _q_generate_media_jpeg_arith,
-        "generate_media_video": _q_generate_media_video,
-        "dedupe_corpus": _q_dedupe_corpus,
-        "lm_bigram": _q_lm_bigram,
+        "dedup_incremental": _q_dedup_incremental,
+        "text_features": _q_text_features,
+        "quality_filter": _q_quality_filter,
+        "corpus_stats": _q_corpus_stats,
+        "pipeline_clean_corpus": _q_pipeline_clean,
         "generate_media_emd": _q_generate_media_emd,
-        "generate_media_pixels": _q_generate_media_pixels,
-        "bpe_vocab": _q_bpe_vocab,
-        "mix_corpus": _q_mix_corpus,
-        "bpe_encode": _q_bpe_encode,
+        "dedup_minhash_lsh": _q_minhash,
+        "cosine_topk_ivf": _q_cosine_topk_ivf,
+        "generate_media_png": _q_generate_media_png,
+        "generate_media_jpeg2": _q_generate_media_jpeg2,
         "pipeline_llm_prep": _q_pipeline_llm_prep,
-        "split_corpus": _q_split_corpus,
+        "generate_media_jpeg": _q_generate_media_jpeg,
         "dedup_clusters": _q_dedup_clusters,
         "emd_knn_big": _q_emd_knn_big,
         "dedup_jaccard_ngram": _q_jaccard,
@@ -1589,30 +1589,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_contamination": _q_scrub_contamination,
         "pack_sequences": _q_pack_sequences,
         "dedup_clusters_lsh": _q_dedup_clusters_lsh,
-        "dedup_paragraphs": _q_dedup_paragraphs,
-        "cosine_pairs": _q_cosine_pairs,
-        "cosine_pairs_lsh": _q_lsh_cosine,
-        "cosine_topk": _q_cosine_topk,
-        "cosine_topk_big": _q_cosine_topk_big,
-        "events_window_hourly": _q_events_window,
-        "events_sessionize": _q_events_sessionize,
-        "emd_user_behavior": _q_emd_user_behavior,
-        "emd_knn_2d": _q_emd_knn_2d,
-        "dedup_winnow": _q_winnow,
-        "corpus_stats_cube": _q_corpus_stats_cube,
-        "chunk_documents": _q_chunk_documents,
-        "redact_pii": _q_redact_pii,
-        "dedup_incremental": _q_dedup_incremental,
-        "text_features": _q_text_features,
-        "quality_filter": _q_quality_filter,
-        "corpus_stats": _q_corpus_stats,
-        "pipeline_clean_corpus": _q_pipeline_clean,
-        "dedup_minhash_lsh": _q_minhash,
-        "cosine_topk_ivf": _q_cosine_topk_ivf,
-        "generate_media_png": _q_generate_media_png,
-        "generate_media_jpeg2": _q_generate_media_jpeg2,
-        "generate_media_jpeg": _q_generate_media_jpeg,
         "generate_media_audio": _q_generate_media_audio,
+        "lm_perplexity": _q_lm_perplexity,
+        "dsir_weights": _q_dsir_weights,
+        "repetition_filter": _q_repetition_filter,
+        "semantic_dedup": _q_semantic_dedup,
+        "events_asof": _q_events_asof,
+        "events_range_incidents": _q_events_range,
+        "cosine_pairs_ivf": _q_cosine_pairs_ivf,
+        "dedup_simhash": _q_simhash,
+        "events_rollup": _q_events_rollup,
+        "sample_corpus": _q_sample_corpus,
+        "events_window_streaming": _q_events_window_streaming,
+        "dedup_exact": _q_exact_dedup,
+        "build_vocab": _q_build_vocab,
+        "generate_media_jpeg_arith": _q_generate_media_jpeg_arith,
+        "generate_media_video": _q_generate_media_video,
+        "dedupe_corpus": _q_dedupe_corpus,
+        "lm_bigram": _q_lm_bigram,
+        "generate_media_pixels": _q_generate_media_pixels,
+        "bpe_vocab": _q_bpe_vocab,
+        "mix_corpus": _q_mix_corpus,
+        "bpe_encode": _q_bpe_encode,
+        "split_corpus": _q_split_corpus,
+        "dedup_paragraphs": _q_dedup_paragraphs,
     }
 
 
@@ -1683,6 +1683,23 @@ ROTATION_TAILS: dict[int, tuple[str, ...]] = {
          "corpus_stats", "pipeline_clean_corpus", "dedup_minhash_lsh",
          "cosine_topk_ivf", "generate_media_png", "generate_media_jpeg2",
          "generate_media_jpeg", "generate_media_audio"),
+    # round 12: the twenty-three r11-tail queries swap back into the window
+    # in-place — this round's optimization targets (cosine_topk/_big blocked
+    # sizing, emd_knn_2d persist barriers, dedup_winnow shared aggregate,
+    # dedup_incremental) all get driver-oracle hashes WITH the round's
+    # changes in effect.  The displaced twenty-three are hash-stable
+    # queries untouched by any round-12 change (LM/BPE/corpus scan shapes
+    # hashed r11, decode paths hashed r9-r11, events scans hashed r10-r11);
+    # none tailed in r11, so the consecutive-round guard holds.  Everything
+    # this round's diffs touch (all EMD cascade/grid users, winnow, the
+    # blocked cosine paths, pipeline_llm_prep) sits INSIDE the window.
+    12: ("lm_perplexity", "dsir_weights", "repetition_filter",
+         "semantic_dedup", "events_asof", "events_range_incidents",
+         "cosine_pairs_ivf", "dedup_simhash", "events_rollup",
+         "sample_corpus", "events_window_streaming", "dedup_exact",
+         "build_vocab", "generate_media_jpeg_arith", "generate_media_video",
+         "dedupe_corpus", "lm_bigram", "generate_media_pixels", "bpe_vocab",
+         "mix_corpus", "bpe_encode", "split_corpus", "dedup_paragraphs"),
 }
 
 
