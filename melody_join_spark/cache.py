@@ -42,6 +42,20 @@ plan matches a live entry's (including the caches being registered by the
 in-flight ``release_on_gc`` call): the live twin now owns the single
 CacheManager entry both handles point at, and will release it on its own
 schedule.
+
+**Ownership tokens (round 12).** The live-twin guard above only sees twins
+that are already registered here — but a twin cache exists from the moment
+the newer query calls ``.persist()``, which is typically at the START of
+its construction, long before its own ``release_on_gc``.  A dead handle
+drained in that window (by some INNER operator's registration) would evict
+the new twin: measured on pipeline_llm_prep re-executed in one session,
+whose freshly-counted ``docs`` cache was evicted by the drain inside
+``dedup_paragraphs``, collapsing the heavy gate scan back into the
+single-split file read (6 s -> 35-66 s per re-run).  Each registration now
+also captures the identity of the CacheManager object backing the handle;
+``drain`` unpersists only when the manager still holds THAT object — a
+different object means someone newer re-cached the plan and the dead
+handle has nothing left to release.
 """
 
 from __future__ import annotations
@@ -55,10 +69,11 @@ __all__ = ["release_on_gc", "drain", "release_caches"]
 
 
 class _Entry:
-    __slots__ = ("dfs", "releasable")
+    __slots__ = ("dfs", "tokens", "releasable")
 
     def __init__(self, dfs):
         self.dfs = dfs
+        self.tokens = [_cache_token(df) for df in dfs]
         self.releasable = False
 
 
@@ -68,6 +83,50 @@ _ids = itertools.count()
 
 def _analyzed(df: DataFrame):
     return df._jdf.queryExecution().analyzed()
+
+
+def _cache_token(df: DataFrame):
+    """Identity of the CacheManager object backing ``df``'s persist, captured
+    at registration.  Lets ``drain`` tell *our* cache entry from a twin
+    registered later under the same plan: ``DataFrame.unpersist()`` uncaches
+    by plan equality, so without ownership a dead handle's drain evicts a
+    NEWER query's freshly-materialized cache whenever that query has not yet
+    reached its own ``release_on_gc`` (the round-12 pipeline_llm_prep
+    re-execution defect: the second run's ``docs`` cache — persisted and
+    counted at construction start — was evicted by the drain fired from
+    ``dedup_paragraphs``'s inner registration, collapsing the gate scan to
+    the raw single-split file, 6 s -> 35-66 s per isolated re-run)."""
+    try:
+        sess = df.sparkSession
+        cm = sess._jsparkSession.sharedState().cacheManager()
+        # Spark 4.x signature: lookupCachedData(Dataset); 3.x also had a
+        # bare (LogicalPlan) overload — try the Dataset form first
+        try:
+            opt = cm.lookupCachedData(df._jdf)
+        except Exception:
+            opt = cm.lookupCachedData(_analyzed(df))
+        if opt.isDefined():
+            cd = opt.get()
+            try:
+                rep = cd.cachedRepresentation()
+            except Exception:
+                rep = cd
+            return sess._jvm.System.identityHashCode(rep)
+    except Exception:
+        pass
+    return None
+
+
+def _owns_cache(df: DataFrame, token) -> bool:
+    """True when the CacheManager entry for ``df``'s plan is still the one
+    captured at registration (or ownership is unknown — fail open to the
+    pre-round-12 unpersist behavior so nothing ever leaks)."""
+    if token is None:
+        return True
+    now = _cache_token(df)
+    if now is None:  # nothing cached under this plan: unpersist is a no-op
+        return False
+    return now == token
 
 
 def drain(force: bool = False, protect: tuple[DataFrame, ...] = ()) -> int:
@@ -94,12 +153,21 @@ def drain(force: bool = False, protect: tuple[DataFrame, ...] = ()) -> int:
     for k in list(_entries):
         e = _entries[k]
         if e.releasable or force:
-            for df in e.dfs:
+            for df, token in zip(e.dfs, e.tokens):
                 try:
                     if live_plans:
                         plan = _analyzed(df)
                         if any(plan.sameResult(lp) for lp in live_plans):
                             continue  # live twin owns this cache entry now
+                    # ownership check (round 12): only unpersist when the
+                    # CacheManager still holds the object captured at THIS
+                    # entry's registration — a different object means a
+                    # newer query re-cached the same plan after ours was
+                    # cleared, and plan-equality unpersist would evict its
+                    # live cache (see _cache_token).  force bypasses: the
+                    # caller wants the session cache-free regardless.
+                    if not force and not _owns_cache(df, token):
+                        continue
                     df.unpersist()
                 except Exception:
                     pass  # session already stopped — nothing to release

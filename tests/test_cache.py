@@ -58,6 +58,37 @@ def test_drain_protects_live_plan_twin(spark):
     cache.drain()
 
 
+def test_drain_skips_foreign_recached_twin(spark):
+    """Round-12 defect: a dead handle drained DURING a newer same-planned
+    query's construction (after its persist+materialize, before its own
+    release_on_gc) must not evict the new cache.  The live-twin guard can't
+    see it — it is in the CacheManager but not yet registered here — so the
+    ownership token has to catch it."""
+    cache.drain(force=True)
+    c0 = _tiny(spark).persist()
+    r0 = c0.select(F.sum("n").alias("s"))
+    cache.release_on_gc(r0, c0)
+    r0.count()
+    spark.catalog.clearCache()  # what bench.py does between queries
+    del r0, c0
+    gc.collect()  # entry 0 marked releasable
+
+    # the "newer query": persist + materialize the SAME plan, but do NOT
+    # register it yet (its release_on_gc would come at construction end)
+    c1 = _tiny(spark).persist()
+    c1.count()
+    # an inner operator's registration fires the drain of the dead entry;
+    # c1 is in neither _entries nor protect
+    other = spark.range(0, 5).persist()
+    cache.release_on_gc(other.select(F.sum("id").alias("s")), other)
+    assert c1.storageLevel.useMemory, (
+        "dead handle's drain evicted the newer query's re-registered cache"
+    )
+    del c1, other
+    gc.collect()
+    cache.drain(force=True)
+
+
 def test_drain_force_still_releases_everything(spark):
     """release_caches/force bypasses the twin protection: everything goes."""
     cache.drain(force=True)
